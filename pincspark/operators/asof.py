@@ -1,0 +1,88 @@
+"""As-of join (J1): for each left row, attach the most recent right row with
+``right.ts <= left.ts`` within the same key group.
+
+Reference parity: ``pd.merge_asof(posdataset, staticdataset, on="ts",
+by="mmsi")`` at ais_analysis.py:476 (polars ``join_asof`` twin at
+ais_analysis_polars.py:474) — backward direction, inclusive on equal
+timestamps, left rows with no prior right row keep nulls.
+
+Spark-first implementation: a **union + carry-forward window** rather than a
+range join. Both inputs are tagged and unioned, then a single window
+``partitionBy(key).orderBy(ts, side)`` carries the latest right-side values
+forward with ``last(..., ignorenulls=True)``. This costs exactly ONE shuffle
+on the key (the same shuffle a groupBy would need) and no join at all —
+at 100 TB this beats the naive range-join + re-rank formulation, which
+explodes into an O(n*m) intermediate per key before ranking. Skewed keys are
+handled by AQE; the window is a running frame, so no per-key materialization
+beyond the sort.
+
+Tie semantics: on equal ts the right (static) row sorts FIRST (side 0 < 1),
+making the join backward-INCLUSIVE, exactly like merge_asof.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str],
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    Args:
+        left: the probe side (e.g. position reports).
+        right: the build side whose latest-as-of row is attached (e.g. static
+            voyage data).
+        on: ordering column name (must exist in both; e.g. event time).
+        by: equi-key column(s) (e.g. mmsi / user_id).
+        right_cols: right columns to carry (default: all except ``on``/``by``).
+        suffix: rename applied to carried right columns that collide with
+            left column names; the right's ``on`` column is always carried as
+            ``on + suffix``.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(by_cols) | {on}]
+
+    carried = {c: c + suffix if c in left.columns else c for c in right_cols}
+    carried_on = on + suffix
+
+    l_tagged = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(carried[c], F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = l_tagged.withColumn(carried_on, F.lit(None).cast(right.schema[on].dataType))
+
+    r_tagged = right.select(
+        *by_cols,
+        F.col(on),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(carried[c]) for c in right_cols],
+        F.col(on).alias(carried_on),
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows sort before left rows on ts ties -> backward-inclusive.
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [carried[c] for c in right_cols] + [carried_on]
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in set(out_cols)],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

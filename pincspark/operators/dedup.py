@@ -1,0 +1,216 @@
+"""Deduplication operators for the training-data pipeline: exact
+(fingerprint hash), MinHash+LSH, SimHash, and n-gram Jaccard.
+
+All of these are pure DataFrame/column-expression pipelines (no Python UDFs):
+shingle hashing goes through ``md5`` + ``conv`` so it is deterministic,
+portable (the DuckDB oracle computes the identical integers), and JVM-side.
+
+Scale notes (100 TB):
+- exact dedup = one shuffle on the 128-bit fingerprint; skew-free since
+  fingerprints are uniform.
+- MinHash signatures = explode(shingles) -> ONE groupBy(doc) computing all K
+  permutation minima as K agg expressions (map-side partial aggregation does
+  most of the work); LSH banding then joins docs only within identical band
+  buckets — never the O(n^2) cross join.
+- n-gram Jaccard is exact-but-quadratic in the worst case; it is the
+  verification step applied to LSH candidate pairs, not a full-corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pincspark.functions.text import fingerprint, normalize_text
+
+# Fixed MinHash permutation parameters (a*h + b) mod P over the 31-bit prime.
+# Generated once from a fixed seed; hardcoded so Spark and the SQL oracle
+# share them as literals.
+MINHASH_PRIME = 2147483647
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (1203114875, 1150436009),
+    (661735980, 2071272042),
+    (914472094, 320227725),
+    (297286476, 321237586),
+    (803294284, 1651858547),
+    (1537112063, 1973536864),
+    (1518416360, 1200496421),
+    (1224317524, 1572160887),
+    (1575663238, 1897308449),
+    (1293865391, 52382187),
+    (1948658161, 1852987706),
+    (272326052, 1468693862),
+    (1262552834, 1561364078),
+    (480874161, 514678055),
+    (586283707, 1132878354),
+    (710805716, 1108912893),
+)
+
+
+def shingle_hash(col: F.Column) -> F.Column:
+    """Deterministic 32-bit-range hash of a shingle string: first 8 hex chars
+    of md5, parsed base-16. Identical to the oracle's
+    ``('0x' || substring(md5(x),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-exact duplicate flagging by normalized-content fingerprint.
+
+    Returns (id, fingerprint, group_size, keep): ``keep`` marks the group
+    representative (minimum id). One shuffle on the fingerprint.
+    """
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        F.col(id_col),
+        "fingerprint",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perms: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns mh0..mh{K-1}."""
+    sh = word_shingles(df, id_col, text_col, n).withColumn(
+        "h", shingle_hash(F.col("shingle"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS[:num_perms])
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perms: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) with their estimated Jaccard =
+    fraction of matching minhashes. Docs are joined only within identical
+    (band, band-signature) buckets."""
+    rows = num_perms // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perms)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), *[F.col(f"mh{i}") for i in range(num_perms)],
+        F.explode(band_structs).alias("bs"),
+    ).select(id_col, *[f"mh{i}" for i in range(num_perms)], "bs.band", "bs.sig")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.sig") == F.col(f"b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[
+                (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int").alias(f"eq{i}")
+                for i in range(num_perms)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"eq{i}") for i in range(num_perms)) / F.lit(float(num_perms))
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity pairs >= threshold.
+
+    Shingle-inverted-index join (only docs sharing >=1 shingle are compared),
+    then |A∩B| / (|A|+|B|-|A∩B|). Use on LSH candidates at scale.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens: sum +1/-1 per bit of each
+    token hash, take the sign bit-vector. Single explode + one groupBy."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", shingle_hash(F.col("tok")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_aggs)
+    sim = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for i in range(bits)
+    )
+    return agg.select(F.col(id_col), sim.alias("simhash"))

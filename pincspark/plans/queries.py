@@ -1,0 +1,798 @@
+"""The query catalog: every operator from SURVEY.md §2 that is expressible on
+the driver's synthetic tables, as (Spark callable, DuckDB oracle SQL) pairs.
+
+Numeric-determinism rules (so the oracle value-hash matches bit-for-bit):
+- Money/metric doubles in the testdata are exact 2-decimal values, so every
+  SUM goes through DECIMAL(18,2/4/6) arithmetic (exact, order-independent)
+  and is cast to DOUBLE only at the end; AVGs divide the exact decimal sum by
+  the exact count in double (one deterministic IEEE division).
+- Timestamps are output as unix microseconds (BIGINT) — except q04, which
+  deliberately keeps a raw timestamp column.
+- Floating similarity scores are rounded to 6 dp on both sides, and every
+  ranking has an integer tie-breaker.
+
+Each Spark callable has signature (spark, sf_dir) -> DataFrame. Column names
+are aliased identically on both sides (the driver sorts columns by name
+before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pincspark.functions import text as TXT
+from pincspark.operators.asof import asof_join
+from pincspark.operators.dedup import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pincspark.operators.keyed import latest_per_key, sessionize, validity_intervals
+from pincspark.operators.normalize import union_normalize
+from pincspark.operators.similarity import cosine_topk, ivf_topk
+from pincspark.sources.tables import table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+D2 = "DECIMAL(18,2)"
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast(D2)
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.1-2.7)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 flagship agg: TPC-H-Q1-style pricing summary over lineitem.
+    Scan -> pushed filter -> hash agg (map-side partial) on two low-card
+    keys; no join. (Reference analog: per-type summary aggregation of the
+    decoded day, ais_analysis.py:460-492.)"""
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.expr(f"CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) - CAST(l_discount AS {D2})) AS DECIMAL(18,4))")
+    charge = F.expr(
+        f"CAST(CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) - CAST(l_discount AS {D2})) AS DECIMAL(18,4))"
+        f" * (CAST(1 AS {D2}) + CAST(l_tax AS {D2})) AS DECIMAL(24,6))"
+    )
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).alias("_sq"),
+            F.sum(_dec2("l_extendedprice")).alias("_sbp"),
+            F.sum(disc).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.sum(_dec2("l_discount")).alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("_sbp").cast("double") / n, 6).alias("avg_price"),
+        F.round(F.col("_sd").cast("double") / n, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+ORACLE_Q01 = f"""
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS {D2})) AS _sq,
+         SUM(CAST(l_extendedprice AS {D2})) AS _sbp,
+         SUM(CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) - CAST(l_discount AS {D2})) AS DECIMAL(18,4))) AS _sdp,
+         SUM(CAST(CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) - CAST(l_discount AS {D2})) AS DECIMAL(18,4))
+             * (CAST(1 AS {D2}) + CAST(l_tax AS {D2})) AS DECIMAL(24,6))) AS _sc,
+         SUM(CAST(l_discount AS {D2})) AS _sd,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(_sq AS DOUBLE) AS sum_qty,
+       CAST(_sbp AS DOUBLE) AS sum_base_price,
+       CAST(_sdp AS DOUBLE) AS sum_disc_price,
+       CAST(_sc AS DOUBLE) AS sum_charge,
+       ROUND(CAST(_sq AS DOUBLE) / CAST(count_order AS DOUBLE), 6) AS avg_qty,
+       ROUND(CAST(_sbp AS DOUBLE) / CAST(count_order AS DOUBLE), 6) AS avg_price,
+       ROUND(CAST(_sd AS DOUBLE) / CAST(count_order AS DOUBLE), 6) AS avg_disc,
+       count_order
+FROM a
+"""
+
+
+def q02_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop equi joins + agg: revenue by market segment. customer is
+    small relative to lineitem -> broadcast both dimension hops; the big
+    fact never shuffles for the join (only for the final low-card agg)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.expr(f"CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) - CAST(l_discount AS {D2})) AS DECIMAL(18,4))")
+    joined = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.l_orderkey == orders.o_orderkey,
+    ).join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.sum(disc).alias("_rev"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_orders",
+            "n_items",
+        )
+    )
+
+
+ORACLE_Q02 = f"""
+SELECT c_mktsegment,
+       CAST(SUM(CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) - CAST(l_discount AS {D2})) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q03_region_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P22/J4/J3: enum/dimension broadcast enrichment chain
+    customer -> nation -> region (the AtoN/shiptype lookup analog,
+    ais_webSocketServer.py:191-193), then per-region stats."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    enriched = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        enriched.groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("n_name").alias("n_nations"),
+            F.sum(_dec2("c_acctbal")).alias("_bal"),
+        )
+        .select(
+            "region_name",
+            "n_customers",
+            "n_nations",
+            F.col("_bal").cast("double").alias("total_acctbal"),
+            F.round(
+                F.col("_bal").cast("double") / F.col("n_customers").cast("double"), 6
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+ORACLE_Q03 = f"""
+WITH a AS (
+  SELECT r_name AS region_name, COUNT(*) AS n_customers,
+         CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nations,
+         SUM(CAST(c_acctbal AS {D2})) AS _bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+)
+SELECT region_name, n_customers, n_nations,
+       CAST(_bal AS DOUBLE) AS total_acctbal,
+       ROUND(CAST(_bal AS DOUBLE) / CAST(n_customers AS DOUBLE), 6) AS avg_acctbal
+FROM a
+"""
+
+
+def q04_event_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3 routing filters on the event stream (messageType routing
+    analog): type-set membership + value predicate, pushed to the scan."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("click", "view") & (F.col("value") > 5.0)
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+ORACLE_Q04 = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+WHERE event_type IN ('click', 'view') AND value > 5.0
+"""
+
+
+def q05_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P28 semi-structured extraction: pull props.k out of the JSON payload
+    (from_json/get_json_object), aggregate per type."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_Q05 = """
+WITH e AS (
+  SELECT event_type, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(*) AS n
+FROM e GROUP BY event_type
+"""
+
+
+def q06_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as-of join (the reference's merge_asof at ais_analysis.py:476):
+    each non-signup event gets the latest signup row of the same user with
+    signup.ts <= event.ts (backward-inclusive; none -> nulls)."""
+    ev = table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
+    )
+    joined = asof_join(obs, sig, on="ts", by="user_id", right_cols=["signup_event_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "signup_event_id",
+        F.unix_micros(F.col("ts_right")).alias("signup_ts_us"),
+    )
+
+
+ORACLE_Q06 = """
+WITH obs AS (
+  SELECT event_id, user_id, event_type, ts FROM events WHERE event_type <> 'signup'
+), sig AS (
+  SELECT event_id AS signup_event_id, user_id, ts FROM events WHERE event_type = 'signup'
+)
+SELECT obs.event_id, obs.user_id, obs.event_type, epoch_us(obs.ts) AS ts_us,
+       sig.signup_event_id, epoch_us(sig.ts) AS signup_ts_us
+FROM obs ASOF LEFT JOIN sig ON obs.user_id = sig.user_id AND sig.ts <= obs.ts
+"""
+
+
+def q07_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 latest-row-per-key (the IVEF latest-track upsert analog,
+    ais_ivef.py:286-312): most recent order per customer."""
+    orders = table(spark, sf_dir, "orders")
+    latest = latest_per_key(
+        orders,
+        "o_custkey",
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("latest_orderdate_us"),
+        F.col("o_totalprice").alias("latest_totalprice"),
+        F.col("o_orderstatus").alias("latest_status"),
+    )
+
+
+ORACLE_Q07 = """
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       epoch_us(o_orderdate) AS latest_orderdate_us,
+       o_totalprice AS latest_totalprice, o_orderstatus AS latest_status
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q08_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 lead-window validity intervals (next report ts per key, fillna with
+    own ts — the declared-intent window logic at ais_analysis.py:445-453),
+    over each user's signup events."""
+    ev = table(spark, sf_dir, "events")
+    sig = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    iv = validity_intervals(sig, key="user_id", ts="ts")
+    return iv.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+    )
+
+
+ORACLE_Q08 = """
+WITH sig AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+)
+SELECT event_id, user_id, epoch_us(ts) AS valid_from_us,
+       epoch_us(COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)) AS valid_to_us
+FROM sig
+"""
+
+
+def q09_union_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P24 schema normalization / union-by-name (the DAC533 layout
+    normalizer analog, ais_egressServerCH.py:23-65): customers and suppliers
+    into one party table, missing columns null-filled, source tagged."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return union_normalize([cust, supp], tag_col="src", tags=["customer", "supplier"])
+
+
+ORACLE_Q09 = """
+SELECT c_custkey AS party_key, c_name AS name, c_nationkey AS nationkey,
+       c_acctbal AS acctbal, c_mktsegment AS mktsegment, 'customer' AS src
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal, NULL, 'supplier' FROM supplier
+"""
+
+
+def q10_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 distinct-key aggregation (unique-vessel counting,
+    ais_analysis.py:491-492): exact distinct users + totals per event type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec2("value")).alias("_sv"),
+        )
+        .select(
+            "event_type", "n_users", "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_Q10 = f"""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS {D2})) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q11_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) per-key window aggregation over event time —
+    decimal-exact so the cumulative doubles match the oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum(_dec2("value")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+ORACLE_Q11 = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS {D2})) OVER (
+         PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q12_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break: 10 highest-spend customers."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec2("o_totalprice")).alias("_t"), F.count(F.lit(1)).alias("n_orders"))
+        .select("o_custkey", F.col("_t").cast("double").alias("total_spend"), "n_orders")
+        .orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q12 = f"""
+SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS {D2})) AS DOUBLE) AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_spend DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def q13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 batch analog — gap-based sessionization (multi-part grouping
+    generalized): 30-minute-gap sessions per user, session/event counts."""
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_Q13 = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) <= 1800000000
+              THEN 0 ELSE 1 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(1 + SUM(boundary) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup / text / similarity
+# --------------------------------------------------------------------------
+
+# DuckDB equivalents of pincspark.functions.text primitives.
+_SQL_NORM = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+_SQL_TOKS = "list_filter(regexp_split_to_array({c}, ' +'), t -> t <> '')"
+
+
+def q14_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content md5 fingerprint: group sizes +
+    representative flags (one uniform-key shuffle; scales linearly)."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+ORACLE_Q14 = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_SQL_NORM.format(c='text')}) AS fingerprint FROM documents
+)
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS group_size,
+       doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
+FROM fp
+"""
+
+
+def q15_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats, stopword/punctuation ratios, composite
+    heuristic score — all JVM-side column expressions."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(t).cast("bigint").alias("n_tokens"),
+        F.round(TXT.avg_word_len(t), 6).alias("avg_word_len"),
+        F.round(TXT.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TXT.punct_ratio(t), 6).alias("punct_ratio"),
+        TXT.quality_score(t).alias("quality"),
+    )
+
+
+_SQL_STOPS = "['the', 'a', 'of', 'and', 'is', 'to', 'in']"
+
+ORACLE_Q15 = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         {_SQL_TOKS.format(c='text')} AS toks,
+         {_SQL_TOKS.format(c='lower(text)')} AS ltoks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS awl,
+         CAST(len(list_filter(ltoks, t -> list_contains({_SQL_STOPS}, t))) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) AS swr,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS pr
+  FROM b
+)
+SELECT doc_id, n_tokens,
+       ROUND(awl, 6) AS avg_word_len,
+       ROUND(swr, 6) AS stopword_ratio,
+       ROUND(pr, 6) AS punct_ratio,
+       ROUND((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+              + (CASE WHEN awl >= 2.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END)
+              + least(swr * 5.0, 1.0)) / 3.0
+             * (1.0 - least(pr * 2.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+
+def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, distinct
+    tokens per document."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(t).cast("bigint").alias("ws_tokens"),
+        TXT.regex_token_count(t).cast("bigint").alias("regex_tokens"),
+        F.size(F.array_distinct(TXT.ws_tokens(t))).cast("bigint").alias("distinct_tokens"),
+    )
+
+
+ORACLE_Q16 = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKS.format(c='text')}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS regex_tokens,
+       CAST(len(list_distinct({_SQL_TOKS.format(c='text')})) AS BIGINT) AS distinct_tokens
+FROM documents
+"""
+
+
+def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language marker-word hits
+    (fixed comparison order, strictly-greater wins; no hits -> 'und')."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = TXT.ws_tokens(F.lower(t))
+    hits = {
+        lang: F.size(F.filter(toks, TXT._isin(m)))
+        for lang, m in TXT.LANG_MARKERS.items()
+    }
+    return docs.select(
+        "doc_id",
+        TXT.lang_id(t).alias("pred_lang"),
+        *[hits[lang].cast("bigint").alias(f"hits_{lang}") for lang in ("en", "fr", "es", "de")],
+    )
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"CAST(len(list_filter(ltoks, t -> list_contains({lst}, t))) AS BIGINT)"
+
+
+ORACLE_Q17 = f"""
+WITH b AS (
+  SELECT doc_id, {_SQL_TOKS.format(c='lower(text)')} AS ltoks FROM documents
+), h AS (
+  SELECT doc_id,
+         {_marker_sql(TXT.LANG_MARKERS['en'])} AS hits_en,
+         {_marker_sql(TXT.LANG_MARKERS['fr'])} AS hits_fr,
+         {_marker_sql(TXT.LANG_MARKERS['es'])} AS hits_es,
+         {_marker_sql(TXT.LANG_MARKERS['de'])} AS hits_de
+  FROM b
+), s1 AS (
+  SELECT *, CASE WHEN hits_en > 0 THEN 'en' ELSE 'und' END AS b1,
+         greatest(hits_en, 0) AS m1 FROM h
+), s2 AS (
+  SELECT *, CASE WHEN hits_fr > m1 THEN 'fr' ELSE b1 END AS b2,
+         greatest(hits_fr, m1) AS m2 FROM s1
+), s3 AS (
+  SELECT *, CASE WHEN hits_es > m2 THEN 'es' ELSE b2 END AS b3,
+         greatest(hits_es, m2) AS m3 FROM s2
+)
+SELECT doc_id,
+       CASE WHEN hits_de > m3 THEN 'de' ELSE b3 END AS pred_lang,
+       hits_en, hits_fr, hits_es, hits_de
+FROM s3
+"""
+
+
+def q18_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): queries = vec_id < 10,
+    k = 5. Broadcast queries x corpus scan; per-query window top-k."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
+
+
+ORACLE_Q18 = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS score
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM s
+) WHERE rank <= 5
+"""
+
+
+def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: 16 permutations, 4 bands x 4
+    rows, est_jaccard = matching-minhash fraction. Bucket-join only — never
+    the O(n^2) cross join."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perms=16, bands=4)
+
+
+def _minhash_oracle() -> str:
+    shingle = (
+        f"CASE WHEN len(toks) >= 3 THEN "
+        f"list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"mh{b * 4 + r}" for r in range(4))
+        + ") AS sig FROM sig_t"
+        for b in range(4)
+    )
+    eqs = " + ".join(f"CAST(sa.mh{i} = sb.mh{i} AS INTEGER)" for i in range(16))
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
+), hh AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+), sig_t AS (
+  SELECT doc_id,
+         {mins}
+  FROM hh GROUP BY doc_id
+), banded AS (
+{bands}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(({eqs}) / 16.0, 6) AS est_jaccard
+FROM pairs p JOIN sig_t sa ON p.id_a = sa.doc_id JOIN sig_t sb ON p.id_b = sb.doc_id
+"""
+
+
+ORACLE_Q19 = _minhash_oracle()
+
+
+def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-shingle Jaccard pairs >= 0.1 via shingle inverted-index
+    join (the verification stage for LSH candidates)."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+
+
+def _jaccard_oracle() -> str:
+    shingle = (
+        f"CASE WHEN len(toks) >= 3 THEN "
+        f"list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(za.sz + zb.sz - common AS DOUBLE), 6) AS jaccard
+FROM common JOIN sizes za ON id_a = za.doc_id JOIN sizes zb ON id_b = zb.doc_id
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(za.sz + zb.sz - common AS DOUBLE), 6) >= 0.1
+"""
+
+
+ORACLE_Q20 = _jaccard_oracle()
+
+
+def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (32-bit): per-bit +1/-1 token-hash
+    voting, one explode + one groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+    )
+    recon = " + ".join(f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))}) AS t FROM documents
+), hh AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS h FROM tok
+), agg AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hh GROUP BY doc_id
+)
+SELECT doc_id, {recon} AS simhash FROM agg
+"""
+
+
+ORACLE_Q21 = _simhash_oracle()
+
+
+def q22_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via IVF cells (the 100-TB scale path for q18):
+    deterministic centroids, nprobe=4 of 16 cells. Approximate by design —
+    no SQL oracle; driver records a rows-only check."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
+    "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
+    "q03_region_enrich": (q03_region_enrich, ORACLE_Q03),
+    "q04_event_route": (q04_event_route, ORACLE_Q04),
+    "q05_json_props": (q05_json_props, ORACLE_Q05),
+    "q06_asof_enrich": (q06_asof_enrich, ORACLE_Q06),
+    "q07_latest_state": (q07_latest_state, ORACLE_Q07),
+    "q08_validity_intervals": (q08_validity_intervals, ORACLE_Q08),
+    "q09_union_normalize": (q09_union_normalize, ORACLE_Q09),
+    "q10_distinct_users": (q10_distinct_users, ORACLE_Q10),
+    "q11_running_spend": (q11_running_spend, ORACLE_Q11),
+    "q12_top_spenders": (q12_top_spenders, ORACLE_Q12),
+    "q13_sessionize": (q13_sessionize, ORACLE_Q13),
+    "q14_dedup_exact": (q14_dedup_exact, ORACLE_Q14),
+    "q15_text_quality": (q15_text_quality, ORACLE_Q15),
+    "q16_token_stats": (q16_token_stats, ORACLE_Q16),
+    "q17_lang_id": (q17_lang_id, ORACLE_Q17),
+    "q18_knn_cosine": (q18_knn_cosine, ORACLE_Q18),
+    "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
+    "q20_ngram_jaccard": (q20_ngram_jaccard, ORACLE_Q20),
+    "q21_simhash": (q21_simhash, ORACLE_Q21),
+    "q22_ivf_topk": (q22_ivf_topk, None),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,50 @@
+"""Parquet table loading for the driver's synthetic warehouse (S8 analog).
+
+Reference parity: the reference persists/reads back gold Parquet
+(``ais_analysis.py:477``); here every table is a columnar parquet scan so
+Catalyst gets predicate pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table, normalizing timestamp precision.
+
+    The events table is written with parquet TIMESTAMP(NANOS), which Spark 4
+    refuses to map to TimestampType. We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds —
+    exactly what DuckDB's parquet reader does — so engine and oracle see
+    identical instants.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ->LTZ casts (for unix_micros) must be tz-invariant vs the oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,60 @@
+"""Mimic the driver's t2 correctness gate locally: run every declared query
+on Spark and its DuckDB oracle on the same parquet tables, compare row
+count, column names, and an order-insensitive value multiset."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pincspark.plans.queries import QUERIES
+from tests.conftest import SF_DIR
+
+ORACLED = [(n, fn, sql) for n, (fn, sql) in QUERIES.items() if sql is not None]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name,fn,sql", ORACLED, ids=[n for n, _, _ in ORACLED])
+def test_query_matches_oracle(spark, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR)
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    sset = _rowset(s_cols, s_rows)
+    dset = _rowset(d_cols, d_rows)
+    mismatches = [(a, b) for a, b in zip(sset, dset) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
