@@ -1,0 +1,106 @@
+"""The decode kernel (§2.9): one Arrow-batched pandas UDF turning an AIS
+payload column into the typed ``catalog.DECODED`` struct, plus pure-SQL
+column-expression fast paths for the routing fields (messageType, mmsi) and
+checksum validation so Catalyst can filter/prune BEFORE the Python stage.
+
+Scale design: the UDF is the only Python hop in the pipeline; everything
+upstream (checksum filter, type routing) and downstream (family projection,
+joins, aggs) is JVM-side. Routing filters use the SQL fast path, so a query
+that only wants types 1/2/3 never pays Python decode for type-8 weather
+blobs. The reference decodes row-at-a-time dicts in-process
+(ais_analysis.py:170-245); here a 10k-row Arrow batch costs one Python call.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pincspark.catalog import DECODED, FAMILY_SCHEMAS
+from pincspark.decode.families import decode_message
+from pincspark.functions.nmea import Bits
+
+_TOP_COLS = ["messageType", "repeat", "mmsi", "family"] + list(FAMILY_SCHEMAS)
+
+
+def decode_payload(payload: str) -> dict:
+    """Decode one (possibly multi-part concatenated) armored payload into the
+    nested record shape of ``catalog.DECODED``. Invalid payloads yield an
+    all-null record."""
+    try:
+        b = Bits.from_payload(payload)
+        rec = decode_message(b)
+    except (ValueError, KeyError):
+        return {c: None for c in _TOP_COLS}
+    out = {c: None for c in _TOP_COLS}
+    out["messageType"] = rec["messageType"]
+    out["repeat"] = rec["repeat"]
+    out["mmsi"] = rec["mmsi"]
+    out["family"] = rec["family"]
+    if rec["family"] is not None:
+        out[rec["family"]] = rec["payload_fields"]
+    return out
+
+
+@pandas_udf(DECODED)
+def decode_udf(payload: pd.Series) -> pd.DataFrame:
+    recs = [decode_payload(p) if p is not None else {c: None for c in _TOP_COLS}
+            for p in payload]
+    return pd.DataFrame.from_records(recs, columns=_TOP_COLS)
+
+
+def decode_ais(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach the decoded struct as column ``ais``. Select families with
+    e.g. ``df.select("ais.mmsi", "ais.position.*")``."""
+    return df.withColumn("ais", decode_udf(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL fast paths (JVM-side, whole-stage-codegen'd)
+# ---------------------------------------------------------------------------
+
+
+def armor_value(ch: Column) -> Column:
+    """6-bit value of one armoring char: ascii-48, minus 8 above 40
+    (equivalent to the 64-char table lookup, ais_analysis.py:157-166)."""
+    v = F.ascii(ch) - F.lit(48)
+    return F.when(v > 40, v - 8).otherwise(v)
+
+
+def _char_val(payload: Column, i: int) -> Column:
+    return armor_value(F.substring(payload, i + 1, 1))
+
+
+def routing_message_type(payload: Column) -> Column:
+    """messageType (bits 0-6) without Python: the first payload char."""
+    return _char_val(payload, 0)
+
+
+def routing_mmsi(payload: Column) -> Column:
+    """mmsi (bits 8-38) as a pure column expression over chars 1..6."""
+    v = [_char_val(payload, i) for i in range(7)]
+    return (
+        (v[1].bitwiseAND(F.lit(15)) * F.lit(1 << 26))
+        + (v[2] * F.lit(1 << 20))
+        + (v[3] * F.lit(1 << 14))
+        + (v[4] * F.lit(1 << 8))
+        + (v[5] * F.lit(1 << 2))
+        + F.shiftright(v[6], 4)
+    ).cast("bigint")
+
+
+def checksum_valid(sentence: Column) -> Column:
+    """P2 checksum as a pure SQL expression: XOR of chars between '!' and
+    '*' equals the hex suffix (ais_analysis.py:143-153). Codegen-friendly —
+    keeps the validity filter ahead of the Python decode stage."""
+    body = F.substring(F.substring_index(sentence, "*", 1), 2, 1_000_000)
+    declared = F.upper(F.substring_index(sentence, "*", -1))
+    folded = F.aggregate(
+        F.split(body, ""),
+        F.lit(0),
+        lambda acc, ch: F.when(ch == "", acc).otherwise(acc.bitwiseXOR(F.ascii(ch))),
+    )
+    return folded == F.conv(declared, 16, 10).try_cast("int")

@@ -1,0 +1,121 @@
+"""Raw NMEA archive source (S1) + batch multi-part reassembly (ST1-batch)
++ tag-block timestamp extraction (P27).
+
+Reference behavior re-expressed:
+- ais_analysis.py:318-340 reads a day's Datalog file, splits lines, strips
+  the tag-block prefix before '!';
+- ais_analysis.py:384-388 parses the epoch from the tag block's ``c:`` field;
+- ais_ingressServer.py:84-106 buffers fragments until the group completes,
+  validating monotonic package numbers / constant package id;
+- ais_analysis.py:266-288 drops groups with checksum or sequence errors.
+
+Batch grouping trick: multi-part fragments are adjacent lines, so
+``line_idx - (num - 1)`` is constant within a group — grouping on that key
+plus seq id reassembles without any stateful pass. ONE shuffle, and only
+rows from multi-part groups carry any grouping cost (singletons pass
+through a cheap aggregate of size 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pincspark.decode.kernel import checksum_valid
+
+
+def read_archive(spark: SparkSession, path: str) -> DataFrame:
+    """S1: read a Datalog archive text file into (line_idx, tagblock,
+    sentence) rows. Line order is preserved per file via a monotonic index
+    (fragment groups are adjacent lines in these archives)."""
+    raw = spark.read.text(path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return (
+        raw.filter(F.col("value") != "")
+        .withColumn("line_idx", F.row_number().over(w).cast("bigint"))
+        .withColumn("bang", F.instr(F.col("value"), "!"))
+        .filter(F.col("bang") > 0)
+        .select(
+            "line_idx",
+            F.expr("substring(value, 1, bang - 1)").alias("tagblock"),
+            F.expr("substring(value, bang, 1000000)").alias("sentence"),
+        )
+    )
+
+
+def with_tagblock_ts(df: DataFrame, tagblock: str = "tagblock") -> DataFrame:
+    """P27: event-time from the tag block's ``c:<epoch-seconds>`` field."""
+    epoch = F.regexp_extract(F.col(tagblock), r"c:(\d+)", 1)
+    return df.withColumn(
+        "ts",
+        F.when(epoch != "", F.timestamp_seconds(epoch.cast("bigint"))),
+    )
+
+
+def tokenize_sentences(df: DataFrame, sentence: str = "sentence") -> DataFrame:
+    """P1: split the VDM sentence into its comma fields (pure SQL)."""
+    parts = F.split(F.col(sentence), ",")
+    # try_cast: empty fields (e.g. blank seq id) become defaults, and ANSI
+    # mode must not abort the scan on malformed garbage lines.
+    return (
+        df.withColumn("package_type", parts.getItem(0))
+        .withColumn("total", F.coalesce(parts.getItem(1).try_cast("int"), F.lit(1)))
+        .withColumn("num", F.coalesce(parts.getItem(2).try_cast("int"), F.lit(1)))
+        .withColumn(
+            "seq_id",
+            F.coalesce(parts.getItem(3).try_cast("int"), F.lit(0)),
+        )
+        .withColumn("channel", parts.getItem(4))
+        .withColumn("payload", parts.getItem(5))
+        .withColumn(
+            "fill",
+            F.coalesce(
+                F.split(parts.getItem(6), "\\*").getItem(0).try_cast("int"), F.lit(0)
+            ),
+        )
+    )
+
+
+def reassemble(df: DataFrame) -> DataFrame:
+    """ST1-batch: validate checksums, group adjacent fragments, emit one row
+    per complete message group with the concatenated payload.
+
+    Drops (like the reference, ais_analysis.py:266-288): checksum failures,
+    incomplete groups, groups whose fragment numbers are not exactly
+    1..total with a constant seq id.
+    """
+    valid = df.filter(checksum_valid(F.col("sentence")))
+    keyed = valid.withColumn(
+        "group_key", F.col("line_idx") - (F.col("num") - 1).cast("bigint")
+    )
+    grouped = (
+        keyed.groupBy("group_key", "seq_id", "total")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("num", "payload", "tagblock", "ts"))
+            ).alias("frags"),
+            F.count(F.lit(1)).alias("n_frags"),
+        )
+        .filter(F.col("n_frags") == F.col("total"))
+        .filter(
+            F.expr(
+                "forall(zip_with(frags.num, sequence(1, total), (a, b) -> a = b), x -> x)"
+            )
+        )
+    )
+    return grouped.select(
+        F.col("frags").getItem(0).getField("tagblock").alias("tagblock"),
+        F.col("frags").getItem(0).getField("ts").alias("ts"),
+        F.col("seq_id"),
+        F.col("total").alias("n_sentences"),
+        F.expr("array_join(frags.payload, '')").alias("payload"),
+    )
+
+
+def read_and_decode(spark: SparkSession, path: str) -> DataFrame:
+    """Full S1 -> P27 -> P1 -> P2/ST1 -> decode pipeline, ending with the
+    typed ``ais`` struct column."""
+    from pincspark.decode.kernel import decode_ais
+
+    df = tokenize_sentences(with_tagblock_ts(read_archive(spark, path)))
+    return decode_ais(reassemble(df))

@@ -1,0 +1,105 @@
+"""End-to-end batch pipeline test (SURVEY §3.1): synthetic archive file ->
+line scan -> tag-block ts -> tokenize -> checksum/sequence validation ->
+multi-part reassembly -> pandas-UDF decode -> typed family projections.
+
+Negative fixtures (must be dropped, ais_analysis.py:266-286): bad checksum,
+incomplete fragment group, out-of-sequence fragments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+GOLDEN = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden", "reference_decoded.json"))
+)
+
+TAG = "\\s:rORBCOMM000,q:u,c:1673222400,i:|X=1|D=1|T=41.07527777*32"
+
+
+@pytest.fixture(scope="module")
+def archive(tmp_path_factory):
+    p = tmp_path_factory.mktemp("ais") / "Datalog_test"
+    lines = []
+    for rec in GOLDEN:
+        for s in rec["sentences"]:
+            lines.append(TAG + s)
+    # negative: bad checksum
+    lines.append(TAG + "!ABVDM,1,1,7,A,15R9eN001n7DHvT13w0TBSM>00Rm,0*55")
+    # negative: incomplete 2-part group (part 2 missing)
+    lines.append(TAG + "!ABVDM,2,1,4,A,58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l,0*14")
+    # negative: out-of-sequence parts (2 then 1) — group key never aligns
+    lines.append(TAG + "!ABVDM,2,2,5,A,PAiH8888880,2*1A")
+    lines.append(TAG + "!ABVDM,2,1,5,A,58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l,0*15")
+    # blank line and garbage line without '!'
+    lines.append("")
+    lines.append("no bang here")
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_read_and_decode(spark, archive):
+    from pincspark.sources.nmea_source import read_and_decode
+
+    df = read_and_decode(spark, archive).cache()
+    rows = df.collect()
+    # every golden group decodes; all negatives dropped
+    assert len(rows) == len(GOLDEN)
+
+    decoded = {r["ais"]["mmsi"]: r for r in rows}
+    for rec in GOLDEN:
+        mmsi = rec["common"]["mmsi"]
+        assert mmsi in decoded
+        r = decoded[mmsi]
+        assert r["ais"]["messageType"] == rec["common"]["messageType"]
+        # event time came from the tag block (P27)
+        assert r["ts"] is not None and r["ts"].year == 2023
+
+    # multi-part type 5 reassembled into one message
+    t5 = [r for r in rows if r["ais"]["messageType"] == 5]
+    assert len(t5) == 1 and t5[0]["n_sentences"] == 2
+    assert t5[0]["ais"]["static_voyage"]["shipName"] == "MAERSK WALLIS"
+    assert t5[0]["ais"]["static_voyage"]["destination"] == "TPP ANCHORAGE"
+
+    # typed family projection flattens cleanly
+    pos = df.filter(F.col("ais.messageType").isin(1, 2, 3)).select(
+        "ts", "ais.mmsi", "ais.position.*"
+    )
+    prow = {r["mmsi"]: r for r in pos.collect()}
+    g1 = next(r for r in GOLDEN if r["common"]["messageType"] == 1)
+    mine = prow[g1["common"]["mmsi"]]
+    assert mine["sog"] == pytest.approx(g1["body"]["sog"])
+    assert mine["longitude"] == pytest.approx(g1["body"]["longitude"])
+    assert mine["latitude"] == pytest.approx(g1["body"]["latitude"])
+    assert mine["navStatus"] == g1["body"]["navStatus"]
+
+
+def test_routing_fast_path(spark, archive):
+    """Pure-SQL routing columns agree with the Python decode for every row."""
+    from pincspark.decode.kernel import (
+        decode_ais,
+        routing_message_type,
+        routing_mmsi,
+    )
+    from pincspark.sources.nmea_source import (
+        read_archive,
+        reassemble,
+        tokenize_sentences,
+        with_tagblock_ts,
+    )
+
+    msgs = reassemble(tokenize_sentences(with_tagblock_ts(read_archive(spark, archive))))
+    both = decode_ais(msgs).select(
+        routing_message_type(F.col("payload")).alias("mt_sql"),
+        routing_mmsi(F.col("payload")).alias("mmsi_sql"),
+        F.col("ais.messageType").alias("mt_py"),
+        F.col("ais.mmsi").alias("mmsi_py"),
+    )
+    for r in both.collect():
+        assert r["mt_sql"] == r["mt_py"]
+        assert r["mmsi_sql"] == r["mmsi_py"]
