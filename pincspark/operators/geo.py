@@ -1,0 +1,107 @@
+"""Geospatial operators (J2): zone table + point-in-polygon spatial join.
+
+Reference parity: ais_analysis.py:25-140 defines two TSS corridor polygons
+(GeoJSON literals; extracted verbatim to pincspark/data/tss_zones.json) and
+runs ``gpd.sjoin(points, zones, predicate='within')`` at
+ais_analysis.py:483-486 (also ais_webSocketServerDb.py:29-158 per-point).
+
+Spark-first: zones are a tiny broadcast table carrying their vertex arrays;
+the containment predicate is an even-odd ray-casting fold over the polygon
+edges expressed entirely in column expressions (``zip_with`` + ``aggregate``)
+— JVM-side, whole-stage-codegen, no Python and no geo library. At 100 TB the
+spatial join is a broadcast-nested-loop against a handful of zone rows with
+a codegen'd predicate: no shuffle of the big side at all. (Sedona's
+ST_Contains + spatial partitioning is the drop-in upgrade for many-polygon
+workloads.)
+
+Boundary semantics: even-odd crossing counts treat boundary points
+half-open; the reference's shapely ``within`` excludes boundaries — test
+fixtures avoid exact-boundary points (FIXTURES.md B4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_ZONES_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "tss_zones.json")
+
+
+def load_zone_data() -> list[dict]:
+    with open(_ZONES_PATH) as f:
+        return json.load(f)
+
+
+def zones_df(spark: SparkSession) -> DataFrame:
+    """The TSS zones as (zone_id, zone_name, verts array<struct<x,y>>)."""
+    rows = [
+        (
+            z["zone_id"],
+            z["zone_name"],
+            [(float(x), float(y)) for x, y in z["coordinates"]],
+        )
+        for z in load_zone_data()
+    ]
+    return spark.createDataFrame(
+        rows, "zone_id INT, zone_name STRING, verts ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+    )
+
+
+def point_in_polygon(x: Column, y: Column, verts: Column) -> Column:
+    """Even-odd ray casting as a pure column expression.
+
+    For each directed edge (p, q): toggle containment when the edge spans
+    the point's latitude and the eastward ray at y crosses it. Division by a
+    zero dy is unreachable (the span test is false) and doubles yield inf,
+    not an ANSI error, so the fold is total.
+    """
+    n = F.size(verts)
+    edges = F.zip_with(
+        F.slice(verts, 1, n - 1),
+        F.slice(verts, 2, n - 1),
+        lambda p, q: F.struct(
+            p["x"].alias("px"), p["y"].alias("py"),
+            q["x"].alias("qx"), q["y"].alias("qy"),
+        ),
+    )
+    return F.aggregate(
+        edges,
+        F.lit(False),
+        lambda acc, e: F.when(
+            ((e["py"] > y) != (e["qy"] > y))
+            & (x < (e["qx"] - e["px"]) * (y - e["py"]) / (e["qy"] - e["py"]) + e["px"]),
+            ~acc,
+        ).otherwise(acc),
+    )
+
+
+def spatial_join(
+    points: DataFrame,
+    zones: DataFrame,
+    x_col: str = "longitude",
+    y_col: str = "latitude",
+    how: str = "inner",
+) -> DataFrame:
+    """J2: attach matching zones to points (inner = reference sjoin
+    semantics; rows in multiple zones duplicate, rows in none drop)."""
+    z = F.broadcast(zones)
+    joined = points.crossJoin(z).filter(
+        point_in_polygon(F.col(x_col), F.col(y_col), F.col("verts"))
+    )
+    return joined.drop("verts")
+
+
+def zone_occupancy(points: DataFrame, zones: DataFrame, key: str = "mmsi") -> DataFrame:
+    """The reference's flagship analysis (ais_analysis.py:482-492): distinct
+    vessels currently inside each zone."""
+    return (
+        spatial_join(points, zones)
+        .groupBy("zone_id", "zone_name")
+        .agg(
+            F.countDistinct(key).alias("n_vessels"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

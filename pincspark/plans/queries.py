@@ -761,6 +761,146 @@ def q22_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# AIS-domain operators under the oracle gate
+# --------------------------------------------------------------------------
+
+
+def q23_zone_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 point-in-polygon spatial join + A1 distinct-vessel agg (the
+    reference's flagship analysis, ais_analysis.py:482-492) on synthetic
+    positions derived deterministically from events: lon/lat spread over the
+    TSS zone bounding box, zones broadcast, containment via the pure-SQL
+    ray-casting predicate."""
+    from pincspark.operators.geo import zones_df, zone_occupancy
+
+    ev = table(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("user_id"),
+        (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
+        (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
+    )
+    occ = zone_occupancy(points, zones_df(spark), key="user_id")
+    return occ.select(
+        "zone_id", "zone_name",
+        F.col("n_vessels").alias("n_vessels"),
+        "n_points",
+    )
+
+
+def _zone_oracle() -> str:
+    from pincspark.operators.geo import load_zone_data
+
+    zone_sqls = []
+    for z in load_zone_data():
+        terms = []
+        verts = z["coordinates"]
+        for (px, py), (qx, qy) in zip(verts[:-1], verts[1:]):
+            terms.append(
+                f"(CASE WHEN (({py!r} > lat) <> ({qy!r} > lat)) AND "
+                f"(lon < ({qx!r} - {px!r}) * (lat - {py!r}) / ({qy!r} - {py!r}) + {px!r}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+        crossings = " + ".join(terms)
+        zone_sqls.append(
+            f"SELECT {z['zone_id']} AS zone_id, '{z['zone_name']}' AS zone_name, "
+            f"user_id FROM pts WHERE ({crossings}) % 2 = 1"
+        )
+    matches = "\n  UNION ALL\n  ".join(zone_sqls)
+    return f"""
+WITH pts AS (
+  SELECT user_id,
+         100.5 + (value % 2.5) AS lon,
+         1.0 + CAST(user_id % 21 AS DOUBLE) / 10.0 AS lat
+  FROM events
+), m AS (
+  {matches}
+)
+SELECT zone_id, zone_name,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vessels,
+       COUNT(*) AS n_points
+FROM m GROUP BY zone_id, zone_name
+"""
+
+
+ORACLE_Q23 = _zone_oracle()
+
+# The reference's own golden sentence corpus (ais_nmea.py:114-133) plus
+# negative fixtures — P1 tokenize + P2 checksum as engine-level SQL.
+AIS_SENTENCES = [
+    "!ABVDM,1,1,7,A,15R9eN001n7DHvT13w0TBSM>00Rm,0*54",
+    "!ABVDM,1,1,2,B,37likkpOh27M3ud0Veic9as801i@,0*12",
+    "!ABVDM,1,1,9,A,4055DwivO63307<PsL2H<G700D10,0*62",
+    "!AIVDM,1,1,,A,805GdVh0GjuoMp2?>h0AP@=UdB06EuOwgrBGwnSwe7wvlOwwsAwwnSGmwvh0,0*67",
+    "!ABVDM,1,1,7,A,90007thcP07@nkR1jMJ@0>h20@S3,0*43",
+    "!ABVDM,1,1,8,A,ENm>OAt:0W5:W3h9PTVPh1:Wdh@4=lSP1<j4000003v010,4*5F",
+    "!ABVDM,1,1,7,B,B8HsF90009nTJO0;Pb803wjTkP06,0*67",
+    "!AIVDM,1,1,,A,H7tCijTt00`0000qP=8EPm1pA668,0*49",
+    "!ABVDM,1,1,7,A,15R9eN001n7DHvT13w0TBSM>00Rm,0*55",  # bad checksum
+    "!ABVDM,1,1,0,B,6>m>=9D000clQD528=00W<0,2*74",
+]
+
+
+def q24_nmea_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: tokenize + checksum-validate the golden NMEA corpus with pure
+    SQL expressions (no Python), plus the SQL routing fast path for
+    messageType/mmsi (ais_analysis.py:143-153,255-263)."""
+    from pincspark.decode.kernel import (
+        checksum_valid,
+        routing_message_type,
+        routing_mmsi,
+    )
+
+    df = spark.createDataFrame([(s,) for s in AIS_SENTENCES], "sentence STRING")
+    parts = F.split(F.col("sentence"), ",")
+    return df.select(
+        "sentence",
+        parts.getItem(0).alias("package_type"),
+        F.coalesce(parts.getItem(1).try_cast("int"), F.lit(1)).alias("total"),
+        parts.getItem(4).alias("channel"),
+        checksum_valid(F.col("sentence")).alias("checksum_ok"),
+        routing_message_type(parts.getItem(5)).alias("message_type"),
+        routing_mmsi(parts.getItem(5)).alias("mmsi"),
+    )
+
+
+def _nmea_oracle() -> str:
+    vals = ",\n  ".join(f"('{s}')" for s in AIS_SENTENCES)
+    armor = (
+        "CASE WHEN unicode(payload[{i}]) - 48 > 40 "
+        "THEN unicode(payload[{i}]) - 56 ELSE unicode(payload[{i}]) - 48 END"
+    )
+    v = [armor.format(i=i) for i in range(1, 8)]
+    return f"""
+WITH raw(sentence) AS (VALUES
+  {vals}
+), t AS (
+  SELECT sentence,
+         string_split(sentence, ',') AS parts,
+         string_split(sentence, ',')[6] AS payload
+  FROM raw
+), c AS (
+  SELECT sentence, parts, payload,
+         substring(split_part(sentence, '*', 1), 2) AS body,
+         split_part(sentence, '*', 2) AS declared
+  FROM t
+)
+SELECT sentence,
+       parts[1] AS package_type,
+       COALESCE(TRY_CAST(parts[2] AS INTEGER), 1) AS total,
+       parts[5] AS channel,
+       list_reduce(list_transform(generate_series(1, length(body)), i -> unicode(body[i])),
+                   (a, b) -> xor(a, b)) = ('0x' || declared)::INTEGER AS checksum_ok,
+       ({v[0]}) AS message_type,
+       CAST((({v[1]}) & 15) * 67108864 + ({v[2]}) * 1048576 + ({v[3]}) * 16384
+            + ({v[4]}) * 256 + ({v[5]}) * 4 + (({v[6]}) // 16) AS BIGINT) AS mmsi
+FROM c
+"""
+
+
+ORACLE_Q24 = _nmea_oracle()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -787,6 +927,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q20_ngram_jaccard": (q20_ngram_jaccard, ORACLE_Q20),
     "q21_simhash": (q21_simhash, ORACLE_Q21),
     "q22_ivf_topk": (q22_ivf_topk, None),
+    "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
+    "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
 }
 
 
