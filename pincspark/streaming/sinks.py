@@ -1,0 +1,81 @@
+"""Sinks (ST3/ST4/J5): micro-batched fact-table appends and keyed
+latest-state upserts.
+
+Reference parity:
+- ais_egressServerCH.py:107-191 buffers 20 rows per ClickHouse table then
+  bulk-inserts — Structured Streaming's micro-batch model subsumes the
+  hand-rolled buffer; ``append_stream`` is the fact-table path.
+- ais_ivef.py:286-312 upserts the latest track state per Id into Postgres
+  (query-then-update) — ``upsert_latest`` is the MERGE analog; in
+  production back it with Delta ``MERGE INTO`` or a JDBC upsert; the
+  parquet implementation here keeps the engine dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from pincspark.operators.keyed import latest_per_key
+
+
+def append_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: Sequence[str] = (),
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """ST3: append a stream to a partitioned parquet fact table."""
+    w = df.writeStream.format("parquet").option("path", path).option(
+        "checkpointLocation", checkpoint
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.outputMode("append").start()
+
+
+def upsert_latest(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    key: str | Sequence[str],
+    order_col: str,
+) -> None:
+    """J5 MERGE analog: fold a batch into a latest-state parquet table.
+
+    Existing state (if any) is unioned with the batch and reduced to the
+    newest row per key (deterministic tie-break on the key itself happens in
+    latest_per_key's caller-supplied ordering; here order_col desc). The
+    rewrite is atomic via write-to-tmp + rename.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = current.unionByName(batch_df, allowMissingColumns=True)
+    else:
+        merged = batch_df
+    latest = latest_per_key(merged, keys, order_by=[F.col(order_col).desc()])
+    tmp = path + ".__tmp__"
+    latest.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def foreach_batch_upsert(path: str, key: str | Sequence[str], order_col: str):
+    """writeStream.foreachBatch adapter for :func:`upsert_latest` (the
+    streaming IVEF track-state path, ais_ivef.py:425-451)."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_latest(batch_df.sparkSession, batch_df, path, key, order_col)
+
+    return _fn

@@ -1,0 +1,151 @@
+"""Streaming stateful operator tests (ST1 reassembly, ST2 zone tracking,
+J5 upsert sink) driven through real Structured Streaming queries on file
+sources with memory sinks."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.test_geo import winding_inside
+from pincspark.operators.geo import load_zone_data
+
+
+def _start_and_drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def test_st1_streaming_reassembly(spark, tmp_path):
+    from pincspark.streaming.reassembly import reassemble_stream
+
+    src = tmp_path / "frags"
+    src.mkdir()
+    rows = [
+        # complete 2-part group on seq 9
+        (9, "A", 2, 1, "58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l", "tagA"),
+        (9, "A", 2, 2, "PAiH8888880", "tagA2"),
+        # singleton
+        (7, "A", 1, 1, "15R9eN001n7DHvT13w0TBSM>00Rm", "tagB"),
+        # incomplete group (never completes)
+        (5, "B", 3, 1, "XXXX", "tagC"),
+        # complete but duplicate part numbers -> dropped
+        (4, "B", 2, 1, "YYYY", "tagD"),
+        (4, "B", 2, 1, "ZZZZ", "tagD"),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq_id INT, channel STRING, total INT, num INT, payload STRING, tagblock STRING"
+    )
+    df.write.parquet(str(src / "batch1"))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = (
+        reassemble_stream(stream, timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("st1_out")
+        .outputMode("append")
+        .start()
+    )
+    _start_and_drain(q)
+    out = {r["seq_id"]: r for r in spark.sql("SELECT * FROM st1_out").collect()}
+    assert set(out) == {9, 7}
+    assert out[9]["n_sentences"] == 2
+    assert out[9]["payload"].endswith("PAiH8888880")
+    assert out[9]["tagblock"] == "tagA"
+    assert out[7]["payload"] == "15R9eN001n7DHvT13w0TBSM>00Rm"
+
+
+@pytest.fixture(scope="module")
+def zone_points():
+    zones = {z["zone_id"]: z["coordinates"] for z in load_zone_data()}
+
+    def find_inside(zone_id):
+        ring = zones[zone_id]
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        for i in range(400):
+            x = min(xs) + (max(xs) - min(xs)) * (i % 20) / 20.0
+            y = min(ys) + (max(ys) - min(ys)) * (i // 20) / 20.0
+            inside = winding_inside(x, y, ring)
+            other = winding_inside(x, y, zones[3 - zone_id])
+            if inside and not other:
+                return (x, y)
+        raise AssertionError("no interior point found")
+
+    return {"north": find_inside(1), "south": find_inside(2), "outside": (0.0, 0.0)}
+
+
+def test_st2_zone_transitions_stream_and_batch(spark, tmp_path, zone_points):
+    from pincspark.operators.geo import zones_df
+    from pincspark.streaming.zones import (
+        occupancy_summary,
+        track_zone_transitions,
+        track_zone_transitions_batch,
+        with_zone_flags,
+    )
+
+    n, s, o = zone_points["north"], zone_points["south"], zone_points["outside"]
+    t0 = 1700000000
+    # vessel 111: outside -> N -> N -> outside -> S (FIXTURES B5 script)
+    # vessel 222: N -> disappears (stays in)
+    rows = [
+        (111, t0 + 0, *o), (111, t0 + 60, *n), (111, t0 + 120, *n),
+        (111, t0 + 180, *o), (111, t0 + 240, *s),
+        (222, t0 + 30, *n),
+    ]
+    df = spark.createDataFrame(
+        rows, "mmsi BIGINT, epoch BIGINT, longitude DOUBLE, latitude DOUBLE"
+    ).withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+    flagged = with_zone_flags(df, zones_df(spark))
+
+    # batch twin
+    trans_b = track_zone_transitions_batch(flagged)
+    got_b = {(r["mmsi"], r["zone_id"], r["event"]) for r in trans_b.collect()}
+    assert got_b == {
+        (111, 1, "enter"), (111, 1, "exit"), (111, 2, "enter"),
+        (222, 1, "enter"),
+    }
+
+    occ = {r["zone_id"]: r for r in occupancy_summary(trans_b).collect()}
+    assert occ[1]["currently_in"] == 1 and occ[1]["cumulative_exits"] == 1
+    assert occ[2]["currently_in"] == 1 and occ[2]["cumulative_exits"] == 0
+
+    # streaming path produces identical transitions
+    src = tmp_path / "pos"
+    src.mkdir()
+    flagged.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(flagged.schema).parquet(str(src / "*"))
+    q = (
+        track_zone_transitions(stream, timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("st2_out")
+        .outputMode("append")
+        .start()
+    )
+    _start_and_drain(q)
+    got_s = {
+        (r["mmsi"], r["zone_id"], r["event"])
+        for r in spark.sql("SELECT * FROM st2_out").collect()
+    }
+    assert got_s == got_b
+
+
+def test_upsert_latest(spark, tmp_path):
+    from pincspark.streaming.sinks import upsert_latest
+
+    path = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [("t1", 1.0, 100), ("t2", 2.0, 100)], "Id STRING, Lat DOUBLE, UpdateTime INT"
+    )
+    b2 = spark.createDataFrame(
+        [("t1", 9.0, 200), ("t3", 3.0, 150)], "Id STRING, Lat DOUBLE, UpdateTime INT"
+    )
+    upsert_latest(spark, b1, path, "Id", "UpdateTime")
+    upsert_latest(spark, b2, path, "Id", "UpdateTime")
+    got = {r["Id"]: (r["Lat"], r["UpdateTime"]) for r in spark.read.parquet(path).collect()}
+    assert got == {"t1": (9.0, 200), "t2": (2.0, 100), "t3": (3.0, 150)}
