@@ -54,17 +54,60 @@ def shingle_hash(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+def shingle_array(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a document as an array column.
+
+    Built by zip_with over n shifted slices of the token array — NOT a
+    ``transform(sequence(...), i -> slice(toks, ...))`` index walk: a lambda
+    that references the tokenization EXPRESSION (rather than its own args)
+    makes Catalyst inline the regex+split per array element, turning a
+    per-row cost into a per-shingle one (~50x here).
+    """
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .distinct()
+    sz = F.size(toks)
+    m = sz - (n - 1)  # number of n-shingles
+    acc = F.slice(toks, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + k, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    shingles = F.when(sz >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(shingles)
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a SMALL CPU-heavy input across the cluster: a compact
+    document table often arrives as one parquet split, which would pin the
+    regex/shingle work to a single core. The shuffle moves KBs; the text
+    kernels then run fully parallel. (At 100 TB inputs are naturally split
+    and this collapses to a cheap hash exchange that the downstream groupBy
+    would need anyway.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). array_distinct
+    makes (id, shingle) unique already — no row-level distinct (that would
+    be a full extra shuffle)."""
+    return _spread(df, id_col).select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+    )
+
+
+def _pair_combinations(ids: F.Column) -> F.Column:
+    """All ordered pairs (id_a < id_b) of a sorted id array, as an array of
+    structs — pure column expressions (flatten of per-element suffixes)."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
 
 
@@ -126,34 +169,33 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # Bucket-to-pairs WITHOUT a self-join: group each (band, sig) bucket to
+    # its sorted member list and explode the pair combinations — one shuffle
+    # on the bucket key, no sort-merge join. Signatures (tiny: one row/doc)
+    # rejoin per side as broadcasts.
     banded = sig.select(
-        F.col(id_col), *[F.col(f"mh{i}") for i in range(num_perms)],
-        F.explode(band_structs).alias("bs"),
-    ).select(id_col, *[f"mh{i}" for i in range(num_perms)], "bs.band", "bs.sig")
+        F.col(id_col), F.explode(band_structs).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.sig") == F.col(f"b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            *[
-                (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int").alias(f"eq{i}")
-                for i in range(num_perms)
-            ],
-        )
+        banded.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    est = sum(F.col(f"eq{i}") for i in range(num_perms)) / F.lit(float(num_perms))
-    return pairs.select(
-        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
-    )
+    sa = F.broadcast(sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perms)]
+    ))
+    sb = F.broadcast(sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perms)]
+    ))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perms)
+    ) / F.lit(float(num_perms))
+    return joined.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
 
 
 def ngram_jaccard_pairs(
@@ -169,18 +211,23 @@ def ngram_jaccard_pairs(
     then |A∩B| / (|A|+|B|-|A∩B|). Use on LSH candidates at scale.
     """
     sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # per-doc sizes straight off the array — no second explode/shuffle pass
+    sizes = _spread(df, id_col).select(
+        F.col(id_col), F.size(shingle_array(text_col, n)).alias("sz")
+    )
+    # Inverted-index postings -> pair combinations, no self-join: one
+    # shuffle on the shingle, one on the pair.
     common = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        common.join(F.broadcast(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -198,7 +245,7 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over whitespace tokens: sum +1/-1 per bit of each
     token hash, take the sign bit-vector. Single explode + one groupBy."""
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", shingle_hash(F.col("tok")))

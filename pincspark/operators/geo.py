@@ -78,15 +78,54 @@ def point_in_polygon(x: Column, y: Column, verts: Column) -> Column:
     )
 
 
+def point_in_polygon_static(x: Column, y: Column, ring: list[list[float]]) -> Column:
+    """Ray casting with the polygon KNOWN AT PLAN TIME: the crossing test
+    unrolls to a flat sum of per-edge CASE expressions — fully whole-stage-
+    codegen'd scalar arithmetic (the array-fold variant evaluates its lambda
+    interpreted per edge, ~6x slower at 100k+ rows/zone)."""
+    terms = []
+    for (px, py), (qx, qy) in zip(ring[:-1], ring[1:]):
+        span = (F.lit(py) > y) != (F.lit(qy) > y)
+        cross = x < (F.lit(qx - px) * (y - F.lit(py)) / F.lit(qy - py) + F.lit(px))
+        terms.append(F.when(span & cross, 1).otherwise(0))
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    bbox = (
+        (x >= F.lit(min(xs))) & (x <= F.lit(max(xs)))
+        & (y >= F.lit(min(ys))) & (y <= F.lit(max(ys)))
+    )
+    # bbox short-circuit: outside points never evaluate the edge sum
+    return F.when(bbox, (sum(terms) % 2) == 1).otherwise(F.lit(False))
+
+
 def spatial_join(
     points: DataFrame,
-    zones: DataFrame,
+    zones: DataFrame | None = None,
     x_col: str = "longitude",
     y_col: str = "latitude",
-    how: str = "inner",
 ) -> DataFrame:
     """J2: attach matching zones to points (inner = reference sjoin
-    semantics; rows in multiple zones duplicate, rows in none drop)."""
+    semantics; rows in multiple zones duplicate, rows in none drop).
+
+    With the default zone table the predicate is unrolled statically per
+    zone (no array fold, no join machinery at all — a union of filtered
+    scans); a custom ``zones`` DataFrame falls back to the broadcast
+    cross-join + array-fold predicate.
+    """
+    if zones is None or zones is _STATIC_MARKER:
+        parts = []
+        for z in load_zone_data():
+            parts.append(
+                points.filter(
+                    point_in_polygon_static(F.col(x_col), F.col(y_col), z["coordinates"])
+                )
+                .withColumn("zone_id", F.lit(z["zone_id"]))
+                .withColumn("zone_name", F.lit(z["zone_name"]))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     z = F.broadcast(zones)
     joined = points.crossJoin(z).filter(
         point_in_polygon(F.col(x_col), F.col(y_col), F.col("verts"))
@@ -94,7 +133,12 @@ def spatial_join(
     return joined.drop("verts")
 
 
-def zone_occupancy(points: DataFrame, zones: DataFrame, key: str = "mmsi") -> DataFrame:
+_STATIC_MARKER = object()
+
+
+def zone_occupancy(
+    points: DataFrame, zones: DataFrame | None = None, key: str = "mmsi"
+) -> DataFrame:
     """The reference's flagship analysis (ais_analysis.py:482-492): distinct
     vessels currently inside each zone."""
     return (

@@ -37,8 +37,11 @@ def cosine_topk(
     Self-matches (query_id == neighbor_id) are excluded.
     """
     q = F.broadcast(queries.select(query_id, query_vec))
+    corpus_spread = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, corpus_id
+    )
     scored = (
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        corpus_spread.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
         .crossJoin(q)
         .filter(F.col("neighbor_id") != F.col(query_id))
         .select(
@@ -71,6 +74,9 @@ def ivf_assign(
         corpus.orderBy(F.col(id_col).asc())
         .limit(num_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    )
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
     )
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         id_col,

@@ -771,15 +771,15 @@ def q23_zone_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions derived deterministically from events: lon/lat spread over the
     TSS zone bounding box, zones broadcast, containment via the pure-SQL
     ray-casting predicate."""
-    from pincspark.operators.geo import zones_df, zone_occupancy
+    from pincspark.operators.geo import zone_occupancy
 
     ev = table(spark, sf_dir, "events")
     points = ev.select(
         F.col("user_id"),
         (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
         (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
-    )
-    occ = zone_occupancy(points, zones_df(spark), key="user_id")
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("user_id"))  # split the single-file scan
+    occ = zone_occupancy(points, zones=None, key="user_id")  # static codegen PIP
     return occ.select(
         "zone_id", "zone_name",
         F.col("n_vessels").alias("n_vessels"),
