@@ -900,6 +900,41 @@ FROM c
 ORACLE_Q24 = _nmea_oracle()
 
 
+def q25_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6/A3: tumbling event-time windows (1 hour) per event type — the
+    batch twin of the streaming windowed aggregation (same code path;
+    streams add a watermark)."""
+    from pincspark.streaming.windows import tumbling_counts
+
+    ev = table(spark, sf_dir, "events")
+    return tumbling_counts(
+        ev, ts_col="ts", window="1 hour", keys=("event_type",), value_col="value"
+    )
+
+
+ORACLE_Q25 = f"""
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS {D2})) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 scale path: approx_count_distinct (HLL++) next to the exact count
+    — the 100-TB variant of q10's exact distinct. HLL sketches are
+    engine-specific, so no cross-engine oracle (rows-only check); the test
+    suite asserts the estimate lands within the configured rsd."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -929,6 +964,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q22_ivf_topk": (q22_ivf_topk, None),
     "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
+    "q25_hourly_windows": (q25_hourly_windows, ORACLE_Q25),
+    "q26_approx_distinct": (q26_approx_distinct, None),
 }
 
 

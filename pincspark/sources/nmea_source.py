@@ -119,3 +119,26 @@ def read_and_decode(spark: SparkSession, path: str) -> DataFrame:
 
     df = tokenize_sentences(with_tagblock_ts(read_archive(spark, path)))
     return decode_ais(reassemble(df))
+
+
+def read_and_decode_stream(
+    spark: SparkSession, path: str, timeout_ms: int | None = 60_000
+) -> DataFrame:
+    """Streaming twin of :func:`read_and_decode` (the §3.2 ingest chain):
+    text stream -> tag-block ts -> tokenize -> checksum filter -> stateful
+    reassembly (ST1) -> decode. Feed it a directory watched by the file
+    source (swap for the Kafka/socket source in production — everything
+    downstream is identical)."""
+    from pincspark.decode.kernel import checksum_valid, decode_ais
+    from pincspark.streaming.reassembly import reassemble_stream
+
+    raw = spark.readStream.format("text").load(path)
+    df = raw.filter(F.col("value") != "").withColumn(
+        "bang", F.instr(F.col("value"), "!")
+    ).filter(F.col("bang") > 0).select(
+        F.expr("substring(value, 1, bang - 1)").alias("tagblock"),
+        F.expr("substring(value, bang, 1000000)").alias("sentence"),
+    )
+    df = tokenize_sentences(df).filter(checksum_valid(F.col("sentence")))
+    reassembled = with_tagblock_ts(reassemble_stream(df, timeout_ms=timeout_ms))
+    return decode_ais(reassembled)

@@ -1,0 +1,48 @@
+"""ST6 — event-time windowed aggregation with an explicit late-data policy.
+
+The reference has NO watermark/late-data story: the batch path trusts
+tag-block event time (ais_analysis.py:384-388) and the egress path stamps
+arrival time (ais_egressServerCH.py:132-134); out-of-order fragments are
+simply dropped. This module adds the missing policy: tumbling event-time
+windows with a bounded-lateness watermark — identical results to the batch
+twin on in-order data (the engine's compatibility bar), bounded state on
+streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts (and optional value sums) per key.
+
+    Works identically under batch and streaming; pass ``watermark`` (e.g.
+    ``"10 minutes"``) on streams to bound state and admit that much event-
+    time lateness. Output carries ``window_start_us`` (epoch micros) so
+    results are engine-portable.
+    """
+    src = df
+    if watermark is not None and src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value")
+        )
+    out = src.groupBy(F.window(F.col(ts_col), window).alias("w"), *keys).agg(*aggs)
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"), *keys, *[
+            c for c in ("n", "sum_value") if c in out.columns
+        ]
+    )

@@ -41,6 +41,18 @@ def _rowset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle (approximate by design) still execute and
+    return sane output."""
+    from pincspark.plans.queries import QUERIES
+
+    ivf = QUERIES["q22_ivf_topk"][0](spark, SF_DIR)
+    assert ivf.count() > 0
+    approx = QUERIES["q26_approx_distinct"][0](spark, SF_DIR)
+    for r in approx.collect():
+        assert r["approx_users"] == pytest.approx(r["exact_users"], rel=0.1)
+
+
 @pytest.mark.parametrize("name,fn,sql", ORACLED, ids=[n for n, _, _ in ORACLED])
 def test_query_matches_oracle(spark, name, fn, sql):
     sdf = fn(spark, SF_DIR)

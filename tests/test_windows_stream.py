@@ -1,0 +1,87 @@
+"""ST6 windowed aggregation (batch==stream parity on in-order data) and the
+full §3.2 streaming ingest chain (text stream -> reassemble -> decode)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+GOLDEN = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden", "reference_decoded.json"))
+)
+
+
+def test_tumbling_counts_batch_stream_parity(spark, tmp_path):
+    from pincspark.streaming.windows import tumbling_counts
+
+    rows = [
+        (1, 3600 + 10, "click", 1.5),
+        (1, 3600 + 700, "click", 2.5),
+        (2, 7200 + 5, "view", 3.0),
+        (1, 7200 + 100, "click", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, epoch INT, event_type STRING, value DOUBLE"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "event_type", "value")
+
+    batch = tumbling_counts(df, "ts", "1 hour", keys=("event_type",), value_col="value")
+    got_b = {(r["window_start_us"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch.collect()}
+    assert got_b == {
+        (3_600_000_000, "click"): (2, 4.0),
+        (7_200_000_000, "view"): (1, 3.0),
+        (7_200_000_000, "click"): (1, 4.0),
+    }
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    df.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    windowed = tumbling_counts(
+        stream, "ts", "1 hour", keys=("event_type",), watermark="10 minutes", value_col="value"
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_s = {
+        (r["window_start_us"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert got_s == got_b
+
+
+def test_streaming_ingest_chain(spark, tmp_path):
+    """§3.2: the golden corpus dripped through the streaming chain decodes
+    to the same messages as the batch path."""
+    from pincspark.sources.nmea_source import read_and_decode_stream
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    TAG = "\\s:rORBCOMM000,q:u,c:1673222400,i:X*32"
+    lines = [TAG + s for rec in GOLDEN for s in rec["sentences"]]
+    # split across two files (two micro-batch arrivals, type-5 pair split)
+    cut = len(lines) // 2
+    (src / "a.txt").write_text("\n".join(lines[:cut]) + "\n")
+    (src / "b.txt").write_text("\n".join(lines[cut:]) + "\n")
+
+    decoded = read_and_decode_stream(spark, str(src), timeout_ms=None)
+    q = (
+        decoded.select("ts", "ais.messageType", "ais.mmsi")
+        .writeStream.format("memory")
+        .queryName("chain_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM chain_out").collect()
+    got = {(r["messageType"], r["mmsi"]) for r in rows}
+    want = {(r["common"]["messageType"], r["common"]["mmsi"]) for r in GOLDEN}
+    assert got == want
+    assert all(r["ts"] is not None for r in rows)
