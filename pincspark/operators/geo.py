@@ -113,19 +113,26 @@ def spatial_join(
     cross-join + array-fold predicate.
     """
     if zones is None or zones is _STATIC_MARKER:
-        parts = []
-        for z in load_zone_data():
-            parts.append(
-                points.filter(
-                    point_in_polygon_static(F.col(x_col), F.col(y_col), z["coordinates"])
+        # ONE scan for all zones: per-zone unrolled predicates fill an array
+        # of matched-zone structs, nulls dropped, then explode. A per-zone
+        # union would rescan the input once per zone.
+        matched = F.array_compact(
+            F.array(*[
+                F.when(
+                    point_in_polygon_static(F.col(x_col), F.col(y_col), z["coordinates"]),
+                    F.struct(
+                        F.lit(z["zone_id"]).alias("zone_id"),
+                        F.lit(z["zone_name"]).alias("zone_name"),
+                    ),
                 )
-                .withColumn("zone_id", F.lit(z["zone_id"]))
-                .withColumn("zone_name", F.lit(z["zone_name"]))
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+                for z in load_zone_data()
+            ])
+        )
+        return (
+            points.withColumn("__z", F.explode(matched))
+            .select("*", "__z.zone_id", "__z.zone_name")
+            .drop("__z")
+        )
     z = F.broadcast(zones)
     joined = points.crossJoin(z).filter(
         point_in_polygon(F.col(x_col), F.col(y_col), F.col("verts"))

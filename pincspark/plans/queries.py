@@ -210,11 +210,15 @@ def q04_event_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.filter(
         F.col("event_type").isin("click", "view") & (F.col("value") > 5.0)
-    ).select("event_id", "user_id", "event_type", "ts", "value")
+    ).select(
+        "event_id", "user_id", "event_type", "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),  # epoch twin of the raw-ts probe
+        "value",
+    )
 
 
 ORACLE_Q04 = """
-SELECT event_id, user_id, event_type, ts, value
+SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS ts_us, value
 FROM events
 WHERE event_type IN ('click', 'view') AND value > 5.0
 """

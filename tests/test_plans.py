@@ -50,19 +50,19 @@ def test_asof_join_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(user_id") <= 2  # AQE may split
 
 
-def test_static_pip_is_codegen(spark):
-    """q23's ray casting must run inside whole-stage codegen (no
-    higher-order-function fallback in the static path). AQE is disabled for
-    the inspection so the physical plan is final at analysis time."""
+def test_static_pip_single_scan_no_hof(spark):
+    """q23's ray casting: ONE file scan for all zones (array+explode, not a
+    per-zone union), statically unrolled predicates (no array-fold HOF),
+    codegen'd ('*(n)' prefixes) up to the Generate. AQE is disabled for the
+    inspection so the physical plan is final at analysis time."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan = _plan(Q.q23_zone_occupancy(spark, SF_DIR))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string; the
-    # PIP filter must carry one, and no array-fold HOF may appear.
-    assert "*(1) Filter" in plan or "*(2) Filter" in plan
-    assert "aggregate(" not in plan
+    assert plan.count("FileScan") == 1
+    assert "aggregate(" not in plan  # no interpreted array fold
+    assert "*(1)" in plan  # codegen stages present
 
 
 def test_decode_routing_prunes_before_python(spark, tmp_path):
