@@ -18,6 +18,38 @@ from pincspark.plans.queries import QUERIES
 from pincspark.session import get_spark
 
 
+def _ais_flagship(spark, sf: float) -> float:
+    """The reference's own batch job (ais_analysis.py:main) at scale:
+    synthesize an archive of ~500k*sf sentences by cycling the golden
+    corpus with advancing tag-block times, then run the full
+    decode -> as-of gold -> zone occupancy pipeline."""
+    import json
+    import tempfile
+
+    from pincspark.analysis import batch_archive_analysis
+
+    golden = json.load(open(os.path.join(os.path.dirname(__file__), "tests", "golden", "reference_decoded.json")))
+    groups = [r["sentences"] for r in golden]
+    n_msgs = max(int(500_000 * sf), len(groups))
+    tmp = tempfile.mkdtemp(prefix="ais_bench_")
+    path = os.path.join(tmp, "archive.log")
+    with open(path, "w") as f:
+        t = 1673222400
+        for i in range(n_msgs):
+            for s in groups[i % len(groups)]:
+                f.write(f"\\s:rBENCH,c:{t}*00" + s + "\n")
+            t += 1
+    t0 = time.time()
+    # gold_path persists the gold table mid-pipeline (the reference writes
+    # then analyzes, ais_analysis.py:477) — occupancy reads it back instead
+    # of re-executing the decode DAG.
+    gold, occupancy = batch_archive_analysis(
+        spark, path, gold_path=os.path.join(tmp, "gold")
+    )
+    occupancy.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -32,11 +64,21 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.write.mode("overwrite").format("noop").save()
 
+    # Spin up the Arrow Python-UDF worker pool (first pandas-UDF call pays
+    # several seconds of worker fork/import otherwise).
+    from pincspark.decode.kernel import decode_ais
+
+    decode_ais(
+        spark.createDataFrame([("15R9eN001n7DHvT13w0TBSM>00Rm",)], "payload STRING")
+    ).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name, (fn, _) in QUERIES.items():
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["ais_flagship"] = round(_ais_flagship(spark, sf), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -248,6 +248,27 @@ def lookup(code: Column, name: str) -> Column:
     return expr
 
 
+WEATHER_DESCS: tuple[tuple[str, str, str], ...] = (
+    # (code column in the weather struct, enum table, output column) —
+    # the desc fields the reference bakes into DAC1/FID31 decode
+    # (ais_parser.py:186-221).
+    ("airPressureTendency", "common_indicator", "airPressureTendencyDesc"),
+    ("waterLevelTrend", "common_indicator", "waterLevelTrendDesc"),
+    ("seaState", "beaufort", "seaStateDesc"),
+    ("precipitation", "precipitation", "precipitationDesc"),
+    ("ice", "common_indicator_yesno", "iceDesc"),
+)
+
+
+def attach_weather_descriptions(df: DataFrame, prefix: str = "") -> DataFrame:
+    """Attach every weather enum description as scalar lookup expressions
+    (flat columns like ``seaStateDesc``). ``prefix`` locates the code
+    columns, e.g. ``"ais.bin_broadcast."`` on a decoded stream."""
+    for code_col, enum_name, out_col in WEATHER_DESCS:
+        df = df.withColumn(out_col, lookup(F.col(prefix + code_col), enum_name))
+    return df
+
+
 def attach_enum(
     df: DataFrame,
     spark: SparkSession,

@@ -26,13 +26,20 @@ from pincspark.decode.kernel import checksum_valid
 
 def read_archive(spark: SparkSession, path: str) -> DataFrame:
     """S1: read a Datalog archive text file into (line_idx, tagblock,
-    sentence) rows. Line order is preserved per file via a monotonic index
-    (fragment groups are adjacent lines in these archives)."""
+    sentence) rows.
+
+    ``line_idx`` is ``monotonically_increasing_id`` used RAW: it is
+    consecutive within each input split, which is all the adjacency group
+    key needs — a global ``row_number()`` window here would funnel the
+    entire archive through one task (the 100-TB anti-pattern). Trade-off: a
+    multi-part group cut by a split boundary is dropped as incomplete;
+    the streaming ST1 operator (keyed state, no adjacency assumption)
+    covers feeds where that loss matters.
+    """
     raw = spark.read.text(path)
-    w = Window.orderBy(F.monotonically_increasing_id())
     return (
         raw.filter(F.col("value") != "")
-        .withColumn("line_idx", F.row_number().over(w).cast("bigint"))
+        .withColumn("line_idx", F.monotonically_increasing_id())
         .withColumn("bang", F.instr(F.col("value"), "!"))
         .filter(F.col("bang") > 0)
         .select(
