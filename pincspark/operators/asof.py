@@ -86,3 +86,57 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
     )
     return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Alternative J1 implementation: per-key ``pd.merge_asof`` via
+    cogrouped ``applyInPandas`` (SURVEY §2.4 option (c)).
+
+    Semantics identical to :func:`asof_join` (backward-inclusive). Use when
+    per-key group fit is guaranteed and the pandas kernel wins (e.g. many
+    carried columns where the union+window's null-widening costs more than
+    Arrow transfer); the window variant remains the default scale path.
+    """
+    import pandas as pd
+
+    by_cols = [by]
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in {by, on}]
+    carried = {c: c + suffix if c in left.columns else c for c in right_cols}
+    carried_on = on + suffix
+
+    r = right.select(by, F.col(on).alias(carried_on), *[
+        F.col(c).alias(carried[c]) for c in right_cols
+    ])
+
+    out_schema = left.schema
+    from pyspark.sql import types as T
+
+    fields = list(out_schema.fields) + [
+        T.StructField(carried[c], right.schema[c].dataType, True) for c in right_cols
+    ] + [T.StructField(carried_on, right.schema[on].dataType, True)]
+    schema = T.StructType(fields)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in fields])
+        lpdf = lpdf.sort_values(on)
+        rpdf = rpdf.sort_values(carried_on)
+        merged = pd.merge_asof(
+            lpdf, rpdf.drop(columns=[by]), left_on=on, right_on=carried_on,
+            direction="backward", allow_exact_matches=True,
+        )
+        return merged[[f.name for f in fields]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(r.groupBy(by))
+        .applyInPandas(merge, schema=schema)
+    )
