@@ -242,6 +242,47 @@ def ngram_jaccard_pairs(
     return out
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
+
+    ``block_col`` restricts comparisons to equal-block pairs — the standard
+    dedup blocking pattern that turns O(n^2) into O(sum block^2); use an IVF
+    cell id (:func:`pincspark.operators.similarity.ivf_assign`) or a cheap
+    cluster/label as the key at scale. ``block_col=None`` is the exact
+    all-pairs baseline (small corpora only).
+    """
+    from pincspark.functions.vectors import cosine
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    a = df.repartition(n, id_col).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        *([F.col(block_col).alias("__blk_b")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        joined = a.join(b, (F.col("__blk") == F.col("__blk_b")) & cond)
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over whitespace tokens: sum +1/-1 per bit of each
     token hash, take the sign bit-vector. Single explode + one groupBy."""

@@ -924,6 +924,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q27_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the dedup blocking
+    pattern; swap in IVF cells for unlabeled corpora)."""
+    from pincspark.operators.dedup import embedding_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, block_col="label"
+    )
+
+
+ORACLE_Q27 = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+"""
+
+
 def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 scale path: approx_count_distinct (HLL++) next to the exact count
     — the 100-TB variant of q10's exact distinct. HLL sketches are
@@ -970,6 +994,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
     "q25_hourly_windows": (q25_hourly_windows, ORACLE_Q25),
     "q26_approx_distinct": (q26_approx_distinct, None),
+    "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
 }
 
 
