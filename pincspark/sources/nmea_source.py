@@ -128,18 +128,17 @@ def read_and_decode(spark: SparkSession, path: str) -> DataFrame:
     return decode_ais(reassemble(df))
 
 
-def read_and_decode_stream(
-    spark: SparkSession, path: str, timeout_ms: int | None = 60_000
+def decode_line_stream(
+    raw: DataFrame, timeout_ms: int | None = 60_000
 ) -> DataFrame:
-    """Streaming twin of :func:`read_and_decode` (the §3.2 ingest chain):
-    text stream -> tag-block ts -> tokenize -> checksum filter -> stateful
-    reassembly (ST1) -> decode. Feed it a directory watched by the file
-    source (swap for the Kafka/socket source in production — everything
-    downstream is identical)."""
+    """The §3.2 ingest chain on any streaming DataFrame of raw lines
+    (column ``value``): tag-block split -> tokenize -> checksum filter ->
+    stateful reassembly (ST1) -> decode. Source-agnostic: file, socket, or
+    Kafka (select the message value as ``value``) all feed the same chain.
+    """
     from pincspark.decode.kernel import checksum_valid, decode_ais
     from pincspark.streaming.reassembly import reassemble_stream
 
-    raw = spark.readStream.format("text").load(path)
     df = raw.filter(F.col("value") != "").withColumn(
         "bang", F.instr(F.col("value"), "!")
     ).filter(F.col("bang") > 0).select(
@@ -149,3 +148,29 @@ def read_and_decode_stream(
     df = tokenize_sentences(df).filter(checksum_valid(F.col("sentence")))
     reassembled = with_tagblock_ts(reassemble_stream(df, timeout_ms=timeout_ms))
     return decode_ais(reassembled)
+
+
+def read_and_decode_stream(
+    spark: SparkSession, path: str, timeout_ms: int | None = 60_000
+) -> DataFrame:
+    """File-source streaming twin of :func:`read_and_decode`."""
+    return decode_line_stream(
+        spark.readStream.format("text").load(path), timeout_ms=timeout_ms
+    )
+
+
+def read_socket_stream(
+    spark: SparkSession, host: str, port: int, timeout_ms: int | None = 60_000
+) -> DataFrame:
+    """S2: live TCP NMEA feed -> decoded stream. The reference's ingress
+    authenticates and re-frames byte-at-a-time (ais_ingressServer.py:20-144);
+    the socket source is line-oriented so framing is free, and auth belongs
+    to the transport adapter (production: Kafka between feed and engine).
+    Dev/test source — Spark's socket source is not fault-tolerant."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return decode_line_stream(raw, timeout_ms=timeout_ms)
