@@ -957,7 +957,7 @@ def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
     )
