@@ -242,6 +242,54 @@ def ngram_jaccard_pairs(
     return out
 
 
+ROLLING_BASE = 131
+ROLLING_MOD = MINHASH_PRIME
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    base: int = ROLLING_BASE,
+    mod: int = ROLLING_MOD,
+) -> DataFrame:
+    """Rolling-hash document fingerprints: polynomial (Rabin-Karp-style)
+    hashes over every k-token window, reduced to a winnowing-style summary
+    (min hash + distinct-window count).
+
+    Built with the zip_with-over-shifted-slices idiom (see shingle_array for
+    why NOT an index-walk lambda). All arithmetic is exact int64 mod a
+    31-bit prime — portable to the SQL oracle verbatim.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sz = F.size(toks)
+    m = sz - (k - 1)
+    hashed = [
+        F.transform(
+            F.slice(toks, 1 + j, m), lambda t: shingle_hash(t) % F.lit(mod)
+        )
+        for j in range(k)
+    ]
+    acc = hashed[0]
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, hashed[j], lambda a, b: (a * F.lit(base) % F.lit(mod) + b) % F.lit(mod)
+        )
+    rollings = F.when(sz >= k, acc).otherwise(
+        F.array(F.aggregate(
+            F.transform(toks, lambda t: shingle_hash(t) % F.lit(mod)),
+            F.lit(0).cast("bigint"),
+            lambda a, b: (a * F.lit(base) % F.lit(mod) + b) % F.lit(mod),
+        ))
+    )
+    return _spread(df, id_col).select(
+        F.col(id_col),
+        F.array_min(rollings).alias("fp_min"),
+        F.size(F.array_distinct(rollings)).cast("bigint").alias("n_windows"),
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -948,6 +948,46 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 """
 
 
+def q28_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Rabin-Karp over token windows) document fingerprints:
+    winnowing-style min hash + distinct-window count per document."""
+    from pincspark.operators.dedup import rolling_fingerprints
+
+    docs = table(spark, sf_dir, "documents")
+    return rolling_fingerprints(docs, "doc_id", "text", k=4)
+
+
+def _rolling_oracle() -> str:
+    from pincspark.operators.dedup import ROLLING_BASE, ROLLING_MOD
+
+    B, P = ROLLING_BASE, ROLLING_MOD
+    h = f"(('0x' || substring(md5(t), 1, 8))::BIGINT % {P})"
+    roll = (
+        f"((((((hs[i] * {B} % {P}) + hs[i+1]) % {P}) * {B} % {P} + hs[i+2]) % {P}) * {B} % {P} + hs[i+3]) % {P}"
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), htab AS (
+  SELECT doc_id, list_transform(toks, t -> {h}) AS hs, len(toks) AS sz FROM b
+), r AS (
+  SELECT doc_id,
+         CASE WHEN sz >= 4 THEN
+           list_transform(generate_series(1, sz - 3), i -> {roll})
+         ELSE
+           [list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (a, x) -> (a * {B} % {P} + x) % {P})]
+         END AS rollings
+  FROM htab
+)
+SELECT doc_id, list_min(rollings) AS fp_min,
+       CAST(len(list_distinct(rollings)) AS BIGINT) AS n_windows
+FROM r
+"""
+
+
+ORACLE_Q28 = _rolling_oracle()
+
+
 def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 scale path: approx_count_distinct (HLL++) next to the exact count
     — the 100-TB variant of q10's exact distinct. HLL sketches are
@@ -995,6 +1035,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q25_hourly_windows": (q25_hourly_windows, ORACLE_Q25),
     "q26_approx_distinct": (q26_approx_distinct, None),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
+    "q28_rolling_fingerprints": (q28_rolling_fingerprints, ORACLE_Q28),
 }
 
 
