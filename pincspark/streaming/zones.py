@@ -114,6 +114,64 @@ def track_zone_transitions(
     )
 
 
+def track_zone_transitions_tws(flagged: DataFrame) -> DataFrame:
+    """ST2 on the current-generation state API (``transformWithState`` /
+    StatefulProcessor, Spark 4): identical semantics to
+    :func:`track_zone_transitions`; prefer this on runtimes where the new
+    operator's state-store features (TTL, timers, column families) matter.
+
+    Requires the ``protobuf`` Python package (the transformWithState
+    control channel) — absent in minimal containers, in which case use the
+    applyInPandasWithState variant.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ZoneProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "membership", "in_north BOOLEAN, in_south BOOLEAN"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (mmsi,) = key
+            in_n, in_s = (
+                tuple(self._state.get()) if self._state.exists() else (False, False)
+            )
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                for row in pdf.itertuples(index=False):
+                    for zone_id, now, prev in (
+                        (1, bool(row.in_north), in_n),
+                        (2, bool(row.in_south), in_s),
+                    ):
+                        if now and not prev:
+                            out.append((int(mmsi), row.ts, zone_id, "enter"))
+                        elif prev and not now:
+                            out.append((int(mmsi), row.ts, zone_id, "exit"))
+                    in_n, in_s = bool(row.in_north), bool(row.in_south)
+            self._state.update((in_n, in_s))
+            if out:
+                yield pd.DataFrame(out, columns=["mmsi", "ts", "zone_id", "event"])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        flagged.groupBy("mmsi")
+        .transformWithStateInPandas(
+            statefulProcessor=ZoneProcessor(),
+            outputStructType=TRANSITION_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 def occupancy_summary(transitions: DataFrame) -> DataFrame:
     """A4: the reference's counters per zone — current occupancy
     (enters - exits) and cumulative exits."""

@@ -135,6 +135,52 @@ def test_st2_zone_transitions_stream_and_batch(spark, tmp_path, zone_points):
     assert got_s == got_b
 
 
+def test_st2_transform_with_state_variant(spark, tmp_path, zone_points):
+    """The modern-API (transformWithState) tracker emits the same
+    transitions as the applyInPandasWithState one. Requires protobuf
+    (the transformWithState control channel)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pincspark.operators.geo import zones_df
+    from pincspark.streaming.zones import (
+        track_zone_transitions_batch,
+        track_zone_transitions_tws,
+        with_zone_flags,
+    )
+
+    n, s, o = zone_points["north"], zone_points["south"], zone_points["outside"]
+    t0 = 1700000000
+    rows = [
+        (111, t0 + 0, *o), (111, t0 + 60, *n), (111, t0 + 120, *o),
+        (222, t0 + 30, *s),
+    ]
+    df = spark.createDataFrame(
+        rows, "mmsi BIGINT, epoch BIGINT, longitude DOUBLE, latitude DOUBLE"
+    ).withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    flagged = with_zone_flags(df, zones_df(spark))
+
+    src = tmp_path / "pos_tws"
+    src.mkdir()
+    flagged.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(flagged.schema).parquet(str(src / "*"))
+    q = (
+        track_zone_transitions_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("append")
+        .start()
+    )
+    _start_and_drain(q)
+    got = {
+        (r["mmsi"], r["zone_id"], r["event"])
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    want = {
+        (r["mmsi"], r["zone_id"], r["event"])
+        for r in track_zone_transitions_batch(flagged).collect()
+    }
+    assert got == want
+
+
 def test_upsert_latest(spark, tmp_path):
     from pincspark.streaming.sinks import upsert_latest
 
