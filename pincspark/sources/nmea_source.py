@@ -18,7 +18,7 @@ through a cheap aggregate of size 1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pincspark.decode.kernel import checksum_valid

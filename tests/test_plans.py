@@ -4,8 +4,6 @@ a correct result from a bad plan is a 100-TB regression waiting to happen."""
 
 from __future__ import annotations
 
-import pytest
-
 from pincspark.plans import queries as Q
 from tests.conftest import SF_DIR
 

@@ -3,8 +3,6 @@ bucketed tables join with zero exchanges in the physical plan."""
 
 from __future__ import annotations
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from pincspark.operators.scale import bucketed_join, salted_join, write_bucketed

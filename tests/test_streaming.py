@@ -4,9 +4,6 @@ sources with memory sinks."""
 
 from __future__ import annotations
 
-import os
-import time
-
 import pytest
 
 from pyspark.sql import functions as F
