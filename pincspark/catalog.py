@@ -166,9 +166,48 @@ LONG_RANGE = _struct({
     "longitude": "d", "latitude": "d", "sog": "d", "cog": "d", "gnss": "i",
 })
 
+# Families beyond the reference's surface (full ITU message-type coverage).
+ACK = _struct({
+    "mmsi1": "l", "mmsiseq1": "i", "mmsi2": "l", "mmsiseq2": "i",
+    "mmsi3": "l", "mmsiseq3": "i", "mmsi4": "l", "mmsiseq4": "i",
+})
+
+UTC_INQUIRY = _struct({"dest_mmsi": "l"})
+
+DLM = _struct({
+    "offset1": "i", "number1": "i", "timeout1": "i", "increment1": "i",
+    "offset2": "i", "number2": "i", "timeout2": "i", "increment2": "i",
+    "offset3": "i", "number3": "i", "timeout3": "i", "increment3": "i",
+    "offset4": "i", "number4": "i", "timeout4": "i", "increment4": "i",
+})
+
+CHANNEL_MGMT = _struct({
+    "channel_a": "i", "channel_b": "i", "txrx": "i", "power": "i",
+    "ne_lon": "d", "ne_lat": "d", "sw_lon": "d", "sw_lat": "d",
+    "dest_mmsi1": "l", "dest_mmsi2": "l", "addressed": "i",
+    "band_a": "i", "band_b": "i", "zonesize": "i",
+})
+
+GROUP_ASSIGNMENT = _struct({
+    "ne_lon": "d", "ne_lat": "d", "sw_lon": "d", "sw_lat": "d",
+    "station_type": "i", "ship_type": "i", "txrx": "i",
+    "interval": "i", "quiet": "i",
+})
+
+SLOT_BINARY = _struct({
+    "addressed": "i", "structured": "i", "dest_mmsi": "l",
+    "app_id": "i", "data_bits": "i", "data": "s",
+})
+
 FAMILY_SCHEMAS: dict[str, T.StructType] = {
     "position": POSITION,
     "base_station": BASE_STATION,
+    "ack": ACK,
+    "utc_inquiry": UTC_INQUIRY,
+    "dlm": DLM,
+    "channel_mgmt": CHANNEL_MGMT,
+    "group_assignment": GROUP_ASSIGNMENT,
+    "slot_binary": SLOT_BINARY,
     "static_voyage": STATIC_VOYAGE,
     "bin_addressed": BIN_ADDRESSED,
     "bin_broadcast": BIN_BROADCAST,

@@ -440,6 +440,101 @@ def decode_static_report(b: Bits) -> dict:
     return out
 
 
+def decode_ack(b: Bits) -> dict:
+    """Types 7/13 (binary / safety acknowledge): up to four acked mmsi+seq
+    pairs, variable length. BEYOND the reference (it drops types 7/13);
+    layout per ITU-R M.1371 §3.10/3.14."""
+    out: dict = {}
+    for i in range(4):
+        start = 40 + i * 32
+        has = b.nbits >= start + 30
+        out[f"mmsi{i + 1}"] = b.u(start, 30) if has else None
+        out[f"mmsiseq{i + 1}"] = b.u(start + 30, 2) if has else None
+    return out
+
+
+def decode_utc_inquiry(b: Bits) -> dict:
+    """Type 10 UTC/date inquiry (beyond the reference)."""
+    return {"dest_mmsi": b.u(40, 30)}
+
+
+def decode_dlm(b: Bits) -> dict:
+    """Type 20 data-link management: up to four (offset, slots, timeout,
+    increment) reservations (beyond the reference)."""
+    out: dict = {}
+    for i in range(4):
+        start = 40 + i * 30
+        has = b.nbits >= start + 12
+        out[f"offset{i + 1}"] = b.u(start, 12) if has else None
+        out[f"number{i + 1}"] = b.u(start + 12, 4) if has else None
+        out[f"timeout{i + 1}"] = b.u(start + 16, 3) if has else None
+        out[f"increment{i + 1}"] = b.u(start + 19, 11) if has else None
+    return out
+
+
+def decode_channel_mgmt(b: Bits) -> dict:
+    """Type 22 channel management (beyond the reference): broadcast form
+    carries an NE/SW coverage box in 0.1-minute units; addressed form two
+    mmsi. Both raw field sets are emitted (consumer picks by addressed)."""
+    return {
+        "channel_a": b.u(40, 12),
+        "channel_b": b.u(52, 12),
+        "txrx": b.u(64, 4),
+        "power": b.u(68, 1),
+        "ne_lon": b.i(69, 18) / 600.0,
+        "ne_lat": b.i(87, 17) / 600.0,
+        "sw_lon": b.i(104, 18) / 600.0,
+        "sw_lat": b.i(122, 17) / 600.0,
+        "dest_mmsi1": b.u(69, 30),
+        "dest_mmsi2": b.u(104, 30),
+        "addressed": b.u(139, 1),
+        "band_a": b.u(140, 1),
+        "band_b": b.u(141, 1),
+        "zonesize": b.u(142, 3),
+    }
+
+
+def decode_group_assignment(b: Bits) -> dict:
+    """Type 23 group assignment command (beyond the reference)."""
+    return {
+        "ne_lon": b.i(40, 18) / 600.0,
+        "ne_lat": b.i(58, 17) / 600.0,
+        "sw_lon": b.i(75, 18) / 600.0,
+        "sw_lat": b.i(93, 17) / 600.0,
+        "station_type": b.u(110, 4),
+        "ship_type": b.u(114, 8),
+        "txrx": b.u(144, 2),
+        "interval": b.u(146, 4),
+        "quiet": b.u(150, 4),
+    }
+
+
+def decode_slot_binary(b: Bits) -> dict:
+    """Types 25/26 single/multi-slot binary messages (beyond the
+    reference): addressing flags + destination + remaining payload bits."""
+    addressed = b.u(38, 1)
+    structured = b.u(39, 1)
+    pos = 40
+    dest = None
+    if addressed:
+        dest = b.u(pos, 30)
+        pos += 30
+    app_id = None
+    if structured:
+        app_id = b.u(pos, 16)
+        pos += 16
+    data_bits = b.nbits - pos
+    return {
+        "addressed": addressed,
+        "structured": structured,
+        "dest_mmsi": dest,
+        "app_id": app_id,
+        "data_bits": data_bits,
+        # payload can exceed 64 bits -> hex string, not an int
+        "data": format(b.tail_u(pos), "x") if data_bits > 0 else None,
+    }
+
+
 def decode_long_range(b: Bits) -> dict:
     """Type 27 long-range broadcast (ais_parser.py:684-700)."""
     return {
@@ -454,10 +549,18 @@ def decode_long_range(b: Bits) -> dict:
     }
 
 
-# Type dispatch (P6): family key -> (decoder, message types).
+# Type dispatch (P6): family key -> (decoder, message types). Types
+# 7/10/11/13/20/22/23/25/26 go BEYOND the reference (it decodes neither);
+# type 11 (UTC response) shares the type-4 layout per spec.
 FAMILY_DECODERS = {
     "position": (decode_position, (1, 2, 3)),
-    "base_station": (decode_base_station, (4,)),
+    "base_station": (decode_base_station, (4, 11)),
+    "ack": (decode_ack, (7, 13)),
+    "utc_inquiry": (decode_utc_inquiry, (10,)),
+    "dlm": (decode_dlm, (20,)),
+    "channel_mgmt": (decode_channel_mgmt, (22,)),
+    "group_assignment": (decode_group_assignment, (23,)),
+    "slot_binary": (decode_slot_binary, (25, 26)),
     "static_voyage": (decode_static_voyage, (5,)),
     "bin_addressed": (decode_type6, (6,)),
     "bin_broadcast": (decode_type8, (8,)),
