@@ -178,6 +178,40 @@ def test_st2_transform_with_state_variant(spark, tmp_path, zone_points):
     assert got == want
 
 
+def test_append_stream_warehouse_sink(spark, tmp_path):
+    """ST3 e2e: decoded stream -> position fact table parquet via
+    append_stream with checkpointing (the ClickHouse bulk-insert analog)."""
+    import json
+    import os
+
+    from pincspark.egress import position_table
+    from pincspark.sources.nmea_source import read_and_decode_stream
+    from pincspark.streaming.sinks import append_stream
+
+    golden = json.load(
+        open(os.path.join(os.path.dirname(__file__), "golden", "reference_decoded.json"))
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    TAG = "\\s:rSINK,c:1673222400,i:X*32"
+    (feed / "a.txt").write_text(
+        "\n".join(TAG + s for r in golden for s in r["sentences"]) + "\n"
+    )
+
+    decoded = read_and_decode_stream(spark, str(feed), timeout_ms=None)
+    q = append_stream(
+        position_table(decoded),
+        path=str(tmp_path / "fact"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    n_pos = sum(1 for r in golden if r["common"]["messageType"] in (1, 2, 3))
+    assert fact.count() == n_pos
+    assert {"mmsi", "sog", "longitude", "latitude"} <= set(fact.columns)
+
+
 def test_upsert_latest(spark, tmp_path):
     from pincspark.streaming.sinks import upsert_latest
 
