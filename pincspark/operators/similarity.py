@@ -82,7 +82,9 @@ def ivf_assign(
         id_col,
         vec_col,
         "cell",
-        cosine(F.col(vec_col), F.col("centroid")).alias("cscore"),
+        # 9-dp rounding makes cell assignment portable across engines
+        # (the SQL oracle replicates the index build exactly)
+        F.round(cosine(F.col(vec_col), F.col("centroid")), 9).alias("cscore"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cell").asc())
     assigned = (
@@ -114,7 +116,7 @@ def ivf_topk(
             query_id,
             query_vec,
             "cell",
-            cosine(F.col(query_vec), F.col("centroid")).alias("cscore"),
+            F.round(cosine(F.col(query_vec), F.col("centroid")), 9).alias("cscore"),
         )
     )
     wq = Window.partitionBy(query_id).orderBy(F.col("cscore").desc(), F.col("cell").asc())

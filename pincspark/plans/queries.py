@@ -753,8 +753,8 @@ ORACLE_Q21 = _simhash_oracle()
 
 def q22_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via IVF cells (the 100-TB scale path for q18):
-    deterministic centroids, nprobe=4 of 16 cells. Approximate by design —
-    no SQL oracle; driver records a rows-only check."""
+    deterministic centroids (16 smallest ids), nprobe=4, cell scores
+    rounded to 9 dp so the oracle replicates the index build exactly."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -762,6 +762,48 @@ def q22_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score"
     )
+
+
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+ORACLE_Q22 = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_SQL_COS.format(a='e.v', b='cent.cv')}, 9) DESC, cent.cell ASC
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND({_SQL_COS.format(a='q.qv', b='cent.cv')}, 9) DESC, cent.cell ASC
+           ) AS rn
+    FROM q, cent
+  ) WHERE rn <= 4
+), s AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_SQL_COS.format(a='p.qv', b='a.v')}, 6) AS score
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1029,7 +1071,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
     "q20_ngram_jaccard": (q20_ngram_jaccard, ORACLE_Q20),
     "q21_simhash": (q21_simhash, ORACLE_Q21),
-    "q22_ivf_topk": (q22_ivf_topk, None),
+    "q22_ivf_topk": (q22_ivf_topk, ORACLE_Q22),
     "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
     "q25_hourly_windows": (q25_hourly_windows, ORACLE_Q25),

@@ -42,12 +42,10 @@ def _rowset(cols, rows):
 
 
 def test_rows_only_queries_run(spark):
-    """Queries without an oracle (approximate by design) still execute and
-    return sane output."""
+    """The one oracle-less query (HLL sketches are engine-specific) still
+    executes and estimates within tolerance."""
     from pincspark.plans.queries import QUERIES
 
-    ivf = QUERIES["q22_ivf_topk"][0](spark, SF_DIR)
-    assert ivf.count() > 0
     approx = QUERIES["q26_approx_distinct"][0](spark, SF_DIR)
     for r in approx.collect():
         assert r["approx_users"] == pytest.approx(r["exact_users"], rel=0.1)
