@@ -1045,6 +1045,75 @@ def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (beyond the reference's flat groupBys): quantity
+    and revenue totals at (returnflag, linestatus), (returnflag), and grand
+    levels, with explicit grouping flags for unambiguous hashing."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).alias("_q"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("_q").cast("double").alias("sum_qty"),
+            "n_rows",
+            F.col("g_flag").cast("int").alias("g_flag"),
+            F.col("g_status").cast("int").alias("g_status"),
+        )
+    )
+
+
+ORACLE_Q29 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {D2})) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q30_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts and totals per priority spread across status
+    columns (Spark pivot; oracle uses FILTERed aggregates)."""
+    orders = table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2("o_totalprice")).alias("total"),
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_pending"),
+        F.coalesce(F.col("O_total"), F.lit(0).cast("decimal(28,2)")).cast("double").alias("total_open"),
+        F.coalesce(F.col("F_total"), F.lit(0).cast("decimal(28,2)")).cast("double").alias("total_finished"),
+        F.coalesce(F.col("P_total"), F.lit(0).cast("decimal(28,2)")).cast("double").alias("total_pending"),
+    )
+
+
+ORACLE_Q30 = f"""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS {D2})) FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS total_open,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS {D2})) FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS total_finished,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS {D2})) FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS total_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1078,6 +1147,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q26_approx_distinct": (q26_approx_distinct, None),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
     "q28_rolling_fingerprints": (q28_rolling_fingerprints, ORACLE_Q28),
+    "q29_rollup_summary": (q29_rollup_summary, ORACLE_Q29),
+    "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
 }
 
 
