@@ -92,6 +92,41 @@ def routing_mmsi(payload: Column) -> Column:
     ).cast("bigint")
 
 
+def bitfield(payload: Column, start: int, nbits: int, signed: bool = False) -> Column:
+    """P4 as a pure column expression for ANY fixed bit span: fold the
+    covering armored chars into one integer, shift/mask/sign-extend. All
+    int64 arithmetic — whole-stage codegen, and portable verbatim to the
+    SQL oracle (see ``bitfield_sql``). Practical up to ~50-bit fields
+    (the fold value stays within int64)."""
+    i0, i1 = start // 6, (start + nbits - 1) // 6
+    acc: Column = F.lit(0).cast("bigint")
+    for i in range(i0, i1 + 1):
+        acc = acc * F.lit(64) + _char_val(payload, i).cast("bigint")
+    shift = (i1 + 1) * 6 - (start + nbits)
+    val = F.shiftright(acc, shift).bitwiseAND(F.lit((1 << nbits) - 1))
+    if signed:
+        val = F.when(val >= F.lit(1 << (nbits - 1)), val - F.lit(1 << nbits)).otherwise(val)
+    return val
+
+
+def bitfield_sql(payload_expr: str, start: int, nbits: int, signed: bool = False) -> str:
+    """DuckDB mirror of :func:`bitfield` — identical integer arithmetic so
+    results hash-match."""
+    armor = (
+        "(CASE WHEN unicode({p}[{i}]) - 48 > 40 "
+        "THEN unicode({p}[{i}]) - 56 ELSE unicode({p}[{i}]) - 48 END)"
+    )
+    i0, i1 = start // 6, (start + nbits - 1) // 6
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(i0, i1 + 1):
+        acc = f"({acc} * 64 + {armor.format(p=payload_expr, i=i + 1)})"
+    shift = (i1 + 1) * 6 - (start + nbits)
+    val = f"(({acc} >> {shift}) & {(1 << nbits) - 1})"
+    if signed:
+        val = f"(CASE WHEN {val} >= {1 << (nbits - 1)} THEN {val} - {1 << nbits} ELSE {val} END)"
+    return val
+
+
 def checksum_valid(sentence: Column) -> Column:
     """P2 checksum as a pure SQL expression: XOR of chars between '!' and
     '*' equals the hex suffix (ais_analysis.py:143-153). Codegen-friendly —

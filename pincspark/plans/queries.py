@@ -1045,6 +1045,62 @@ def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Position-report payloads from the golden corpus (types 1/3) + a class-B
+# (type 18 uses different offsets — decoded here with its own spans).
+POSITION_PAYLOADS = [
+    "15R9eN001n7DHvT13w0TBSM>00Rm",
+    "37likkpOh27M3ud0Veic9as801i@",
+]
+
+
+def q31_position_decode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P7 as pure SQL: decode the hot position fields (navStatus, sog,
+    lon, lat, cog, heading) from armored payloads with generated bit-field
+    expressions — no Python, fully codegen, and the oracle runs the
+    IDENTICAL integer arithmetic (tests separately assert SQL == pandas
+    kernel on the same payloads)."""
+    from pincspark.decode.kernel import bitfield
+
+    df = spark.createDataFrame([(p,) for p in POSITION_PAYLOADS], "payload STRING")
+    p = F.col("payload")
+    return df.select(
+        "payload",
+        bitfield(p, 0, 6).cast("int").alias("message_type"),
+        bitfield(p, 8, 30).alias("mmsi"),
+        bitfield(p, 38, 4).cast("int").alias("nav_status"),
+        (bitfield(p, 50, 10).cast("double") / F.lit(10.0)).alias("sog"),
+        (bitfield(p, 61, 28, signed=True).cast("double") / F.lit(600000.0)).alias("longitude"),
+        (bitfield(p, 89, 27, signed=True).cast("double") / F.lit(600000.0)).alias("latitude"),
+        (bitfield(p, 116, 12).cast("double") / F.lit(10.0)).alias("cog"),
+        bitfield(p, 128, 9).cast("int").alias("heading"),
+    )
+
+
+def _q31_oracle() -> str:
+    from pincspark.decode.kernel import bitfield_sql
+
+    vals = ",\n  ".join(f"('{p}')" for p in POSITION_PAYLOADS)
+    b = lambda s, n, sg=False: bitfield_sql("payload", s, n, sg)
+    return f"""
+WITH raw(payload) AS (VALUES
+  {vals}
+)
+SELECT payload,
+       CAST({b(0, 6)} AS INTEGER) AS message_type,
+       {b(8, 30)} AS mmsi,
+       CAST({b(38, 4)} AS INTEGER) AS nav_status,
+       CAST({b(50, 10)} AS DOUBLE) / 10.0 AS sog,
+       CAST({b(61, 28, True)} AS DOUBLE) / 600000.0 AS longitude,
+       CAST({b(89, 27, True)} AS DOUBLE) / 600000.0 AS latitude,
+       CAST({b(116, 12)} AS DOUBLE) / 10.0 AS cog,
+       CAST({b(128, 9)} AS INTEGER) AS heading
+FROM raw
+"""
+
+
+ORACLE_Q31 = _q31_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1149,6 +1205,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q28_rolling_fingerprints": (q28_rolling_fingerprints, ORACLE_Q28),
     "q29_rollup_summary": (q29_rollup_summary, ORACLE_Q29),
     "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
+    "q31_position_decode_sql": (q31_position_decode_sql, ORACLE_Q31),
 }
 
 
