@@ -46,3 +46,45 @@ def tumbling_counts(
             c for c in ("n", "sum_value") if c in out.columns
         ]
     )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows via the NATIVE ``session_window`` operator (dynamic
+    gap-merged windows; streaming-capable with a watermark) — the built-in
+    twin of ``operators.keyed.sessionize`` (tested equivalent on batch).
+    Returns one row per session: key, session bounds (epoch micros), count.
+    """
+    src = df
+    if watermark is not None and src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    out = src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select(
+        *keys,
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+def dedupe_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """W2's streaming analog: drop duplicate records per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` bounds state; on
+    batch frames it degrades to plain dropDuplicates)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))

@@ -56,6 +56,61 @@ def test_tumbling_counts_batch_stream_parity(spark, tmp_path):
     assert got_s == got_b
 
 
+def test_session_window_matches_sessionize(spark):
+    """The native session_window operator produces the same per-user session
+    counts as the lag/cumsum sessionize (q13 logic) on the events table."""
+    from pincspark.operators.keyed import sessionize
+    from pincspark.sources.tables import table
+    from pincspark.streaming.windows import session_counts
+    from tests.conftest import SF_DIR
+
+    ev = table(spark, SF_DIR, "events")
+    native = (
+        session_counts(ev, "ts", "30 minutes", keys=("user_id",))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    manual = (
+        sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    got_n = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in native.collect()}
+    got_m = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in manual.collect()}
+    assert got_n == got_m
+
+
+def test_dedupe_stream(spark, tmp_path):
+    """Streaming duplicate suppression per key within the watermark."""
+    from pincspark.streaming.windows import dedupe_stream
+
+    rows = [(1, 100, "a"), (1, 101, "a-dup"), (2, 100, "b"), (1, 102, "a-dup2")]
+    df = spark.createDataFrame(rows, "k INT, epoch INT, v STRING").select(
+        "k", F.timestamp_seconds("epoch").alias("ts"), "v"
+    )
+    src = tmp_path / "dd"
+    src.mkdir()
+    df.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = (
+        dedupe_stream(stream, keys=["k"], ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM dd_out").collect()
+    assert sorted(r["k"] for r in out) == [1, 2]  # one row per key
+
+    # batch degradation
+    assert dedupe_stream(df, keys=["k"], ts_col="ts").count() == 2
+
+
 def test_streaming_ingest_chain(spark, tmp_path):
     """§3.2: the golden corpus dripped through the streaming chain decodes
     to the same messages as the batch path."""
