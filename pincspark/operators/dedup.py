@@ -152,10 +152,12 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_perms: int = 16,
     bands: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) with their estimated Jaccard =
     fraction of matching minhashes. Docs are joined only within identical
-    (band, band-signature) buckets."""
+    (band, band-signature) buckets; buckets with more than
+    ``max_bucket_size`` members are skipped (see inline comment)."""
     rows = num_perms // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perms)
     band_structs = F.array(
@@ -171,8 +173,15 @@ def minhash_lsh_pairs(
     )
     # Bucket-to-pairs WITHOUT a self-join: group each (band, sig) bucket to
     # its sorted member list and explode the pair combinations — one shuffle
-    # on the bucket key, no sort-merge join. Signatures (tiny: one row/doc)
-    # rejoin per side as broadcasts.
+    # on the bucket key, no sort-merge join.
+    #
+    # Degenerate buckets (a corpus of near-identical boilerplate can put
+    # millions of docs in ONE bucket) would materialize as a single
+    # collect_list array and a quadratic pair explosion in one task — a
+    # guaranteed OOM at 100 TB. Buckets larger than ``max_bucket_size`` are
+    # skipped: their members are, by construction, near-identical boilerplate
+    # better handled by exact_dedup upstream, and a cap of 1000 still emits
+    # up to ~500k pairs per bucket. The SQL oracle mirrors the cap exactly.
     banded = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bs")
     ).select(id_col, "bs.band", "bs.sig")
@@ -180,17 +189,22 @@ def minhash_lsh_pairs(
     pairs = (
         banded.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids").between(2, max_bucket_size))
         .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    sa = F.broadcast(sig.select(
+    # Per-doc signature rejoin: NO broadcast hint — at 100 TB the signature
+    # table is one row per document (billions of rows), so a forced broadcast
+    # is a driver/executor OOM. Plain equi-joins let AQE pick the strategy
+    # (it will broadcast the small side — usually the candidate-pair table —
+    # only when its runtime size is under the threshold).
+    sa = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perms)]
-    ))
-    sb = F.broadcast(sig.select(
+    )
+    sb = sig.select(
         F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perms)]
-    ))
+    )
     joined = pairs.join(sa, "id_a").join(sb, "id_b")
     est = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perms)
@@ -204,11 +218,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_posting_size: int = 1000,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity pairs >= threshold.
 
     Shingle-inverted-index join (only docs sharing >=1 shingle are compared),
     then |A∩B| / (|A|+|B|-|A∩B|). Use on LSH candidates at scale.
+
+    Shingles shared by more than ``max_posting_size`` documents (stopword-like
+    boilerplate n-grams) are excluded from pair generation: an uncapped
+    posting list is a quadratic single-task explosion at corpus scale. For
+    affected pairs the reported Jaccard is a lower bound (the intersection
+    count loses the ultra-common shingle; the union sizes stay exact). The
+    SQL oracle mirrors the cap exactly.
     """
     sh = word_shingles(df, id_col, text_col, n)
     # per-doc sizes straight off the array — no second explode/shuffle pass
@@ -220,14 +242,17 @@ def ngram_jaccard_pairs(
     common = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids").between(2, max_posting_size))
         .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # Per-doc size rejoin: plain joins, no broadcast hint — sizes is one row
+    # per document (billions at 100 TB); AQE broadcasts the candidate-pair
+    # side instead when it is small enough.
     out = (
-        common.join(F.broadcast(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -674,9 +674,13 @@ WITH toks_t AS (
   FROM hh GROUP BY doc_id
 ), banded AS (
 {bands}
+), bucket_ok AS (
+  -- mirrors minhash_lsh_pairs' max_bucket_size=1000 degenerate-bucket skip
+  SELECT band, sig FROM banded GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND 1000
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bucket_ok k ON a.band = k.band AND a.sig = k.sig
 )
 SELECT p.id_a, p.id_b,
        ROUND(({eqs}) / 16.0, 6) AS est_jaccard
@@ -707,9 +711,13 @@ WITH toks_t AS (
   SELECT DISTINCT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), posting_ok AS (
+  -- mirrors ngram_jaccard_pairs' max_posting_size=1000 ultra-common-shingle skip
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN posting_ok k ON a.shingle = k.shingle
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,

@@ -63,6 +63,48 @@ def test_static_pip_single_scan_no_hof(spark):
     assert "*(1)" in plan  # codegen stages present
 
 
+def test_dedup_rejoins_have_no_forced_broadcast(spark):
+    """The per-doc signature/size rejoins in minhash_lsh_pairs and
+    ngram_jaccard_pairs must NOT carry a broadcast hint: at 100 TB those
+    tables are one row per document (billions of rows) and a forced
+    broadcast is an OOM. With the auto-broadcast threshold disabled the
+    joins must compile to shuffle joins — proof nothing forces a broadcast;
+    at runtime AQE is free to broadcast genuinely small sides."""
+    from pincspark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i}") for i in range(8)],
+        "doc_id INT, text STRING",
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (
+            minhash_lsh_pairs(docs, "doc_id", "text"),
+            ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1),
+        ):
+            analyzed = df._jdf.queryExecution().analyzed().toString()
+            assert "ResolvedHint" not in analyzed and "broadcast" not in analyzed.lower()
+            plan = _plan(df)
+            assert "BroadcastHashJoin" not in plan
+            assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """A corpus of identical docs lands in one LSH bucket per band; the
+    max_bucket_size cap must skip it (no quadratic pair explosion) while
+    distinct near-dup docs still pair up."""
+    from pincspark.operators.dedup import minhash_lsh_pairs
+
+    same = [(i, "the exact same boilerplate text repeated everywhere") for i in range(12)]
+    docs = spark.createDataFrame(same, "doc_id INT, text STRING")
+    assert minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=10).count() == 0
+    assert minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=100).count() == 66
+
+
 def test_decode_routing_prunes_before_python(spark, tmp_path):
     """Filtering on the SQL routing fast path must not invoke the Python
     decode for filtered-out rows: the filter sits below ArrowEvalPython."""
