@@ -75,14 +75,17 @@ def _char_val(payload: Column, i: int) -> Column:
 
 
 def routing_message_type(payload: Column) -> Column:
-    """messageType (bits 0-6) without Python: the first payload char."""
-    return _char_val(payload, 0)
+    """messageType (bits 0-6) without Python: the first payload char.
+    NULL on an empty payload (the Python path raises; the SQL fast path
+    must not fabricate a value from ascii('') = 0)."""
+    return F.when(F.length(payload) >= 1, _char_val(payload, 0)).otherwise(F.lit(None))
 
 
 def routing_mmsi(payload: Column) -> Column:
-    """mmsi (bits 8-38) as a pure column expression over chars 1..6."""
+    """mmsi (bits 8-38) as a pure column expression over chars 1..6.
+    NULL when the payload is shorter than 7 chars (see routing_message_type)."""
     v = [_char_val(payload, i) for i in range(7)]
-    return (
+    val = (
         (v[1].bitwiseAND(F.lit(15)) * F.lit(1 << 26))
         + (v[2] * F.lit(1 << 20))
         + (v[3] * F.lit(1 << 14))
@@ -90,6 +93,7 @@ def routing_mmsi(payload: Column) -> Column:
         + (v[5] * F.lit(1 << 2))
         + F.shiftright(v[6], 4)
     ).cast("bigint")
+    return F.when(F.length(payload) >= 7, val).otherwise(F.lit(None))
 
 
 def bitfield(payload: Column, start: int, nbits: int, signed: bool = False) -> Column:
@@ -97,7 +101,12 @@ def bitfield(payload: Column, start: int, nbits: int, signed: bool = False) -> C
     covering armored chars into one integer, shift/mask/sign-extend. All
     int64 arithmetic — whole-stage codegen, and portable verbatim to the
     SQL oracle (see ``bitfield_sql``). Practical up to ~50-bit fields
-    (the fold value stays within int64)."""
+    (the fold value stays within int64).
+
+    NULL when the payload does not cover the span: substring past the end
+    yields '' and ascii('') = 0 would otherwise fold to plausible-looking
+    garbage (the Python kernel clamps instead — callers that want the
+    clamping semantics go through the pandas kernel)."""
     i0, i1 = start // 6, (start + nbits - 1) // 6
     acc: Column = F.lit(0).cast("bigint")
     for i in range(i0, i1 + 1):
@@ -106,12 +115,12 @@ def bitfield(payload: Column, start: int, nbits: int, signed: bool = False) -> C
     val = F.shiftright(acc, shift).bitwiseAND(F.lit((1 << nbits) - 1))
     if signed:
         val = F.when(val >= F.lit(1 << (nbits - 1)), val - F.lit(1 << nbits)).otherwise(val)
-    return val
+    return F.when(F.length(payload) >= i1 + 1, val).otherwise(F.lit(None))
 
 
 def bitfield_sql(payload_expr: str, start: int, nbits: int, signed: bool = False) -> str:
-    """DuckDB mirror of :func:`bitfield` — identical integer arithmetic so
-    results hash-match."""
+    """DuckDB mirror of :func:`bitfield` — identical integer arithmetic
+    (including the too-short-payload NULL guard) so results hash-match."""
     armor = (
         "(CASE WHEN unicode({p}[{i}]) - 48 > 40 "
         "THEN unicode({p}[{i}]) - 56 ELSE unicode({p}[{i}]) - 48 END)"
@@ -124,7 +133,71 @@ def bitfield_sql(payload_expr: str, start: int, nbits: int, signed: bool = False
     val = f"(({acc} >> {shift}) & {(1 << nbits) - 1})"
     if signed:
         val = f"(CASE WHEN {val} >= {1 << (nbits - 1)} THEN {val} - {1 << nbits} ELSE {val} END)"
-    return val
+    return f"(CASE WHEN length({payload_expr}) >= {i1 + 1} THEN {val} ELSE NULL END)"
+
+
+def sixbit_text(payload: Column, start: int, length: int) -> Column:
+    """P5 (6-bit ASCII text) as a pure column expression — the SQL twin of
+    ``Bits.text`` (functions/nmea.py): each 6-bit group maps codes < 32 into
+    '@'..'_', the string truncates at the first '@' padding char, strips,
+    and empty becomes 'Not available'. Groups past the payload end vanish
+    (the Python kernel's clamping loop). Matches the reference's shipName /
+    callsign / destination extraction (ais_parser.py:18-31) minus its
+    '@@@@@' -> 'Not available' quirk (documented divergence, nmea.py:12-18).
+
+    Pure concat of per-group char() expressions — whole-stage codegen,
+    mirrored verbatim by :func:`sixbit_text_sql` for the DuckDB oracle."""
+    from pincspark.functions.nmea import NOT_AVAILABLE
+
+    chars = []
+    for j in range(length // 6):
+        pos = start + 6 * j
+        i0, i1 = pos // 6, (pos + 5) // 6
+        if i0 == i1:
+            acc = _char_val(payload, i0).cast("bigint")
+        else:
+            acc = _char_val(payload, i0).cast("bigint") * F.lit(64) + _char_val(
+                payload, i1
+            ).cast("bigint")
+        shift = (i1 + 1) * 6 - (pos + 6)
+        code = F.shiftright(acc, shift).bitwiseAND(F.lit(63))
+        # codes < 32 map to '@'..'_' (+64), >= 32 stay: branch-free
+        # `code + 64 - ((code >> 5) << 6)` keeps the expression tree small
+        # enough for whole-stage codegen (a 20-char field otherwise blows
+        # janino's 64 KB method limit via nested CASE duplication).
+        ch = F.char(code + F.lit(64) - F.shiftleft(F.shiftright(code, 5), 6))
+        chars.append(F.when(F.length(payload) >= i1 + 1, ch).otherwise(F.lit("")))
+    s = F.trim(F.substring_index(F.concat(*chars), "@", 1))
+    return F.when(s == "", F.lit(NOT_AVAILABLE)).otherwise(s)
+
+
+def sixbit_text_sql(payload_expr: str, start: int, length: int) -> str:
+    """DuckDB mirror of :func:`sixbit_text` — identical char-by-char
+    construction so text fields hash-match."""
+    armor = (
+        "(CASE WHEN unicode({p}[{i}]) - 48 > 40 "
+        "THEN unicode({p}[{i}]) - 56 ELSE unicode({p}[{i}]) - 48 END)"
+    )
+    groups = []
+    for j in range(length // 6):
+        pos = start + 6 * j
+        i0, i1 = pos // 6, (pos + 5) // 6
+        if i0 == i1:
+            acc = armor.format(p=payload_expr, i=i0 + 1)
+        else:
+            acc = (
+                f"({armor.format(p=payload_expr, i=i0 + 1)} * 64 "
+                f"+ {armor.format(p=payload_expr, i=i1 + 1)})"
+            )
+        shift = (i1 + 1) * 6 - (pos + 6)
+        code = f"(({acc} >> {shift}) & 63)"
+        ch = f"chr(CAST({code} + 64 - (({code} >> 5) << 6) AS INTEGER))"
+        groups.append(
+            f"(CASE WHEN length({payload_expr}) >= {i1 + 1} THEN {ch} ELSE '' END)"
+        )
+    concat = "concat(" + ", ".join(groups) + ")"
+    s = f"trim(split_part({concat}, '@', 1))"
+    return f"(CASE WHEN {s} = '' THEN 'Not available' ELSE {s} END)"
 
 
 def checksum_valid(sentence: Column) -> Column:

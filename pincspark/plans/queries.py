@@ -1109,6 +1109,228 @@ FROM raw
 ORACLE_Q31 = _q31_oracle()
 
 
+# Payloads for the SQL decode twins of the non-position families the
+# reference's analysis path consumes directly (ais_analysis_polars.py:360-429):
+# type 5 / 18 / 24 from the golden corpus (reference_decoded.json), type 27
+# synthesized (none in the corpus) and round-tripped against the Python
+# kernel in tests/test_pipeline.py.
+STATIC_VOYAGE_PAYLOAD = (  # type 5, both message parts concatenated
+    "58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3lPAiH8888880"
+)
+CLASSB_PAYLOAD = "B8HsF90009nTJO0;Pb803wjTkP06"  # type 18
+LONG_RANGE_PAYLOAD = "K3aDrf9HMh66`Li6"  # type 27 (synthesized)
+STATIC_REPORT_PAYLOADS = [  # type 24 part A, part B
+    "H7tCijTt00`0000qP=8EPm1pA668",
+    "H8HtV6QTF0th@D0000000000000",
+]
+
+
+def q32_static_voyage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/P9 as pure SQL: every type-5 static & voyage field — including
+    the 6-bit ASCII text fields (callsign, shipName, destination) — decoded
+    with generated column expressions, no Python. Field spans match
+    decode_static_voyage (families.py) == ais_parser.py:113-141; the oracle
+    runs the identical integer/char arithmetic."""
+    from pincspark.decode.kernel import bitfield, sixbit_text
+
+    df = spark.createDataFrame([(STATIC_VOYAGE_PAYLOAD,)], "payload STRING")
+    p = F.col("payload")
+    return df.select(
+        "payload",
+        bitfield(p, 0, 6).cast("int").alias("message_type"),
+        bitfield(p, 8, 30).alias("mmsi"),
+        bitfield(p, 38, 2).cast("int").alias("ais_version"),
+        bitfield(p, 40, 30).alias("imo"),
+        sixbit_text(p, 70, 42).alias("callsign"),
+        sixbit_text(p, 112, 120).alias("ship_name"),
+        bitfield(p, 232, 8).cast("int").alias("ship_type"),
+        bitfield(p, 240, 9).cast("int").alias("to_bow"),
+        bitfield(p, 249, 9).cast("int").alias("to_stern"),
+        bitfield(p, 258, 6).cast("int").alias("to_port"),
+        bitfield(p, 264, 6).cast("int").alias("to_starboard"),
+        bitfield(p, 270, 4).cast("int").alias("epfd"),
+        bitfield(p, 274, 4).cast("int").alias("eta_month"),
+        bitfield(p, 278, 5).cast("int").alias("eta_day"),
+        bitfield(p, 283, 5).cast("int").alias("eta_hour"),
+        bitfield(p, 288, 6).cast("int").alias("eta_minute"),
+        (bitfield(p, 294, 8).cast("double") / F.lit(10.0)).alias("draught"),
+        sixbit_text(p, 302, 120).alias("destination"),
+        bitfield(p, 422, 1).cast("int").alias("dte"),
+    )
+
+
+def _q32_oracle() -> str:
+    from pincspark.decode.kernel import bitfield_sql, sixbit_text_sql
+
+    b = lambda s, n: bitfield_sql("payload", s, n)
+    t = lambda s, n: sixbit_text_sql("payload", s, n)
+    return f"""
+WITH raw(payload) AS (VALUES ('{STATIC_VOYAGE_PAYLOAD}'))
+SELECT payload,
+       CAST({b(0, 6)} AS INTEGER) AS message_type,
+       {b(8, 30)} AS mmsi,
+       CAST({b(38, 2)} AS INTEGER) AS ais_version,
+       {b(40, 30)} AS imo,
+       {t(70, 42)} AS callsign,
+       {t(112, 120)} AS ship_name,
+       CAST({b(232, 8)} AS INTEGER) AS ship_type,
+       CAST({b(240, 9)} AS INTEGER) AS to_bow,
+       CAST({b(249, 9)} AS INTEGER) AS to_stern,
+       CAST({b(258, 6)} AS INTEGER) AS to_port,
+       CAST({b(264, 6)} AS INTEGER) AS to_starboard,
+       CAST({b(270, 4)} AS INTEGER) AS epfd,
+       CAST({b(274, 4)} AS INTEGER) AS eta_month,
+       CAST({b(278, 5)} AS INTEGER) AS eta_day,
+       CAST({b(283, 5)} AS INTEGER) AS eta_hour,
+       CAST({b(288, 6)} AS INTEGER) AS eta_minute,
+       CAST({b(294, 8)} AS DOUBLE) / 10.0 AS draught,
+       {t(302, 120)} AS destination,
+       CAST({b(422, 1)} AS INTEGER) AS dte
+FROM raw
+"""
+
+
+ORACLE_Q32 = _q32_oracle()
+
+
+def q33_classb_longrange_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17/P21 as pure SQL: class-B (18) and long-range (27) position
+    reports decoded in ONE scan with a messageType CASE routing to the
+    family's bit spans (decode_classb / decode_long_range ==
+    ais_parser.py:541-567 / 684-700). Class B has no navStatus -> NULL."""
+    from pincspark.decode.kernel import bitfield
+
+    df = spark.createDataFrame(
+        [(CLASSB_PAYLOAD,), (LONG_RANGE_PAYLOAD,)], "payload STRING"
+    )
+    p = F.col("payload")
+    mt = bitfield(p, 0, 6)
+
+    def pick(b18, b27):
+        return F.when(mt == 18, b18).otherwise(b27)
+
+    return df.select(
+        "payload",
+        mt.cast("int").alias("message_type"),
+        bitfield(p, 8, 30).alias("mmsi"),
+        F.when(mt == 18, F.lit(None).cast("int"))
+        .otherwise(bitfield(p, 40, 4).cast("int"))
+        .alias("nav_status"),
+        (
+            pick(bitfield(p, 57, 28, True), bitfield(p, 44, 18, True)).cast("double")
+            / F.lit(600000.0)
+        ).alias("longitude"),
+        (
+            pick(bitfield(p, 85, 27, True), bitfield(p, 62, 17, True)).cast("double")
+            / F.lit(600000.0)
+        ).alias("latitude"),
+        (
+            pick(bitfield(p, 46, 10), bitfield(p, 79, 6)).cast("double") / F.lit(10.0)
+        ).alias("sog"),
+        (
+            pick(bitfield(p, 112, 12), bitfield(p, 85, 9)).cast("double") / F.lit(10.0)
+        ).alias("cog"),
+        pick(bitfield(p, 147, 1), bitfield(p, 39, 1)).cast("int").alias("raim"),
+    )
+
+
+def _q33_oracle() -> str:
+    from pincspark.decode.kernel import bitfield_sql
+
+    b = lambda s, n, sg=False: bitfield_sql("payload", s, n, sg)
+    mt = b(0, 6)
+    pick = lambda b18, b27: f"(CASE WHEN {mt} = 18 THEN {b18} ELSE {b27} END)"
+    return f"""
+WITH raw(payload) AS (VALUES ('{CLASSB_PAYLOAD}'), ('{LONG_RANGE_PAYLOAD}'))
+SELECT payload,
+       CAST({mt} AS INTEGER) AS message_type,
+       {b(8, 30)} AS mmsi,
+       CAST((CASE WHEN {mt} = 18 THEN NULL ELSE {b(40, 4)} END) AS INTEGER) AS nav_status,
+       CAST({pick(b(57, 28, True), b(44, 18, True))} AS DOUBLE) / 600000.0 AS longitude,
+       CAST({pick(b(85, 27, True), b(62, 17, True))} AS DOUBLE) / 600000.0 AS latitude,
+       CAST({pick(b(46, 10), b(79, 6))} AS DOUBLE) / 10.0 AS sog,
+       CAST({pick(b(112, 12), b(85, 9))} AS DOUBLE) / 10.0 AS cog,
+       CAST({pick(b(147, 1), b(39, 1))} AS INTEGER) AS raim
+FROM raw
+"""
+
+
+ORACLE_Q33 = _q33_oracle()
+
+
+def q34_static_report_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20 as pure SQL: type-24 static report with the part A/B fork on
+    partNo and the mothership-vs-dimensions fork on mmsi==0
+    (decode_static_report == ais_parser.py:646-680, spec fix D3). Fields
+    outside the taken fork are NULL."""
+    from pincspark.decode.kernel import bitfield, sixbit_text
+
+    df = spark.createDataFrame(
+        [(x,) for x in STATIC_REPORT_PAYLOADS], "payload STRING"
+    )
+    p = F.col("payload")
+    part_no = bitfield(p, 38, 2)
+    mmsi = bitfield(p, 8, 30)
+    is_a = part_no == 0
+
+    def b_only(cond, col):
+        return F.when(cond, col).otherwise(F.lit(None))
+
+    return df.select(
+        "payload",
+        bitfield(p, 0, 6).cast("int").alias("message_type"),
+        mmsi.alias("mmsi"),
+        part_no.cast("int").alias("part_no"),
+        b_only(is_a, sixbit_text(p, 40, 120)).cast("string").alias("ship_name"),
+        b_only(~is_a, bitfield(p, 40, 8)).cast("int").alias("ship_type"),
+        b_only(~is_a, sixbit_text(p, 48, 18)).cast("string").alias("vendor"),
+        b_only(~is_a, bitfield(p, 66, 4)).cast("int").alias("model"),
+        b_only(~is_a, bitfield(p, 70, 20)).alias("serial"),
+        b_only(~is_a, sixbit_text(p, 90, 42)).cast("string").alias("callsign"),
+        b_only(~is_a & (mmsi == 0), bitfield(p, 132, 30)).alias("mothership_mmsi"),
+        b_only(~is_a & (mmsi != 0), bitfield(p, 132, 9)).cast("int").alias("to_bow"),
+        b_only(~is_a & (mmsi != 0), bitfield(p, 141, 9)).cast("int").alias("to_stern"),
+        b_only(~is_a & (mmsi != 0), bitfield(p, 150, 6)).cast("int").alias("to_port"),
+        b_only(~is_a & (mmsi != 0), bitfield(p, 156, 6)).cast("int").alias("to_starboard"),
+    )
+
+
+def _q34_oracle() -> str:
+    from pincspark.decode.kernel import bitfield_sql, sixbit_text_sql
+
+    b = lambda s, n: bitfield_sql("payload", s, n)
+    t = lambda s, n: sixbit_text_sql("payload", s, n)
+    part = b(38, 2)
+    mmsi = b(8, 30)
+    only = lambda cond, e: f"(CASE WHEN {cond} THEN {e} ELSE NULL END)"
+    is_b = f"{part} <> 0"
+    vals = ",\n  ".join(f"('{x}')" for x in STATIC_REPORT_PAYLOADS)
+    return f"""
+WITH raw(payload) AS (VALUES
+  {vals}
+)
+SELECT payload,
+       CAST({b(0, 6)} AS INTEGER) AS message_type,
+       {mmsi} AS mmsi,
+       CAST({part} AS INTEGER) AS part_no,
+       {only(f"{part} = 0", t(40, 120))} AS ship_name,
+       CAST({only(is_b, b(40, 8))} AS INTEGER) AS ship_type,
+       {only(is_b, t(48, 18))} AS vendor,
+       CAST({only(is_b, b(66, 4))} AS INTEGER) AS model,
+       {only(is_b, b(70, 20))} AS serial,
+       {only(is_b, t(90, 42))} AS callsign,
+       {only(f"{is_b} AND {mmsi} = 0", b(132, 30))} AS mothership_mmsi,
+       CAST({only(f"{is_b} AND {mmsi} <> 0", b(132, 9))} AS INTEGER) AS to_bow,
+       CAST({only(f"{is_b} AND {mmsi} <> 0", b(141, 9))} AS INTEGER) AS to_stern,
+       CAST({only(f"{is_b} AND {mmsi} <> 0", b(150, 6))} AS INTEGER) AS to_port,
+       CAST({only(f"{is_b} AND {mmsi} <> 0", b(156, 6))} AS INTEGER) AS to_starboard
+FROM raw
+"""
+
+
+ORACLE_Q34 = _q34_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1214,6 +1436,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q29_rollup_summary": (q29_rollup_summary, ORACLE_Q29),
     "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
     "q31_position_decode_sql": (q31_position_decode_sql, ORACLE_Q31),
+    "q32_static_voyage_sql": (q32_static_voyage_sql, ORACLE_Q32),
+    "q33_classb_longrange_sql": (q33_classb_longrange_sql, ORACLE_Q33),
+    "q34_static_report_sql": (q34_static_report_sql, ORACLE_Q34),
 }
 
 

@@ -105,6 +105,57 @@ def test_routing_fast_path(spark, archive):
         assert r["mmsi_sql"] == r["mmsi_py"]
 
 
+def test_family_sql_decode_matches_python_kernel(spark):
+    """q32/q33/q34's pure-SQL decode of types 5/18/24/27 (including the
+    6-bit text fields) agrees field-by-field with the Python kernel's
+    family decoders on the same payloads."""
+    from pincspark.decode.families import decode_message
+    from pincspark.functions.nmea import Bits
+    from pincspark.plans import queries as Q
+    from tests.conftest import SF_DIR
+
+    expected = {}
+    for payload in (
+        Q.STATIC_VOYAGE_PAYLOAD,
+        Q.CLASSB_PAYLOAD,
+        Q.LONG_RANGE_PAYLOAD,
+        *Q.STATIC_REPORT_PAYLOADS,
+    ):
+        rec = decode_message(Bits.from_payload(payload))
+        expected[payload] = {**rec, **rec["payload_fields"]}
+
+    checks = {  # query -> {output column: kernel field}
+        Q.q32_static_voyage_sql: {
+            "message_type": "messageType", "mmsi": "mmsi", "imo": "imo",
+            "callsign": "callsign", "ship_name": "shipName",
+            "ship_type": "shipType", "draught": "draught",
+            "destination": "destination", "eta_month": "eta_month",
+            "dte": "dte",
+        },
+        Q.q33_classb_longrange_sql: {
+            "message_type": "messageType", "mmsi": "mmsi",
+            "longitude": "longitude", "latitude": "latitude",
+            "sog": "sog", "cog": "cog",
+        },
+        Q.q34_static_report_sql: {
+            "message_type": "messageType", "mmsi": "mmsi", "part_no": "partNo",
+        },
+    }
+    for qfn, cols in checks.items():
+        for r in qfn(spark, SF_DIR).collect():
+            exp = expected[r["payload"]]
+            for col, field in cols.items():
+                assert r[col] == exp[field], (qfn.__name__, col, r[col], exp[field])
+    # the fork-dependent type-24 fields, per part
+    rows = {r["part_no"]: r for r in Q.q34_static_report_sql(spark, SF_DIR).collect()}
+    exp_part = {expected[p]["partNo"]: expected[p] for p in Q.STATIC_REPORT_PAYLOADS}
+    assert rows[0]["ship_name"] == exp_part[0]["shipName"] and rows[0]["vendor"] is None
+    assert rows[1]["ship_name"] is None
+    assert rows[1]["vendor"] == exp_part[1]["vendor"]
+    assert rows[1]["callsign"] == exp_part[1]["callsign"]
+    assert rows[1]["to_bow"] == exp_part[1]["to_bow"]
+
+
 def test_bitfield_sql_matches_python_kernel(spark):
     """The generic SQL bit-field extractor (arbitrary spans, signed and
     unsigned) agrees with the Python Bits kernel AND the reference-golden
