@@ -39,15 +39,37 @@ def _ais_flagship(spark, sf: float) -> float:
             for s in groups[i % len(groups)]:
                 f.write(f"\\s:rBENCH,c:{t}*00" + s + "\n")
             t += 1
-    t0 = time.time()
-    # gold_path persists the gold table mid-pipeline (the reference writes
-    # then analyzes, ais_analysis.py:477) — occupancy reads it back instead
-    # of re-executing the decode DAG.
-    gold, occupancy = batch_archive_analysis(
-        spark, path, gold_path=os.path.join(tmp, "gold")
+    # A bench-scale archive is a few MB — one file split — which would pin
+    # the scan-side tokenize/checksum stages to one core (at production
+    # scale the archive naturally yields thousands of 128MB splits and this
+    # knob is irrelevant). Split it so the whole pipeline uses the cluster.
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    # Untimed warmup on a tiny archive: compiles the ~20 codegen stages of
+    # the flagship DAG once, so the timed run measures the pipeline, not
+    # janino (same policy as the catalog warmup above).
+    wpath = os.path.join(tmp, "warmup.log")
+    with open(wpath, "w") as f:
+        for i in range(200):
+            for s in groups[i % len(groups)]:
+                f.write(f"\\s:rBENCH,c:{1673222400 + i}*00" + s + "\n")
+    wgold, woccupancy = batch_archive_analysis(
+        spark, wpath, gold_path=os.path.join(tmp, "gold_warm")
     )
-    occupancy.write.mode("overwrite").format("noop").save()
-    return time.time() - t0
+    woccupancy.write.mode("overwrite").format("noop").save()
+
+    t0 = time.time()
+    try:
+        # gold_path persists the gold table mid-pipeline (the reference
+        # writes then analyzes, ais_analysis.py:477) — occupancy reads it
+        # back instead of re-executing the decode DAG.
+        gold, occupancy = batch_archive_analysis(
+            spark, path, gold_path=os.path.join(tmp, "gold")
+        )
+        occupancy.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
 
 def main() -> None:
@@ -65,12 +87,14 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
 
     # Spin up the Arrow Python-UDF worker pool (first pandas-UDF call pays
-    # several seconds of worker fork/import otherwise).
+    # several seconds of worker fork + numpy/pandas import otherwise). One
+    # task per core so EVERY worker is forked and warm, not just one.
     from pincspark.decode.kernel import decode_ais
 
-    decode_ais(
-        spark.createDataFrame([("15R9eN001n7DHvT13w0TBSM>00Rm",)], "payload STRING")
-    ).write.mode("overwrite").format("noop").save()
+    warm = spark.createDataFrame(
+        [("15R9eN001n7DHvT13w0TBSM>00Rm",)] * (cpus * 2), "payload STRING"
+    ).repartition(cpus * 2)
+    decode_ais(warm).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, (fn, _) in QUERIES.items():

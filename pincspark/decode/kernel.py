@@ -47,9 +47,9 @@ def decode_payload(payload: str) -> dict:
 
 @pandas_udf(DECODED)
 def decode_udf(payload: pd.Series) -> pd.DataFrame:
-    recs = [decode_payload(p) if p is not None else {c: None for c in _TOP_COLS}
-            for p in payload]
-    return pd.DataFrame.from_records(recs, columns=_TOP_COLS)
+    from pincspark.decode.vectorized import decode_batch
+
+    return decode_batch(payload, _TOP_COLS, decode_payload)
 
 
 def decode_ais(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -96,7 +96,58 @@ def routing_mmsi(payload: Column) -> Column:
     return F.when(F.length(payload) >= 7, val).otherwise(F.lit(None))
 
 
-def bitfield(payload: Column, start: int, nbits: int, signed: bool = False) -> Column:
+def _armor_sql(p: str, i: int, dialect: str, vals: str | None = None) -> str:
+    """6-bit armor value of char i (1-based) as a SQL string in the given
+    dialect. The two dialects compute IDENTICAL integers — that is the whole
+    correctness story of the SQL decode oracle. With ``vals`` set, reads the
+    precomputed armor-value array instead (see :func:`armor_vals_sql`)."""
+    if vals is not None:
+        return f"element_at({vals}, {i})"
+    ch = f"unicode({p}[{i}])" if dialect == "duckdb" else f"ascii(substring({p}, {i}, 1))"
+    return f"(CASE WHEN {ch} - 48 > 40 THEN {ch} - 56 ELSE {ch} - 48 END)"
+
+
+def armor_vals_sql(payload_expr: str = "payload") -> str:
+    """Spark SQL for the per-row armor-value array: de-armor every payload
+    char ONCE into `transform(split(payload, ''), ...)`.
+
+    Project this as its own column (`.withColumn("__vals", F.expr(...))`)
+    and pass ``vals="__vals"`` to bitfield/sixbit_text: each field then
+    costs a couple of element_at nodes instead of re-deriving
+    ascii(substring(...)) per covering char. Catalyst will NOT collapse the
+    projection into the consumers (CollapseProject refuses to duplicate a
+    non-cheap alias referenced more than once), so the array is computed
+    once per row — and the decode expression tree shrinks ~10x, which is
+    what keeps analysis/optimization of text-heavy decodes (q32/q34) fast."""
+    return (
+        f"transform(split({payload_expr}, ''), c -> "
+        "(CASE WHEN ascii(c) - 48 > 40 THEN ascii(c) - 56 ELSE ascii(c) - 48 END))"
+    )
+
+
+def bitfield_sql(
+    payload_expr: str, start: int, nbits: int, signed: bool = False,
+    dialect: str = "duckdb", vals: str | None = None,
+) -> str:
+    """:func:`bitfield` as a SQL string (dialect 'duckdb' for the oracle,
+    'spark' for F.expr). Identical integer arithmetic (including the
+    too-short-payload NULL guard) so results hash-match across engines."""
+    i0, i1 = start // 6, (start + nbits - 1) // 6
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(i0, i1 + 1):
+        acc = f"({acc} * 64 + {_armor_sql(payload_expr, i + 1, dialect, vals)})"
+    shift = (i1 + 1) * 6 - (start + nbits)
+    shifted = f"({acc} >> {shift})" if dialect == "duckdb" else f"shiftright({acc}, {shift})"
+    val = f"({shifted} & {(1 << nbits) - 1})"
+    if signed:
+        val = f"(CASE WHEN {val} >= {1 << (nbits - 1)} THEN {val} - {1 << nbits} ELSE {val} END)"
+    return f"(CASE WHEN length({payload_expr}) >= {i1 + 1} THEN {val} ELSE NULL END)"
+
+
+def bitfield(
+    payload: Column | str, start: int, nbits: int, signed: bool = False,
+    vals: str | None = None,
+) -> Column:
     """P4 as a pure column expression for ANY fixed bit span: fold the
     covering armored chars into one integer, shift/mask/sign-extend. All
     int64 arithmetic — whole-stage codegen, and portable verbatim to the
@@ -106,7 +157,14 @@ def bitfield(payload: Column, start: int, nbits: int, signed: bool = False) -> C
     NULL when the payload does not cover the span: substring past the end
     yields '' and ascii('') = 0 would otherwise fold to plausible-looking
     garbage (the Python kernel clamps instead — callers that want the
-    clamping semantics go through the pandas kernel)."""
+    clamping semantics go through the pandas kernel).
+
+    Pass the payload as a STRING column name where possible: the expression
+    is then built as one SQL string -> one F.expr call, instead of
+    thousands of py4j round trips (~100x faster query construction for
+    text-heavy decodes)."""
+    if isinstance(payload, str):
+        return F.expr(bitfield_sql(payload, start, nbits, signed, dialect="spark", vals=vals))
     i0, i1 = start // 6, (start + nbits - 1) // 6
     acc: Column = F.lit(0).cast("bigint")
     for i in range(i0, i1 + 1):
@@ -118,25 +176,72 @@ def bitfield(payload: Column, start: int, nbits: int, signed: bool = False) -> C
     return F.when(F.length(payload) >= i1 + 1, val).otherwise(F.lit(None))
 
 
-def bitfield_sql(payload_expr: str, start: int, nbits: int, signed: bool = False) -> str:
-    """DuckDB mirror of :func:`bitfield` — identical integer arithmetic
-    (including the too-short-payload NULL guard) so results hash-match."""
-    armor = (
-        "(CASE WHEN unicode({p}[{i}]) - 48 > 40 "
-        "THEN unicode({p}[{i}]) - 56 ELSE unicode({p}[{i}]) - 48 END)"
+def sixbit_text_sql(
+    payload_expr: str, start: int, length: int, dialect: str = "duckdb",
+    vals: str | None = None,
+) -> str:
+    """:func:`sixbit_text` as a SQL string (dialect 'duckdb' for the
+    oracle, 'spark' for F.expr) — identical 6-bit-group arithmetic on both
+    engines so text fields hash-match.
+
+    The spark dialect builds the char array with higher-order functions
+    over the group INDEX (one small lambda regardless of field width)
+    instead of unrolling per char: an unrolled 20-char field costs >1s of
+    whole-stage-codegen janino compilation PER RUN, while the HOF form
+    keeps plans tiny and evaluates in interpreted mode per element —
+    microseconds per row, and the right trade for a fixed-width text field
+    (numeric hot fields stay on the unrolled codegen'd ``bitfield`` path).
+    Pass ``vals`` (see :func:`armor_vals_sql`) so the lambda reads the
+    per-row armor array by attribute; without it the armor transform is
+    inlined into the lambda and recomputed per element (fine for tests)."""
+    k = length // 6
+    if dialect == "duckdb":
+        groups = []
+        for j in range(k):
+            pos = start + 6 * j
+            i0, i1 = pos // 6, (pos + 5) // 6
+            if i0 == i1:
+                acc = _armor_sql(payload_expr, i0 + 1, dialect, vals)
+            else:
+                acc = (
+                    f"({_armor_sql(payload_expr, i0 + 1, dialect, vals)} * 64 "
+                    f"+ {_armor_sql(payload_expr, i1 + 1, dialect, vals)})"
+                )
+            shift = (i1 + 1) * 6 - (pos + 6)
+            code = f"(({acc} >> {shift}) & 63)"
+            # codes < 32 map to '@'..'_' (+64), >= 32 stay: branch-free
+            # `code + 64 - ((code >> 5) << 6)` avoids nested CASE duplication
+            ch = f"chr(CAST({code} + 64 - (({code} >> 5) << 6) AS INTEGER))"
+            groups.append(
+                f"(CASE WHEN length({payload_expr}) >= {i1 + 1} THEN {ch} ELSE '' END)"
+            )
+        concat = "concat(" + ", ".join(groups) + ")"
+        s = f"trim(split_part({concat}, '@', 1))"
+        return f"(CASE WHEN {s} = '' THEN 'Not available' ELSE {s} END)"
+
+    v = vals if vals is not None else f"({armor_vals_sql(payload_expr)})"
+    s0, r = start // 6, start % 6
+    # group j (1-based) covers chars s0+j (and s0+j+1 when unaligned)
+    if r == 0:
+        code = f"element_at({v}, {s0} + j)"
+    else:
+        code = (
+            f"(shiftright(element_at({v}, {s0} + j) * 64 "
+            f"+ element_at({v}, {s0} + j + 1), {6 - r}) & 63)"
+        )
+    n_avail = (
+        f"greatest(0, least({k}, CAST((length({payload_expr}) * 6 - {start}) / 6 AS INT)))"
     )
-    i0, i1 = start // 6, (start + nbits - 1) // 6
-    acc = "CAST(0 AS BIGINT)"
-    for i in range(i0, i1 + 1):
-        acc = f"({acc} * 64 + {armor.format(p=payload_expr, i=i + 1)})"
-    shift = (i1 + 1) * 6 - (start + nbits)
-    val = f"(({acc} >> {shift}) & {(1 << nbits) - 1})"
-    if signed:
-        val = f"(CASE WHEN {val} >= {1 << (nbits - 1)} THEN {val} - {1 << nbits} ELSE {val} END)"
-    return f"(CASE WHEN length({payload_expr}) >= {i1 + 1} THEN {val} ELSE NULL END)"
+    codes = (
+        f"(CASE WHEN {n_avail} >= 1 THEN transform(sequence(1, {n_avail}), j -> {code}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+    )
+    chars = f"transform({codes}, c -> char(c + 64 - shiftleft(shiftright(c, 5), 6)))"
+    s = f"trim(split_part(array_join({chars}, ''), '@', 1))"
+    return f"(CASE WHEN {s} = '' THEN 'Not available' ELSE {s} END)"
 
 
-def sixbit_text(payload: Column, start: int, length: int) -> Column:
+def sixbit_text(payload: str, start: int, length: int, vals: str | None = None) -> Column:
     """P5 (6-bit ASCII text) as a pure column expression — the SQL twin of
     ``Bits.text`` (functions/nmea.py): each 6-bit group maps codes < 32 into
     '@'..'_', the string truncates at the first '@' padding char, strips,
@@ -145,59 +250,13 @@ def sixbit_text(payload: Column, start: int, length: int) -> Column:
     callsign / destination extraction (ais_parser.py:18-31) minus its
     '@@@@@' -> 'Not available' quirk (documented divergence, nmea.py:12-18).
 
-    Pure concat of per-group char() expressions — whole-stage codegen,
-    mirrored verbatim by :func:`sixbit_text_sql` for the DuckDB oracle."""
-    from pincspark.functions.nmea import NOT_AVAILABLE
-
-    chars = []
-    for j in range(length // 6):
-        pos = start + 6 * j
-        i0, i1 = pos // 6, (pos + 5) // 6
-        if i0 == i1:
-            acc = _char_val(payload, i0).cast("bigint")
-        else:
-            acc = _char_val(payload, i0).cast("bigint") * F.lit(64) + _char_val(
-                payload, i1
-            ).cast("bigint")
-        shift = (i1 + 1) * 6 - (pos + 6)
-        code = F.shiftright(acc, shift).bitwiseAND(F.lit(63))
-        # codes < 32 map to '@'..'_' (+64), >= 32 stay: branch-free
-        # `code + 64 - ((code >> 5) << 6)` keeps the expression tree small
-        # enough for whole-stage codegen (a 20-char field otherwise blows
-        # janino's 64 KB method limit via nested CASE duplication).
-        ch = F.char(code + F.lit(64) - F.shiftleft(F.shiftright(code, 5), 6))
-        chars.append(F.when(F.length(payload) >= i1 + 1, ch).otherwise(F.lit("")))
-    s = F.trim(F.substring_index(F.concat(*chars), "@", 1))
-    return F.when(s == "", F.lit(NOT_AVAILABLE)).otherwise(s)
-
-
-def sixbit_text_sql(payload_expr: str, start: int, length: int) -> str:
-    """DuckDB mirror of :func:`sixbit_text` — identical char-by-char
-    construction so text fields hash-match."""
-    armor = (
-        "(CASE WHEN unicode({p}[{i}]) - 48 > 40 "
-        "THEN unicode({p}[{i}]) - 56 ELSE unicode({p}[{i}]) - 48 END)"
-    )
-    groups = []
-    for j in range(length // 6):
-        pos = start + 6 * j
-        i0, i1 = pos // 6, (pos + 5) // 6
-        if i0 == i1:
-            acc = armor.format(p=payload_expr, i=i0 + 1)
-        else:
-            acc = (
-                f"({armor.format(p=payload_expr, i=i0 + 1)} * 64 "
-                f"+ {armor.format(p=payload_expr, i=i1 + 1)})"
-            )
-        shift = (i1 + 1) * 6 - (pos + 6)
-        code = f"(({acc} >> {shift}) & 63)"
-        ch = f"chr(CAST({code} + 64 - (({code} >> 5) << 6) AS INTEGER))"
-        groups.append(
-            f"(CASE WHEN length({payload_expr}) >= {i1 + 1} THEN {ch} ELSE '' END)"
-        )
-    concat = "concat(" + ", ".join(groups) + ")"
-    s = f"trim(split_part({concat}, '@', 1))"
-    return f"(CASE WHEN {s} = '' THEN 'Not available' ELSE {s} END)"
+    Takes the payload as a column NAME and compiles to one F.expr over a
+    generated SQL string: building a 20-char field out of pyspark Column
+    operators costs thousands of py4j round trips in query construction
+    alone; the SQL string is one call, and the arithmetic (branch-free char
+    mapping, no nested CASE duplication) stays inside whole-stage codegen.
+    Mirrored verbatim by the 'duckdb' dialect for the oracle."""
+    return F.expr(sixbit_text_sql(payload, start, length, dialect="spark", vals=vals))
 
 
 def checksum_valid(sentence: Column) -> Column:

@@ -1070,7 +1070,7 @@ def q31_position_decode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pincspark.decode.kernel import bitfield
 
     df = spark.createDataFrame([(p,) for p in POSITION_PAYLOADS], "payload STRING")
-    p = F.col("payload")
+    p = "payload"
     return df.select(
         "payload",
         bitfield(p, 0, 6).cast("int").alias("message_type"),
@@ -1131,10 +1131,15 @@ def q32_static_voyage_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     with generated column expressions, no Python. Field spans match
     decode_static_voyage (families.py) == ais_parser.py:113-141; the oracle
     runs the identical integer/char arithmetic."""
-    from pincspark.decode.kernel import bitfield, sixbit_text
+    from pincspark.decode.kernel import armor_vals_sql, bitfield, sixbit_text
+    from functools import partial
 
-    df = spark.createDataFrame([(STATIC_VOYAGE_PAYLOAD,)], "payload STRING")
-    p = F.col("payload")
+    df = spark.createDataFrame(
+        [(STATIC_VOYAGE_PAYLOAD,)], "payload STRING"
+    ).withColumn("__vals", F.expr(armor_vals_sql("payload")))
+    p = "payload"
+    bitfield = partial(bitfield, vals="__vals")
+    sixbit_text = partial(sixbit_text, vals="__vals")
     return df.select(
         "payload",
         bitfield(p, 0, 6).cast("int").alias("message_type"),
@@ -1203,7 +1208,7 @@ def q33_classb_longrange_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         [(CLASSB_PAYLOAD,), (LONG_RANGE_PAYLOAD,)], "payload STRING"
     )
-    p = F.col("payload")
+    p = "payload"
     mt = bitfield(p, 0, 6)
 
     def pick(b18, b27):
@@ -1263,12 +1268,15 @@ def q34_static_report_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     partNo and the mothership-vs-dimensions fork on mmsi==0
     (decode_static_report == ais_parser.py:646-680, spec fix D3). Fields
     outside the taken fork are NULL."""
-    from pincspark.decode.kernel import bitfield, sixbit_text
+    from pincspark.decode.kernel import armor_vals_sql, bitfield, sixbit_text
+    from functools import partial
 
     df = spark.createDataFrame(
         [(x,) for x in STATIC_REPORT_PAYLOADS], "payload STRING"
-    )
-    p = F.col("payload")
+    ).withColumn("__vals", F.expr(armor_vals_sql("payload")))
+    p = "payload"
+    bitfield = partial(bitfield, vals="__vals")
+    sixbit_text = partial(sixbit_text, vals="__vals")
     part_no = bitfield(p, 38, 2)
     mmsi = bitfield(p, 8, 30)
     is_a = part_no == 0

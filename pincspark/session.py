@@ -23,6 +23,12 @@ def get_spark(app_name: str = "pincspark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Default minPartitionSize (1MB) lets AQE coalesce a small-but-CPU-
+        # heavy stage (e.g. the Python decode behind a few-MB shuffle) down
+        # to 1-2 tasks, serializing it. 64KB keeps small shuffles spread
+        # across cores; at cluster scale partitions are orders of magnitude
+        # above either threshold, so behavior there is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
