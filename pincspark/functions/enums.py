@@ -212,20 +212,70 @@ SLOT_TIMEOUT = {
     1: "frames are left until slot change",
 }
 
-# name -> (table, clamp) where clamp(code_col) reproduces the reference's
-# out-of-range handling (ais_parser.py:38,123,615,202,...).
+# name -> (max in-range code, out-of-range fallback code) reproducing the
+# reference's clamping (ais_parser.py:38,123,615,202,...); None = no clamp.
+# Single source for BOTH the pyspark clamp expression and the SQL oracle's
+# CASE mirror (clamp_sql).
+CLAMPS: dict[str, tuple[int, int] | None] = {
+    "message_type": None,
+    "nav_status": (15, 15),
+    "ship_type": (99, 99),
+    "epfd": (15, 0),
+    "aid_type": (31, 0),
+    "beaufort": (15, 13),
+    "precipitation": (7, 7),
+    "common_indicator": (3, 3),
+    "common_indicator_yesno": (3, 3),
+    "sync_state": (3, 0),
+    "slot_timeout": (1, 1),
+}
+
+
+def _clamp_fn(spec: tuple[int, int] | None):
+    if spec is None:
+        return lambda c: c
+    thr, fb = spec
+    return lambda c: F.when(c <= thr, c).otherwise(F.lit(fb))
+
+
+def clamp_sql(name: str, code_expr: str) -> str:
+    """The clamp as an ANSI-SQL expression (oracle mirror of the pyspark
+    clamp built from the same CLAMPS entry)."""
+    spec = CLAMPS[name]
+    if spec is None:
+        return code_expr
+    thr, fb = spec
+    return f"(CASE WHEN {code_expr} <= {thr} THEN {code_expr} ELSE {fb} END)"
+
+
+def lookup_sql(name: str, code_expr: str) -> str:
+    """The full description lookup (clamp + code->name mapping) as an
+    ANSI-SQL CASE chain generated from the SAME table dict the Spark side
+    uses — the oracle for P22/J4."""
+    table, _ = ENUMS[name]
+    c = clamp_sql(name, code_expr)
+    arms = " ".join(
+        f"WHEN {k} THEN '" + v.replace("'", "''") + "'" for k, v in sorted(table.items())
+    )
+    return f"(CASE {c} {arms} ELSE NULL END)"
+
+
+# name -> (table, clamp)
 ENUMS: dict[str, tuple[dict[int, str], object]] = {
-    "message_type": (MESSAGE_TYPE, lambda c: c),
-    "nav_status": (NAV_STATUS, lambda c: F.when(c <= 15, c).otherwise(F.lit(15))),
-    "ship_type": (SHIP_TYPE, lambda c: F.when(c <= 99, c).otherwise(F.lit(99))),
-    "epfd": (EPFD, lambda c: F.when(c <= 15, c).otherwise(F.lit(0))),
-    "aid_type": (AID_TYPE, lambda c: F.when(c <= 31, c).otherwise(F.lit(0))),
-    "beaufort": (BEAUFORT, lambda c: F.when(c <= 15, c).otherwise(F.lit(13))),
-    "precipitation": (PRECIPITATION, lambda c: F.when(c <= 7, c).otherwise(F.lit(7))),
-    "common_indicator": (COMMON_INDICATOR, lambda c: F.when(c <= 3, c).otherwise(F.lit(3))),
-    "common_indicator_yesno": (COMMON_INDICATOR_YESNO, lambda c: F.when(c <= 3, c).otherwise(F.lit(3))),
-    "sync_state": (SYNC_STATE, lambda c: F.when(c <= 3, c).otherwise(F.lit(0))),
-    "slot_timeout": (SLOT_TIMEOUT, lambda c: F.when(c <= 1, c).otherwise(F.lit(1))),
+    name: (table, _clamp_fn(CLAMPS[name]))
+    for name, table in {
+        "message_type": MESSAGE_TYPE,
+        "nav_status": NAV_STATUS,
+        "ship_type": SHIP_TYPE,
+        "epfd": EPFD,
+        "aid_type": AID_TYPE,
+        "beaufort": BEAUFORT,
+        "precipitation": PRECIPITATION,
+        "common_indicator": COMMON_INDICATOR,
+        "common_indicator_yesno": COMMON_INDICATOR_YESNO,
+        "sync_state": SYNC_STATE,
+        "slot_timeout": SLOT_TIMEOUT,
+    }.items()
 }
 
 

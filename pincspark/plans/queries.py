@@ -1040,17 +1040,38 @@ ORACLE_Q28 = _rolling_oracle()
 
 def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 scale path: approx_count_distinct (HLL++) next to the exact count
-    — the 100-TB variant of q10's exact distinct. HLL sketches are
-    engine-specific, so no cross-engine oracle (rows-only check); the test
-    suite asserts the estimate lands within the configured rsd."""
+    — the 100-TB variant of q10's exact distinct. HLL sketch values are
+    engine-specific and cannot hash-match a different engine, so the
+    oracle-hashable outputs are the exact count plus ``approx_within_rsd``
+    = |approx - exact| <= 3*rsd*exact (a 3-sigma bound the estimator must
+    satisfy); the oracle computes the exact count and literal TRUE, making
+    the sketch's accuracy — the part that matters — fully oracle-gated."""
     ev = table(spark, sf_dir, "events")
+    rsd = 0.05
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
         )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.lit(3 * rsd) * F.col("exact_users")
+            ).alias("approx_within_rsd"),
+        )
     )
+
+
+ORACLE_Q26 = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_rsd
+FROM events
+GROUP BY event_type
+"""
 
 
 # Position-report payloads from the golden corpus (types 1/3) + a class-B
@@ -1339,6 +1360,50 @@ FROM raw
 ORACLE_Q34 = _q34_oracle()
 
 
+# The enums exercised through the broadcast-join path (J4) vs the scalar
+# CASE-lookup path (P23) in q35; together they cover all 11 tables.
+_ENUM_JOIN_NAMES = (
+    "message_type", "nav_status", "ship_type", "epfd",
+    "aid_type", "beaufort", "precipitation", "common_indicator",
+)
+_ENUM_LOOKUP_NAMES = ("common_indicator_yesno", "sync_state", "slot_timeout")
+
+
+def q35_enum_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P22/J4/P23 oracle-gated: every code 0..127 through ALL 11 enum
+    description tables with the reference's clamping semantics
+    (ais_parser.py:38,98,123,202,...): 8 broadcast dimension joins plus 3
+    scalar CASE lookups. The spine deliberately overshoots every table's
+    range so each clamp fallback and each no-clamp NULL is exercised; the
+    oracle regenerates the CASE chains from the same table dicts."""
+    from pincspark.functions.enums import attach_enum, lookup
+
+    df = spark.range(0, 128).select(F.col("id").cast("int").alias("code"))
+    for name in _ENUM_JOIN_NAMES:
+        df = attach_enum(df, spark, "code", name, f"{name}_desc")
+    for name in _ENUM_LOOKUP_NAMES:
+        df = df.withColumn(f"{name}_desc", lookup(F.col("code"), name))
+    return df
+
+
+def _q35_oracle() -> str:
+    from pincspark.functions.enums import lookup_sql
+
+    c = "CAST(range AS INTEGER)"
+    cols = ",\n       ".join(
+        f"{lookup_sql(name, c)} AS {name}_desc"
+        for name in (*_ENUM_JOIN_NAMES, *_ENUM_LOOKUP_NAMES)
+    )
+    return f"""
+SELECT {c} AS code,
+       {cols}
+FROM range(0, 128)
+"""
+
+
+ORACLE_Q35 = _q35_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1438,7 +1503,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
     "q25_hourly_windows": (q25_hourly_windows, ORACLE_Q25),
-    "q26_approx_distinct": (q26_approx_distinct, None),
+    "q26_approx_distinct": (q26_approx_distinct, ORACLE_Q26),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
     "q28_rolling_fingerprints": (q28_rolling_fingerprints, ORACLE_Q28),
     "q29_rollup_summary": (q29_rollup_summary, ORACLE_Q29),
@@ -1447,6 +1512,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q32_static_voyage_sql": (q32_static_voyage_sql, ORACLE_Q32),
     "q33_classb_longrange_sql": (q33_classb_longrange_sql, ORACLE_Q33),
     "q34_static_report_sql": (q34_static_report_sql, ORACLE_Q34),
+    "q35_enum_descriptions": (q35_enum_descriptions, ORACLE_Q35),
 }
 
 

@@ -41,14 +41,14 @@ def _rowset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-def test_rows_only_queries_run(spark):
-    """The one oracle-less query (HLL sketches are engine-specific) still
-    executes and estimates within tolerance."""
+def test_approx_distinct_within_rsd(spark):
+    """q26's HLL estimate must satisfy its own 3-sigma rsd bound (the bound
+    is the oracle-hashed output; this pins it truly exercises the sketch)."""
     from pincspark.plans.queries import QUERIES
 
     approx = QUERIES["q26_approx_distinct"][0](spark, SF_DIR)
-    for r in approx.collect():
-        assert r["approx_users"] == pytest.approx(r["exact_users"], rel=0.1)
+    rows = approx.collect()
+    assert rows and all(r["approx_within_rsd"] for r in rows)
 
 
 @pytest.mark.parametrize("name,fn,sql", ORACLED, ids=[n for n, _, _ in ORACLED])
