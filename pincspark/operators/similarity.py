@@ -4,8 +4,10 @@
 Scale notes (100 TB of vectors):
 - Brute force is a broadcast of the (small) query set against a full corpus
   scan — embarrassingly parallel, no corpus shuffle; the per-query top-k is
-  taken with ONE aggregation using map-side partial top-k (min_by-style
-  struct ordering), not a global sort.
+  two-phase: a per-input-partition top-k first (the exchange and sort
+  spread over partitions x queries groups), then a final merge over the
+  surviving partitions x k candidates per query — never a single-reducer
+  sort of the whole scored set per query.
 - IVF: k centroids are chosen deterministically from the corpus, every
   corpus vector is assigned to its nearest centroid once (narrow pass +
   broadcast of centroids), and each query probes only ``nprobe`` nearest
@@ -35,6 +37,16 @@ def cosine_topk(
     Returns (query_id, neighbor_id, rank, score) with rank 1..k, score
     rounded to 6 dp; ties broken by neighbor id ascending (deterministic).
     Self-matches (query_id == neighbor_id) are excluded.
+
+    Two-phase top-k: phase 1 ranks within (query, input partition) — the
+    exchange hashes on (query, partition id), so the sort parallelism is
+    partitions x queries and no reducer ever sees more than one partition's
+    scores for one query. Phase 2 merges the surviving <= partitions x k
+    candidates per query (tiny). The result is identical to a global
+    per-query sort: every partition keeps its k best under the total order
+    (score desc, neighbor asc), which must contain the global k best.
+    A single per-query window here would funnel the entire scored corpus
+    through one reducer per query — the 100-TB anti-pattern.
     """
     q = F.broadcast(queries.select(query_id, query_vec))
     corpus_spread = corpus.repartition(
@@ -50,13 +62,81 @@ def cosine_topk(
             F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6).alias("score"),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+    order = (F.col("score").desc(), F.col("neighbor_id").asc())
+    w_part = Window.partitionBy(query_id, "__part").orderBy(*order)
+    candidates = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__r1", F.row_number().over(w_part))
+        .filter(F.col("__r1") <= k)
     )
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "score")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means centroids for the IVF index:
+    initialized from the ``num_cells`` smallest-id vectors (no RNG — fully
+    reproducible), refined with ``iters`` Lloyd iterations under cosine
+    similarity. Returns (cell, centroid).
+
+    Scale shape per iteration: assignment is a broadcast of k centroids
+    against a corpus scan (narrow, no corpus shuffle) + one window over the
+    k candidate scores per vector; the centroid update posexplodes to
+    (cell, dim) and mean-aggregates — ONE shuffle of N*D scalar rows with
+    map-side partial averages, never a collect_list of member vectors.
+    Driver only ever materializes the k centroid vectors between
+    iterations (tiny)."""
+    centroids = [
+        (int(r[0]), list(r[1]))
+        for r in corpus.orderBy(F.col(id_col).asc()).limit(num_cells)
+        .select(id_col, vec_col).collect()
+    ]
+    spark = corpus.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    corpus = corpus.repartition(n, id_col)
+    for _ in range(iters):
+        cent_df = F.broadcast(
+            spark.createDataFrame(centroids, ["cell", "centroid"])
+        )
+        scored = corpus.crossJoin(cent_df).select(
+            id_col, vec_col, "cell",
+            F.round(cosine(F.col(vec_col), F.col("centroid")), 9).alias("cscore"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cscore").desc(), F.col("cell").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cell", vec_col)
+        )
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cell", F.col("pm.m").alias("centroid"))
+        )
+        new = {int(r["cell"]): list(r["centroid"]) for r in means.collect()}
+        # empty cells keep their previous centroid (deterministic)
+        centroids = [(c, new.get(c, v)) for c, v in centroids]
+    return spark.createDataFrame(centroids, ["cell", "centroid"]).select(
+        "cell", F.col("centroid").alias("centroid")
     )
 
 
@@ -65,16 +145,20 @@ def ivf_assign(
     num_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index build: centroids = the ``num_cells`` corpus
-    vectors with the smallest ids (reproducible without RNG; swap in k-means
-    centroids offline for production). Returns (centroids, assigned) where
-    ``assigned`` adds a ``cell`` column via nearest-centroid cosine."""
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(num_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
-    )
+    """Deterministic IVF index build. Default centroids = the ``num_cells``
+    corpus vectors with the smallest ids (reproducible without RNG and
+    portable to the SQL oracle); pass ``centroids=kmeans_centroids(...)``
+    for the production-quality index (recall@k pinned in
+    tests/test_scale.py). Returns (centroids, assigned) where ``assigned``
+    adds a ``cell`` column via nearest-centroid cosine."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(num_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+        )
     corpus = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, id_col
     )
@@ -105,10 +189,14 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest IVF cells per
-    query. Same output shape as :func:`cosine_topk`."""
-    centroids, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
+    query. Same output shape as :func:`cosine_topk`. Pass
+    ``centroids=kmeans_centroids(corpus, ...)`` for the trained index."""
+    centroids, assigned = ivf_assign(
+        corpus, num_cells, corpus_id, corpus_vec, centroids=centroids
+    )
 
     qcells = (
         queries.crossJoin(F.broadcast(centroids))

@@ -105,6 +105,16 @@ def test_lsh_degenerate_bucket_capped(spark):
     assert minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=100).count() == 66
 
 
+def test_cosine_topk_two_phase(spark):
+    """cosine_topk must rank per (query, input partition) BEFORE the final
+    per-query merge: two Window operators, the first keyed by
+    spark_partition_id — never one global per-query sort of all scores."""
+    df = Q.q18_knn_cosine(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+
+
 def test_decode_routing_prunes_before_python(spark, tmp_path):
     """Filtering on the SQL routing fast path must not invoke the Python
     decode for filtered-out rows: the filter sits below ArrowEvalPython."""

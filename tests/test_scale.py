@@ -41,3 +41,33 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_kmeans_recall(spark):
+    """Trained IVF (spherical k-means centroids, deterministic smallest-id
+    init) must reach recall@5 >= 0.9 vs the exact brute-force top-k at
+    sf0.01 probing 8 of 16 cells. (The synthetic embeddings are near-
+    uniform random, the worst case for clustering — real corpora cluster
+    and need a smaller probe fraction; the test pins the index returns
+    near-exact results at half the scan cost, not just plumbing.)"""
+    from pyspark.sql import functions as F
+
+    from pincspark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from tests.conftest import SF_DIR_T2
+
+    emb = table(spark, SF_DIR_T2, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    cents = kmeans_centroids(emb, num_cells=16, iters=5)
+    approx = ivf_topk(emb, queries, k=5, num_cells=16, nprobe=8, centroids=cents)
+    hits = exact.select("query_id", "neighbor_id").intersect(
+        approx.select("query_id", "neighbor_id")
+    )
+    recall = hits.count() / exact.count()
+    assert recall >= 0.9, recall
