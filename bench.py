@@ -105,17 +105,44 @@ def main() -> None:
     timings["ais_flagship"] = round(_ais_flagship(spark, sf), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Regression harness: compare against the best prior run at this sf
+    # (bench_history.jsonl, committed per round). Machine noise here is
+    # documented at up to ~2x, so regressions are REPORTED in the JSON and
+    # on stderr rather than failing the run; >1.5x vs the best-known time
+    # is the flag threshold.
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
+    best: dict[str, float] = {}
+    if os.path.exists(hist_path):
+        for line in open(hist_path):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("sf") != sf:
+                continue
+            for q, t in rec.get("queries", {}).items():
+                if q not in best or t < best[q]:
+                    best[q] = t
+    regressions = {
+        q: {"now": t, "best": best[q], "ratio": round(t / best[q], 2)}
+        for q, t in timings.items()
+        if q in best and best[q] > 0.2 and t > 1.5 * best[q]
+    }
+    if regressions:
+        result["regressions"] = regressions
+        print(f"WARN bench regressions vs best prior run: {regressions}", file=sys.stderr)
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"sf": sf, "value": total, "queries": timings}) + "\n")
+
+    print(json.dumps(result))
     sys.stdout.flush()
     spark.stop()
 

@@ -8,8 +8,9 @@ timestamps, left rows with no prior right row keep nulls.
 
 Spark-first implementation: a **union + carry-forward window** rather than a
 range join. Both inputs are tagged and unioned, then a single window
-``partitionBy(key).orderBy(ts, side)`` carries the latest right-side values
-forward with ``last(..., ignorenulls=True)``. This costs exactly ONE shuffle
+``partitionBy(key).orderBy(ts, side)`` carries the latest right ROW forward
+as one struct with ``last(..., ignorenulls=True)`` (struct-wise, so NULL
+fields of the matched row survive like merge_asof). This costs exactly ONE shuffle
 on the key (the same shuffle a groupBy would need) and no join at all —
 at 100 TB this beats the naive range-join + re-rank formulation, which
 explodes into an O(n*m) intermediate per key before ranking. Skewed keys are
@@ -49,6 +50,8 @@ def asof_join(
             left column names; the right's ``on`` column is always carried as
             ``on + suffix``.
     """
+    from pyspark.sql import types as T
+
     by_cols = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by_cols) | {on}]
@@ -56,17 +59,27 @@ def asof_join(
     carried = {c: c + suffix if c in left.columns else c for c in right_cols}
     carried_on = on + suffix
 
-    l_tagged = left.withColumn("__side", F.lit(1))
-    for c in right_cols:
-        l_tagged = l_tagged.withColumn(carried[c], F.lit(None).cast(right.schema[c].dataType))
-    l_tagged = l_tagged.withColumn(carried_on, F.lit(None).cast(right.schema[on].dataType))
-
+    # The carried right columns travel as ONE struct, so the window's
+    # last(ignorenulls=True) picks the single latest right ROW — NULL fields
+    # included — exactly like merge_asof attaching the matched row. Carrying
+    # columns individually would coalesce each from a DIFFERENT right row
+    # whenever right rows hold NULLs (e.g. type-24 part A vs part B statics
+    # null different fields).
+    carry_type = T.StructType(
+        [T.StructField(carried[c], right.schema[c].dataType, True) for c in right_cols]
+        + [T.StructField(carried_on, right.schema[on].dataType, True)]
+    )
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__carry", F.lit(None).cast(carry_type)
+    )
     r_tagged = right.select(
         *by_cols,
         F.col(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(carried[c]) for c in right_cols],
-        F.col(on).alias(carried_on),
+        F.struct(
+            *[F.col(c).alias(carried[c]) for c in right_cols],
+            F.col(on).alias(carried_on),
+        ).alias("__carry"),
     )
     for c in left.columns:
         if c not in r_tagged.columns:
@@ -80,12 +93,12 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out_cols = [carried[c] for c in right_cols] + [carried_on]
-    filled = unioned.select(
-        *[c for c in unioned.columns if c not in set(out_cols)],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+    filled = unioned.withColumn("__c", F.last("__carry", ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("__c").getField(carried[c]).alias(carried[c]) for c in right_cols],
+        F.col("__c").getField(carried_on).alias(carried_on),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
 
 
 def asof_join_grouped(

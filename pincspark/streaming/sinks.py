@@ -52,12 +52,23 @@ def upsert_latest(
 
     Existing state (if any) is unioned with the batch and reduced to the
     newest row per key (deterministic tie-break on the key itself happens in
-    latest_per_key's caller-supplied ordering; here order_col desc). The
-    rewrite is atomic via write-to-tmp + rename.
+    latest_per_key's caller-supplied ordering; here order_col desc).
+
+    Swap discipline: write to tmp, rename the live table ASIDE, rename tmp
+    into place, then delete the old copy — a crash at any step leaves a
+    recoverable table (live, or aside as ``path.__old__``), never a window
+    where the state is deleted but the replacement hasn't landed (plain
+    rmtree-then-rename has exactly that window). Single-writer semantics
+    (foreachBatch serializes batches); production multi-writer belongs on a
+    format with transactional commits (Delta MERGE), as noted above.
     """
     from pyspark.sql import functions as F
 
     keys = [key] if isinstance(key, str) else list(key)
+    old = path + ".__old__"
+    if os.path.exists(old) and not os.path.exists(path):
+        # recover from a crash between rename-aside and rename-into-place
+        os.rename(old, path)
     if os.path.exists(path):
         current = spark.read.parquet(path)
         merged = current.unionByName(batch_df, allowMissingColumns=True)
@@ -66,9 +77,13 @@ def upsert_latest(
     latest = latest_per_key(merged, keys, order_by=[F.col(order_col).desc()])
     tmp = path + ".__tmp__"
     latest.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def foreach_batch_upsert(path: str, key: str | Sequence[str], order_col: str):

@@ -59,6 +59,12 @@ def session_counts(
     gap-merged windows; streaming-capable with a watermark) — the built-in
     twin of ``operators.keyed.sessionize`` (tested equivalent on batch).
     Returns one row per session: key, session bounds (epoch micros), count.
+
+    Exact-gap boundary (DIVERGENCES.md D10): both operators KEEP an event
+    landing exactly ``gap`` after its predecessor in the same session —
+    sessionize via ``<=``, session_window because adjacent [t, t+gap)
+    windows merge. Pinned in
+    test_windows_stream.py::test_exact_gap_boundary.
     """
     src = df
     if watermark is not None and src.isStreaming:

@@ -47,3 +47,25 @@ def test_edge_semantics(spark, impl):
     assert got[(1, 20)] == "b"       # equal ts -> inclusive
     assert got[(1, 30)] == "c"       # latest of multiple wins
     assert got[(2, 10)] is None      # key with no right rows at all
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_grouped], ids=["window", "grouped"])
+def test_null_bearing_right_rows_attach_as_one_row(spark, impl):
+    """merge_asof semantics: the single matched right row attaches WHOLE,
+    nulls included — never a per-column coalesce across different right
+    rows. Fixture mirrors type-24 statics where part A (name, null type)
+    and part B (type, null name) alternate: at t=30 the match is the B row,
+    so its null name must NOT be backfilled from the earlier A row."""
+    left = spark.createDataFrame(
+        [(1, 15), (1, 30)], "k BIGINT, t INT"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 10, "ANNA", None), (1, 20, None, 60)],
+        "k BIGINT, t INT, name STRING, stype INT",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    rows = {
+        r["t"].second + 60 * r["t"].minute: (r["name"], r["stype"])
+        for r in impl(left, right, on="t", by="k", right_cols=["name", "stype"]).collect()
+    }
+    assert rows[15] == ("ANNA", None)   # matched row = part A
+    assert rows[30] == (None, 60)       # matched row = part B, name stays null

@@ -140,3 +140,25 @@ def test_streaming_ingest_chain(spark, tmp_path):
     want = {(r["common"]["messageType"], r["common"]["mmsi"]) for r in GOLDEN}
     assert got == want
     assert all(r["ts"] is not None for r in rows)
+
+
+def test_exact_gap_boundary(spark):
+    """An event landing EXACTLY gap after its predecessor stays in the same
+    session under BOTH sessionize (<= by construction) and the native
+    session_window (adjacent [t, t+gap) windows merge). Pins that the
+    tested equivalence of the two operators holds at the boundary too —
+    not just on fixtures that happen to avoid exact-gap pairs."""
+    from pyspark.sql import functions as F
+
+    from pincspark.operators.keyed import sessionize
+    from pincspark.streaming.windows import session_counts
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 60), (1, 200)], "k BIGINT, t INT"
+    ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+
+    sz = sessionize(df, "k", "ts", gap_seconds=60)
+    assert [r["session_id"] for r in sz.orderBy("ts").collect()] == [0, 0, 1]
+
+    native = session_counts(df, "ts", "60 seconds", keys=("k",))
+    assert sorted(r["n_events"] for r in native.collect()) == [1, 2]
