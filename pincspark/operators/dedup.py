@@ -111,6 +111,24 @@ def _pair_combinations(ids: F.Column) -> F.Column:
     )
 
 
+def _member_pairs(members: F.Column) -> F.Column:
+    """All ordered pairs (a, b) of a sorted array of member STRUCTS (sorted
+    by their first field, the id) as array<struct<a, b>> — the payload-
+    carrying variant of :func:`_pair_combinations`, so per-doc attributes
+    (sizes, signatures) ride through the bucket shuffle instead of being
+    re-joined afterwards."""
+    n = F.size(members)
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, n),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact near-exact duplicate flagging by normalized-content fingerprint.
 
@@ -186,30 +204,44 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(band_structs).alias("bs")
     ).select(id_col, "bs.band", "bs.sig")
 
-    pairs = (
-        banded.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids").between(2, max_bucket_size))
-        .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
-    )
-    # Per-doc signature rejoin: NO broadcast hint — at 100 TB the signature
-    # table is one row per document (billions of rows), so a forced broadcast
-    # is a driver/executor OOM. Plain equi-joins let AQE pick the strategy
-    # (it will broadcast the small side — usually the candidate-pair table —
-    # only when its runtime size is under the threshold).
-    sa = sig.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perms)]
-    )
-    sb = sig.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perms)]
-    )
-    joined = pairs.join(sa, "id_a").join(sb, "id_b")
-    est = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perms)
+    # Signatures RIDE THROUGH the bucket shuffle as a member-struct payload
+    # (id + mh array), so the estimated Jaccard is computed inline at pair
+    # expansion and NO rejoin exists at all — the round-1 design joined the
+    # per-doc signature table back twice, which either forces a broadcast
+    # (OOM at billions of docs) or costs two more signature shuffles. The
+    # band replication factor on signature bytes equals `bands` (4), the
+    # price of zero joins.
+    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perms)])
+    banded = sig.select(
+        F.col(id_col), mh_arr.alias("mh"), F.explode(band_structs).alias("bs")
+    ).select(id_col, "mh", "bs.band", "bs.sig")
+
+    est = F.aggregate(
+        F.zip_with(
+            F.col("p.a.mh"), F.col("p.b.mh"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, e: acc + e,
     ) / F.lit(float(num_perms))
-    return joined.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    pair_ests = (
+        banded.groupBy("band", "sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("mh")))
+            ).alias("members")
+        )
+        .filter(F.size("members").between(2, max_bucket_size))
+        .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+    )
+    # a pair found in several bands carries the same estimate: dedup by key
+    return pair_ests.groupBy("id_a", "id_b").agg(
+        F.min("est_jaccard").alias("est_jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -232,27 +264,44 @@ def ngram_jaccard_pairs(
     count loses the ultra-common shingle; the union sizes stay exact). The
     SQL oracle mirrors the cap exactly.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    # per-doc sizes straight off the array — no second explode/shuffle pass
-    sizes = _spread(df, id_col).select(
-        F.col(id_col), F.size(shingle_array(text_col, n)).alias("sz")
+    # Each posting row carries its doc's distinct-shingle count, computed in
+    # the SAME projection as the explode (whole-stage codegen CSEs the
+    # shingle array — the text is normalized/tokenized once). The size then
+    # rides through the posting-list shuffle inside the member structs, so
+    # the Jaccard denominator is available at pair expansion and NO per-doc
+    # size rejoin exists — the round-1 design joined a sizes table back,
+    # which either forces a broadcast (OOM at billions of docs) or costs
+    # two extra shuffles.
+    # Two projections on purpose: __arr materializes once per doc, and the
+    # explode/size below reference it as a plain ATTRIBUTE. Folding
+    # size(<expr>) and explode(<expr>) into one projection re-evaluates the
+    # whole regex+zip_with chain per EXPLODED row (~50x per doc — measured
+    # 65s vs 2s on the sf0.1 bench).
+    base = _spread(df, id_col).select(
+        F.col(id_col), shingle_array(text_col, n).alias("__arr")
+    )
+    sh = base.select(
+        F.col(id_col),
+        F.size("__arr").alias("sz"),
+        F.explode("__arr").alias("shingle"),
     )
     # Inverted-index postings -> pair combinations, no self-join: one
     # shuffle on the shingle, one on the pair.
-    common = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids").between(2, max_posting_size))
-        .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    # Per-doc size rejoin: plain joins, no broadcast hint — sizes is one row
-    # per document (billions at 100 TB); AQE broadcasts the candidate-pair
-    # side instead when it is small enough.
     out = (
-        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        sh.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sz")))
+            ).alias("members")
+        )
+        .filter(F.size("members").between(2, max_posting_size))
+        .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
+        .groupBy(F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("p.a.sz").alias("sz_a"),
+            F.first("p.b.sz").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
