@@ -316,6 +316,65 @@ def ngram_jaccard_pairs(
     return out
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting_size: int = 1000,
+) -> DataFrame:
+    """Train/eval decontamination: for every eval document, which train
+    documents contain a >= ``threshold`` fraction of its word n-gram
+    shingles? Returns (eval_id, train_id, containment).
+
+    Containment |shingles(eval) ∩ shingles(train)| / |shingles(eval)| is
+    the standard benchmark-leak metric (asymmetric on purpose: a short
+    benchmark question embedded in a long train doc scores 1.0 where
+    Jaccard would vanish).
+
+    Shape: one inverted-index pass over both corpora — train postings
+    group once on the shingle, the eval side (carrying its shingle count,
+    see ngram_jaccard_pairs) equi-joins them ON the shingle key both sides
+    are already hash-partitioned by, and one aggregation computes the
+    metric. No doc-level joins, never an eval x train cross product.
+    Shingles in more than ``max_posting_size`` train docs (boilerplate)
+    are skipped — the documented lower-bound approximation, mirrored by
+    the SQL oracle.
+    """
+    t_base = _spread(train, id_col).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(shingle_array(text_col, n)).alias("shingle"),
+    )
+    e_base = _spread(eval_df, id_col).select(
+        F.col(id_col).alias("eval_id"), shingle_array(text_col, n).alias("__arr")
+    )
+    e_sh = e_base.select(
+        "eval_id", F.size("__arr").alias("e_sz"), F.explode("__arr").alias("shingle")
+    )
+    postings = t_base.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("train_id")).alias("train_ids")
+    ).filter(F.size("train_ids").between(1, max_posting_size))
+    # eval postings join train posting lists ON THE SHINGLE (both sides
+    # already hashed there), then explode the train side: each output row
+    # is one (eval doc, train doc, shared shingle).
+    hits = (
+        e_sh.join(postings, "shingle")
+        .select("eval_id", "e_sz", F.explode("train_ids").alias("train_id"))
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("common"), F.first("e_sz").alias("e_sz"))
+    )
+    return (
+        hits.withColumn(
+            "containment",
+            F.round(F.col("common").cast("double") / F.col("e_sz").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("eval_id", "train_id", "containment")
+    )
+
+
 ROLLING_BASE = 131
 ROLLING_MOD = MINHASH_PRIME
 

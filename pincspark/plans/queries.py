@@ -1404,6 +1404,101 @@ FROM range(0, 128)
 ORACLE_Q35 = _q35_oracle()
 
 
+def q36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size stratified sample for training-data
+    curation: the 5 smallest-hash docs per (lang, source) stratum, plus a
+    10% deterministic hash-sample membership flag. Reproducible on any
+    cluster size / partitioning / corpus order (md5-keyed, no RNG) — the
+    distributed, reproducible analog of per-stratum reservoir sampling."""
+    from pincspark.operators.sampling import (
+        HASH_SPACE,
+        sample_hash,
+        stratified_fixed,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = stratified_fixed(docs, "doc_id", ("lang", "source"), 5, salt="cur")
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+        (sample_hash(F.col("doc_id"), "cur") < F.lit(int(0.1 * HASH_SPACE))).alias(
+            "in_10pct"
+        ),
+    )
+
+
+def _q36_oracle() -> str:
+    from pincspark.operators.sampling import HASH_SPACE, sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "cur")
+    return f"""
+SELECT doc_id, lang, source, CAST(rn AS INTEGER) AS sample_rank,
+       {h} < {int(0.1 * HASH_SPACE)} AS in_10pct
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+"""
+
+
+ORACLE_Q36 = _q36_oracle()
+
+
+def q37_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: every eval doc (doc_id % 17 == 0, a
+    stand-in benchmark split) whose 3-gram shingles are >= 30% contained
+    in some train doc — the benchmark-leak sweep a training pipeline runs
+    before every release. Inverted-index containment, no cross product."""
+    from pincspark.operators.dedup import contamination_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_pairs(
+        train, eval_df, "doc_id", "text", n=3, threshold=0.15
+    )
+
+
+def _q37_oracle() -> str:
+    shingle = (
+        f"CASE WHEN len(toks) >= 3 THEN "
+        f"list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
+), e_sh AS (
+  SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 17 = 0
+), e_sz AS (
+  SELECT eval_id, COUNT(*) AS e_sz FROM e_sh GROUP BY eval_id
+), t_sh AS (
+  SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 17 <> 0
+), posting_ok AS (
+  -- mirrors contamination_pairs' max_posting_size=1000 boilerplate skip
+  SELECT shingle FROM t_sh GROUP BY shingle HAVING COUNT(*) BETWEEN 1 AND 1000
+), hits AS (
+  SELECT e.eval_id, t.train_id, COUNT(*) AS common
+  FROM e_sh e JOIN t_sh t ON e.shingle = t.shingle
+  JOIN posting_ok k ON e.shingle = k.shingle
+  GROUP BY e.eval_id, t.train_id
+)
+SELECT h.eval_id, h.train_id,
+       ROUND(CAST(common AS DOUBLE) / CAST(z.e_sz AS DOUBLE), 6) AS containment
+FROM hits h JOIN e_sz z ON h.eval_id = z.eval_id
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(z.e_sz AS DOUBLE), 6) >= 0.15
+"""
+
+
+ORACLE_Q37 = _q37_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1513,6 +1608,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q33_classb_longrange_sql": (q33_classb_longrange_sql, ORACLE_Q33),
     "q34_static_report_sql": (q34_static_report_sql, ORACLE_Q34),
     "q35_enum_descriptions": (q35_enum_descriptions, ORACLE_Q35),
+    "q36_stratified_sample": (q36_stratified_sample, ORACLE_Q36),
+    "q37_decontamination": (q37_decontamination, ORACLE_Q37),
 }
 
 
