@@ -83,14 +83,22 @@ def tokenize_sentences(df: DataFrame, sentence: str = "sentence") -> DataFrame:
     )
 
 
-def reassemble(df: DataFrame) -> DataFrame:
+def reassemble(df: DataFrame, repair_boundaries: bool = True) -> DataFrame:
     """ST1-batch: validate checksums, group adjacent fragments, emit one row
     per complete message group with the concatenated payload.
 
     Drops (like the reference, ais_analysis.py:266-288): checksum failures,
     incomplete groups, groups whose fragment numbers are not exactly
     1..total with a constant seq id.
-    """
+
+    ``repair_boundaries``: the adjacency key (``line_idx - (num-1)``) is
+    only consecutive WITHIN an input split, so a multi-part group cut by a
+    split boundary first lands as two incomplete halves. The repair pass
+    re-groups ONLY those leftovers (a handful of fragments per boundary,
+    thousands of rows at 100 TB, not billions) globally per
+    (seq_id, total) with a num==1-starts-a-group running session over the
+    line order — rescuing boundary groups without ever funneling the full
+    archive through one task."""
     valid = df.filter(checksum_valid(F.col("sentence")))
     keyed = valid.withColumn(
         "group_key", F.col("line_idx") - (F.col("num") - 1).cast("bigint")
@@ -99,7 +107,45 @@ def reassemble(df: DataFrame) -> DataFrame:
         keyed.groupBy("group_key", "seq_id", "total")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("num", "payload", "tagblock", "ts"))
+                F.collect_list(F.struct("num", "payload", "tagblock", "ts", "line_idx"))
+            ).alias("frags"),
+            F.count(F.lit(1)).alias("n_frags"),
+        )
+    )
+    complete = grouped.filter(F.col("n_frags") == F.col("total")).filter(
+        F.expr(
+            "forall(zip_with(frags.num, sequence(1, total), (a, b) -> a = b), x -> x)"
+        )
+    )
+    out = complete.select(
+        F.col("frags").getItem(0).getField("tagblock").alias("tagblock"),
+        F.col("frags").getItem(0).getField("ts").alias("ts"),
+        F.col("seq_id"),
+        F.col("total").alias("n_sentences"),
+        F.expr("array_join(frags.payload, '')").alias("payload"),
+    )
+    if not repair_boundaries:
+        return out
+
+    from pyspark.sql import Window
+
+    leftovers = (
+        grouped.filter(F.col("n_frags") != F.col("total"))
+        .select("seq_id", "total", F.explode("frags").alias("f"))
+        .select("seq_id", "total", "f.num", "f.payload", "f.tagblock", "f.ts", "f.line_idx")
+    )
+    w = Window.partitionBy("seq_id", "total").orderBy(F.col("line_idx").asc())
+    regrouped = (
+        leftovers.withColumn(
+            "grp",
+            F.sum(F.when(F.col("num") == 1, 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("seq_id", "total", "grp")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("num", "payload", "tagblock", "ts", "line_idx"))
             ).alias("frags"),
             F.count(F.lit(1)).alias("n_frags"),
         )
@@ -109,14 +155,15 @@ def reassemble(df: DataFrame) -> DataFrame:
                 "forall(zip_with(frags.num, sequence(1, total), (a, b) -> a = b), x -> x)"
             )
         )
+        .select(
+            F.col("frags").getItem(0).getField("tagblock").alias("tagblock"),
+            F.col("frags").getItem(0).getField("ts").alias("ts"),
+            F.col("seq_id"),
+            F.col("total").alias("n_sentences"),
+            F.expr("array_join(frags.payload, '')").alias("payload"),
+        )
     )
-    return grouped.select(
-        F.col("frags").getItem(0).getField("tagblock").alias("tagblock"),
-        F.col("frags").getItem(0).getField("ts").alias("ts"),
-        F.col("seq_id"),
-        F.col("total").alias("n_sentences"),
-        F.expr("array_join(frags.payload, '')").alias("payload"),
-    )
+    return out.unionByName(regrouped)
 
 
 def read_and_decode(spark: SparkSession, path: str) -> DataFrame:

@@ -194,3 +194,32 @@ def test_bitfield_sql_matches_python_kernel(spark):
         assert r["f_8_30"] == g["common"]["mmsi"]
         assert r["f_61_28"] / 600000.0 == _pytest.approx(g["body"]["longitude"])
         assert r["f_89_27"] / 600000.0 == _pytest.approx(g["body"]["latitude"])
+
+
+def test_reassemble_repairs_split_boundary_groups(spark, tmp_path):
+    """A multi-part group cut by an input-split (file) boundary is dropped
+    by the adjacency pass but rescued by the boundary-repair pass; with
+    repair disabled it is lost (the documented round-1 trade-off)."""
+    from pincspark.sources.nmea_source import (
+        read_archive,
+        reassemble,
+        tokenize_sentences,
+        with_tagblock_ts,
+    )
+
+    part1 = "!ABVDM,2,1,4,A,58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l,0*14"
+    part2 = "!ABVDM,2,2,4,A,PAiH8888880,2*1B"
+    single = "!ABVDM,1,1,7,A,15R9eN001n7DHvT13w0TBSM>00Rm,0*54"
+    d = tmp_path / "archive"
+    d.mkdir()
+    (d / "a.log").write_text(TAG + single + "\n" + TAG + part1 + "\n")
+    (d / "b.log").write_text(TAG + part2 + "\n" + TAG + single + "\n")
+
+    tok = tokenize_sentences(with_tagblock_ts(read_archive(spark, str(d))))
+    repaired = reassemble(tok).collect()
+    assert sorted(r["n_sentences"] for r in repaired) == [1, 1, 2]
+    two = next(r for r in repaired if r["n_sentences"] == 2)
+    assert two["payload"].endswith("PAiH8888880") and two["payload"].startswith("58I3mA82")
+
+    unrepaired = reassemble(tok, repair_boundaries=False).collect()
+    assert sorted(r["n_sentences"] for r in unrepaired) == [1, 1]
