@@ -54,8 +54,9 @@ def shingle_hash(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def shingle_array(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a document as an array column.
+def ngram_array(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams of a token array, duplicates KEPT, in document order.
+    Docs shorter than ``n`` tokens collapse to one whole-doc gram.
 
     Built by zip_with over n shifted slices of the token array — NOT a
     ``transform(sequence(...), i -> slice(toks, ...))`` index walk: a lambda
@@ -63,7 +64,6 @@ def shingle_array(text_col: str, n: int = 3) -> F.Column:
     makes Catalyst inline the regex+split per array element, turning a
     per-row cost into a per-shingle one (~50x here).
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
     sz = F.size(toks)
     m = sz - (n - 1)  # number of n-shingles
     acc = F.slice(toks, 1, m)
@@ -73,8 +73,14 @@ def shingle_array(text_col: str, n: int = 3) -> F.Column:
             F.slice(toks, 1 + k, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    shingles = F.when(sz >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.array_distinct(shingles)
+    return F.when(sz >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingle_array(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a document as an array column
+    (normalized text; see ngram_array for the slice/zip_with construction)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    return F.array_distinct(ngram_array(toks, n))
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:

@@ -1,0 +1,132 @@
+"""Repetition-based document quality rules (Gopher-style) for the
+training-data pipeline: duplicate-word fraction, most-frequent n-gram
+fraction, and duplicated n-gram fraction per document.
+
+These are the classic pre-training corpus filters (Rae et al. 2021 "Scaling
+Language Models" §A1.1 repetition rules; C4's boilerplate heuristics),
+adapted to word n-grams.
+
+Scale design: the whole computation is a NARROW map stage — per document we
+sort the n-gram array and run-length-encode it with one ``F.aggregate``
+higher-order function (O(g log g) per doc, JVM-side, inside whole-stage
+codegen). No explode, no groupBy, ZERO shuffles: the plan is scan -> project,
+which trivially survives 100 TB because every document is independent. The
+DuckDB oracle computes the same statistics the classic way (unnest + GROUP
+BY) so the two implementations cross-check each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pincspark.functions.text import ws_tokens
+from pincspark.operators.dedup import ngram_array
+
+
+def run_length_stats(sorted_arr: Column) -> Column:
+    """Run-length statistics of a SORTED string array in one ``F.aggregate``
+    pass: ``struct(dup, best_c, best_g)`` where ``dup`` = total elements that
+    sit in a run of length > 1 (i.e. occurrences of duplicated values),
+    ``best_c``/``best_g`` = the longest run's length and value (ties broken
+    toward the lexicographically larger value — the array is ascending and
+    later runs win on ``>=``)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup"),
+        zero.alias("best_c"),
+        F.lit("").alias("best_g"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = (acc["run"] > 0) & (acc["prev"] == g)
+        boundary = ~same
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            (
+                acc["dup"]
+                + F.when(boundary & (acc["run"] > 1), acc["run"]).otherwise(zero)
+            ).alias("dup"),
+            F.when(
+                boundary & (acc["run"] >= acc["best_c"]) & (acc["run"] > 0), acc["run"]
+            )
+            .otherwise(acc["best_c"])
+            .alias("best_c"),
+            F.when(
+                boundary & (acc["run"] >= acc["best_c"]) & (acc["run"] > 0), acc["prev"]
+            )
+            .otherwise(acc["best_g"])
+            .alias("best_g"),
+        )
+
+    def finish(acc: Column) -> Column:
+        promote = (acc["run"] >= acc["best_c"]) & (acc["run"] > 0)
+        return F.struct(
+            (acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)).alias(
+                "dup"
+            ),
+            F.when(promote, acc["run"]).otherwise(acc["best_c"]).alias("best_c"),
+            F.when(promote, acc["prev"]).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Per-document repetition metrics:
+
+    - ``dup_word_frac``: 1 - distinct_tokens / tokens (unigram repetition);
+    - ``top_ngram`` / ``top_ngram_frac``: the most frequent ``top_n``-gram
+      and the fraction of n-gram occurrences it accounts for (ties ->
+      lexicographically larger gram);
+    - ``dup_ngram_frac``: fraction of ``dup_n``-gram occurrences whose gram
+      appears more than once in the doc.
+
+    Tokens are lowercased whitespace tokens. Docs shorter than n tokens
+    collapse to one whole-doc gram (fraction 1.0) — ngram_array semantics.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    arrs = base.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("__n_distinct"),
+        ngram_array(F.col("__toks"), top_n).alias("__gt"),
+        ngram_array(F.col("__toks"), dup_n).alias("__gd"),
+    )
+    stats = arrs.select(
+        id_col,
+        "n_tokens",
+        "__n_distinct",
+        F.size("__gt").alias("__nt"),
+        run_length_stats(F.array_sort("__gt")).alias("__st"),
+        F.size("__gd").alias("__nd"),
+        run_length_stats(F.array_sort("__gd")).alias("__sd"),
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
+    )
+    return stats.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                1.0 - F.col("__n_distinct").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.col("__st")["best_g"].alias("top_ngram"),
+        frac(F.col("__st")["best_c"], F.col("__nt")).alias("top_ngram_frac"),
+        frac(F.col("__sd")["dup"], F.col("__nd")).alias("dup_ngram_frac"),
+    )

@@ -1499,6 +1499,85 @@ WHERE ROUND(CAST(common AS DOUBLE) / CAST(z.e_sz AS DOUBLE), 6) >= 0.15
 ORACLE_Q37 = _q37_oracle()
 
 
+def q38_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: duplicate-word
+    fraction, most-frequent-2-gram fraction (deterministic tie-break),
+    duplicated-3-gram fraction, and the composite keep flag a pre-training
+    filter would apply. ZERO shuffles: per-doc run-length encoding of the
+    sorted n-gram array via one F.aggregate HOF (scan -> project plan,
+    asserted in test_plans.py); the oracle computes the same stats the
+    classic unnest + GROUP BY way."""
+    from pincspark.operators.quality import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    stats = repetition_stats(docs, "doc_id", "text", top_n=2, dup_n=3)
+    return stats.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= 0.5)
+        & (F.col("top_ngram_frac") <= 0.08)
+        & (F.col("dup_ngram_frac") <= 0.05),
+    )
+
+
+def _q38_oracle() -> str:
+    toks = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
+    g2 = (
+        "CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    g3 = (
+        "CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM toks_t
+), g2 AS (
+  SELECT doc_id, unnest({g2}) AS g FROM toks_t
+), c2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+), top2 AS (
+  SELECT doc_id, g, c FROM c2
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) = 1
+), tot2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt FROM c2 GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, unnest({g3}) AS g FROM toks_t
+), c3 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g
+), d3 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nd,
+         CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup
+  FROM c3 GROUP BY doc_id
+), m AS (
+  SELECT b.doc_id, b.n_tokens,
+         CASE WHEN b.n_tokens > 0
+              THEN ROUND(1.0 - 1.0 * b.n_distinct / b.n_tokens, 6)
+              ELSE 0.0 END AS dup_word_frac,
+         top2.g AS top_ngram,
+         ROUND(1.0 * top2.c / tot2.nt, 6) AS top_ngram_frac,
+         ROUND(1.0 * d3.dup / d3.nd, 6) AS dup_ngram_frac
+  FROM base b
+  JOIN top2 ON b.doc_id = top2.doc_id
+  JOIN tot2 ON b.doc_id = tot2.doc_id
+  JOIN d3 ON b.doc_id = d3.doc_id
+)
+SELECT doc_id, n_tokens, dup_word_frac, top_ngram, top_ngram_frac,
+       dup_ngram_frac,
+       (dup_word_frac <= 0.5 AND top_ngram_frac <= 0.08
+        AND dup_ngram_frac <= 0.05) AS keep
+FROM m
+"""
+
+
+ORACLE_Q38 = _q38_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1610,6 +1689,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q35_enum_descriptions": (q35_enum_descriptions, ORACLE_Q35),
     "q36_stratified_sample": (q36_stratified_sample, ORACLE_Q36),
     "q37_decontamination": (q37_decontamination, ORACLE_Q37),
+    "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
 }
 
 
