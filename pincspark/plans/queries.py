@@ -1578,6 +1578,100 @@ FROM m
 ORACLE_Q38 = _q38_oracle()
 
 
+def q39_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub sweep: detect + redact emails / IPv4s / phone numbers.
+
+    The synthetic corpus contains no PII, so the query first plants
+    deterministic doc_id-derived PII markers (3 of every 4 docs get an
+    email, phone, or IP appended — the oracle builds the identical
+    augmented text), then runs the real operator: per-pattern match counts
+    and the chained redaction. Everything is JVM-side regex in one narrow
+    map stage."""
+    from pincspark.functions.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_count,
+        redact_pii,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    marker = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact bob"),
+                sid,
+                F.lit("@mail.example.com or 192.168."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".42 ok"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(".3.7 and admin"),
+                sid,
+                F.lit("@ex.org"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    aug = docs.select("doc_id", F.concat(F.col("text"), marker).alias("text"))
+    t = F.col("text")
+    out = aug.select(
+        "doc_id",
+        pii_count(t, EMAIL_RE).cast("bigint").alias("n_email"),
+        pii_count(t, IPV4_RE).cast("bigint").alias("n_ip"),
+        pii_count(t, PHONE_RE).cast("bigint").alias("n_phone"),
+        redact_pii(t).alias("redacted"),
+    )
+    return out.withColumn(
+        "has_pii", (F.col("n_email") + F.col("n_ip") + F.col("n_phone")) > 0
+    )
+
+
+def _q39_oracle() -> str:
+    from pincspark.functions.pii import pii_counts_sql, redact_pii_sql
+
+    counts = pii_counts_sql("text")
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text ||
+    CASE doc_id % 4
+      WHEN 0 THEN ' contact bob' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 192.168.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.42 ok'
+      WHEN 1 THEN ' call 415-555-'
+                  || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+      WHEN 2 THEN ' host 10.' || CAST(doc_id % 250 AS VARCHAR)
+                  || '.3.7 and admin' || CAST(doc_id AS VARCHAR) || '@ex.org'
+      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST({counts['email']} AS BIGINT) AS n_email,
+       CAST({counts['ip']} AS BIGINT) AS n_ip,
+       CAST({counts['phone']} AS BIGINT) AS n_phone,
+       {redact_pii_sql('text')} AS redacted,
+       ({counts['email']} + {counts['ip']} + {counts['phone']}) > 0 AS has_pii
+FROM aug
+"""
+
+
+ORACLE_Q39 = _q39_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1690,6 +1784,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q36_stratified_sample": (q36_stratified_sample, ORACLE_Q36),
     "q37_decontamination": (q37_decontamination, ORACLE_Q37),
     "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
+    "q39_pii_scrub": (q39_pii_scrub, ORACLE_Q39),
 }
 
 
