@@ -1672,6 +1672,48 @@ FROM aug
 ORACLE_Q39 = _q39_oracle()
 
 
+def q40_vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support: the corpus-wide pair-count sweep of one
+    BPE merge iteration — top-100 word bigrams by total count with exact
+    document frequencies and deterministic rank ids. Two keyed
+    aggregations + TakeOrderedAndProject; never a count-distinct expand,
+    never a full vocabulary sort."""
+    from pincspark.operators.vocab import vocab_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return vocab_topk(docs, "doc_id", "text", n=2, k=100)
+
+
+def _q40_oracle() -> str:
+    toks = "list_filter(regexp_split_to_array(lower(text), ' +'), t -> t <> '')"
+    g2 = (
+        "CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, unnest({g2}) AS token FROM toks_t
+), per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM grams GROUP BY doc_id, token
+), vocab AS (
+  SELECT token, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
+  FROM per_doc GROUP BY token
+)
+SELECT token, tf, df,
+       CAST(row_number() OVER (ORDER BY tf DESC, df DESC, token ASC) AS INTEGER)
+         AS token_id
+FROM vocab
+ORDER BY token_id
+LIMIT 100
+"""
+
+
+ORACLE_Q40 = _q40_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1785,6 +1827,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q37_decontamination": (q37_decontamination, ORACLE_Q37),
     "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
     "q39_pii_scrub": (q39_pii_scrub, ORACLE_Q39),
+    "q40_vocab_bpe_pairs": (q40_vocab_bpe_pairs, ORACLE_Q40),
 }
 
 
