@@ -62,6 +62,13 @@ def cosine_topk(
             F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6).alias("score"),
         )
     )
+    return _two_phase_topk(scored, query_id, k)
+
+
+def _two_phase_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
+    """Shared two-phase per-query top-k over a (query_id, neighbor_id,
+    score) frame — see cosine_topk's docstring for why phase 1 partitions
+    by (query, input partition)."""
     order = (F.col("score").desc(), F.col("neighbor_id").asc())
     w_part = Window.partitionBy(query_id, "__part").orderBy(*order)
     candidates = (
@@ -231,3 +238,98 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "score")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric scalar quantization of a float-vector column: adds
+    ``qscale`` (the vector's max |x|) and ``qvec`` (array<int> in
+    [-(2^(bits-1)-1), 2^(bits-1)-1], x -> round(x * lim / qscale)).
+
+    A narrow map stage (two chained projections, no shuffle). int8 cuts
+    vector bytes ~4x vs float32 — at 100 TB of embeddings that is the
+    difference between spilling and not in the ANN candidate join — while
+    integer dot products stay EXACTLY reproducible across engines (every
+    intermediate fits a double/bigint losslessly), which is what lets the
+    DuckDB oracle replicate the whole quantized pipeline bit-for-bit.
+
+    The zip_with(vec, array_repeat(inv, d)) form keeps the per-row scale
+    OUT of the element lambda: a lambda that referenced the qscale
+    EXPRESSION would be inlined per element by CollapseProject (the O(d^2)
+    trap; see dedup.ngram_array). Zero vectors quantize to all-zero.
+    """
+    lim = float(2 ** (bits - 1) - 1)
+    vec = F.col(vec_col)
+    with_scale = df.withColumn(
+        "qscale", F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    )
+    inv = F.when(F.col("qscale") > 0, F.lit(lim) / F.col("qscale")).otherwise(
+        F.lit(0.0)
+    )
+    qvec = F.zip_with(
+        vec,
+        F.array_repeat(inv, F.size(vec)),
+        lambda x, s: F.round(x.cast("double") * s, 0).cast("int"),
+    )
+    return with_scale.withColumn("qvec", qvec)
+
+
+def _int_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact integer dot product of two int arrays (bigint fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    bits: int = 8,
+) -> DataFrame:
+    """Exact top-k by QUANTIZED cosine: both sides are int8-quantized,
+    scores are integer-dot / (precomputed norms) — the memory-bound ANN
+    configuration. Same broadcast + two-phase top-k shape as cosine_topk;
+    norms are computed once per vector BEFORE the join, never per pair.
+    Zero vectors are excluded (cosine undefined)."""
+    cq = (
+        quantize_embeddings(corpus.select(corpus_id, corpus_vec), corpus_vec, bits)
+        .select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col("qvec").alias("__cq"),
+        )
+        .withColumn("__cn", F.sqrt(_int_dot(F.col("__cq"), F.col("__cq")).cast("double")))
+        .filter(F.col("__cn") > 0)
+    )
+    qq = (
+        quantize_embeddings(queries.select(query_id, query_vec), query_vec, bits)
+        .select(F.col(query_id), F.col("qvec").alias("__qq"))
+        .withColumn("__qn", F.sqrt(_int_dot(F.col("__qq"), F.col("__qq")).cast("double")))
+        .filter(F.col("__qn") > 0)
+    )
+    corpus_spread = cq.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, "neighbor_id"
+    )
+    scored = (
+        corpus_spread.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round(
+                _int_dot(F.col("__qq"), F.col("__cq")).cast("double")
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return _two_phase_topk(scored, query_id, k)

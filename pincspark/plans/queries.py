@@ -1714,6 +1714,53 @@ LIMIT 100
 ORACLE_Q40 = _q40_oracle()
 
 
+def q41_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization + top-k by quantized cosine: the
+    memory-bound ANN configuration (4x fewer vector bytes). Integer dot
+    products keep every intermediate exactly representable, so the DuckDB
+    oracle replicates the whole quantize->score->rank pipeline
+    bit-for-bit. Queries = vec_id < 10, k = 5, mirroring q18 — comparing
+    the two result sets shows the quantization-induced rank churn."""
+    from pincspark.operators.similarity import quantized_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return quantized_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
+
+
+ORACLE_Q41 = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         list_transform(
+           v, x -> CAST(round(x * (CASE WHEN s > 0 THEN 127.0 / s ELSE 0.0 END))
+                        AS BIGINT)) AS q
+  FROM base
+), n AS (
+  SELECT vec_id, q, sqrt(CAST(list_dot_product(q, q) AS DOUBLE)) AS qn FROM qz
+  WHERE sqrt(CAST(list_dot_product(q, q) AS DOUBLE)) > 0
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(CAST(list_dot_product(a.q, b.q) AS DOUBLE) / (a.qn * b.qn), 6)
+           AS score
+  FROM n a, n b
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1828,6 +1875,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
     "q39_pii_scrub": (q39_pii_scrub, ORACLE_Q39),
     "q40_vocab_bpe_pairs": (q40_vocab_bpe_pairs, ORACLE_Q40),
+    "q41_quantized_knn": (q41_quantized_knn, ORACLE_Q41),
 }
 
 
