@@ -489,3 +489,63 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         for i in range(bits)
     )
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over candidate-pair edges: (node, cluster_id)
+    where cluster_id = the smallest doc id in the node's component — the
+    step that turns near-dup PAIRS into the per-document keep/drop list a
+    dedup pipeline actually applies.
+
+    Iterative min-label propagation: every node starts as its own label;
+    each round every node takes the min of its own and its neighbors'
+    labels; stop at fixpoint (sum of labels is strictly decreasing until
+    convergence, so one cheap agg per round detects it). Rounds needed =
+    component diameter, and LSH components are shallow (pairs share
+    bucket signatures), so this is a handful of label-table shuffles.
+
+    Scale notes (100 TB): only the LABELS table (one row per node that
+    appears in a pair — far smaller than the corpus) ever shuffles; the
+    corpus is never touched. localCheckpoint truncates the per-iteration
+    lineage so the plan does not grow exponentially; production runs on a
+    real cluster should point spark.checkpoint.dir at reliable storage
+    and use checkpoint() instead.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(msgs, labels["node"] == msgs["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

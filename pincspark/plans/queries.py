@@ -1761,6 +1761,57 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
 """
 
 
+def q42_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRS -> CLUSTERS -> keep-list: the step a dedup pipeline actually
+    applies. MinHash-LSH candidate pairs (q19 parameters) are clustered
+    into connected components by iterative min-label propagation (only
+    the label table shuffles — never the corpus), then every document
+    gets (cluster_id, keep): keep = it is its component's smallest id.
+    The oracle recomputes the pairs and resolves components with a
+    recursive transitive-closure CTE."""
+    from pincspark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perms=16, bands=4)
+    clusters = dedup_clusters(pairs)
+    out = docs.select("doc_id").join(
+        clusters, docs["doc_id"] == clusters["node"], "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")).alias(
+            "keep"
+        ),
+    )
+
+
+def _q42_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_oracle()}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(src, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+), comp AS (
+  SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+ORACLE_Q42 = _q42_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1876,6 +1927,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q39_pii_scrub": (q39_pii_scrub, ORACLE_Q39),
     "q40_vocab_bpe_pairs": (q40_vocab_bpe_pairs, ORACLE_Q40),
     "q41_quantized_knn": (q41_quantized_knn, ORACLE_Q41),
+    "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
 }
 
 

@@ -1,0 +1,29 @@
+"""Connected components over candidate pairs (dedup_clusters): exercises
+multi-hop chains (diameter > 1), which the LSH-derived q42 components are
+too shallow to reach, plus disjoint components and symmetric input."""
+
+from __future__ import annotations
+
+
+def _clusters(spark, edges):
+    from pincspark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    rows = dedup_clusters(pairs).collect()
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_chain_converges_to_min_label(spark):
+    # 1-2-3-4-5 chain: diameter 4, needs several propagation rounds.
+    got = _clusters(spark, [(2, 1), (2, 3), (4, 3), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components_keep_own_minimum(spark):
+    got = _clusters(spark, [(10, 11), (11, 12), (20, 21), (30, 31)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    got = _clusters(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
