@@ -520,12 +520,13 @@ def dedup_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # Materialized ONCE: every propagation round joins against edges, and
+        # without this the full upstream pair-generation pipeline (MinHash,
+        # shingling, ...) would re-execute per round.
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
     )
     prev_sum = None
     for _ in range(max_iters):
