@@ -1,9 +1,13 @@
 """Deduplication operators for the training-data pipeline: exact
 (fingerprint hash), MinHash+LSH, SimHash, and n-gram Jaccard.
 
-All of these are pure DataFrame/column-expression pipelines (no Python UDFs):
+All joins/aggregations are pure DataFrame/column-expression pipelines:
 shingle hashing goes through ``md5`` + ``conv`` so it is deterministic,
 portable (the DuckDB oracle computes the identical integers), and JVM-side.
+The one Python stage is shingle PRODUCTION (:func:`shingle_array_py`), an
+Arrow-batched narrow map measured 3x faster than the interpreted
+higher-order-function form (:func:`shingle_array`, kept as the cross-checked
+twin).
 
 Scale notes (100 TB):
 - exact dedup = one shuffle on the 128-bit fingerprint; skew-free since
@@ -18,6 +22,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,9 +85,108 @@ def ngram_array(toks: F.Column, n: int) -> F.Column:
 
 def shingle_array(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a document as an array column
-    (normalized text; see ngram_array for the slice/zip_with construction)."""
+    (normalized text; see ngram_array for the slice/zip_with construction).
+
+    This is the pure-column-expression form. The dedup operators default to
+    :func:`shingle_array_py`, its Arrow-batched twin: higher-order-function
+    lambdas are interpreted (never whole-stage-codegen'd), and the measured
+    cost of the zip_with chain + array_distinct is ~3x a vectorized Python
+    kernel on real documents (sf0.1: 3.4s vs 1.1s for the shingle+explode
+    stage). Both forms are asserted identical in tests/test_shingles.py."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
     return F.array_distinct(ngram_array(toks, n))
+
+
+_PY_NON_ALNUM = re.compile(r"[^a-z0-9 ]")
+_PY_MULTI_SPACE = re.compile(r" +")
+
+
+def shingle_array_py(text_col: str, n: int = 3) -> F.Column:
+    """Arrow-batched twin of :func:`shingle_array` — the default shingle
+    producer for the dedup operators (see that docstring for the measured
+    3x win over the interpreted-HOF form).
+
+    Python-side normalization replicates functions.text.normalize_text
+    exactly: lowercase, non-[a-z0-9 ] -> space, collapse runs, strip. The
+    patterns are ASCII-literal so Python/Java/DuckDB regex semantics
+    coincide; equality with the column-expression form is pinned on the
+    test corpus plus adversarial edge rows (tests/test_shingles.py).
+
+    Scale: a narrow map stage (no shuffle), Arrow-batched, embarrassingly
+    parallel — one Python worker per core, each handling its own batches.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                # match the column-expression form: the NULL propagates into
+                # concat_ws, which treats it as absent -> one empty shingle
+                t = ""
+            norm = _PY_MULTI_SPACE.sub(" ", _PY_NON_ALNUM.sub(" ", t.lower())).strip()
+            toks = norm.split(" ")
+            if len(toks) >= n:
+                grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            else:
+                grams = [" ".join(toks)]
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return _kernel(text_col)
+
+
+def shingle_hash_array_py(text_col: str, n: int = 3, hex_chars: int = 8) -> F.Column:
+    """Distinct word n-gram shingles of a document as their md5-prefix
+    HASHES (array<bigint>) — shingle strings never leave the Python worker.
+
+    Profiling the inverted-index dedup operators showed the dominant cost
+    is not the shuffle or the pair expansion but materializing hundreds of
+    thousands of ~30-byte shingle STRINGS through Arrow + explode; every
+    downstream consumer only needs shingle IDENTITY. Emitting the hash
+    directly cuts the Arrow transfer and the posting-list shuffle width by
+    ~4x, which is exactly the lever that matters when the corpus is 100 TB.
+
+    hash = int(md5(shingle)[:hex_chars], 16):
+    - hex_chars=8 reproduces functions shingle_hash / the oracle's
+      ``('0x' || substring(md5(s),1,8))::BIGINT`` — the MinHash input, so
+      q19's permutation math and oracle are unchanged.
+    - hex_chars=15 (60 bits) is the JOIN key for exact-Jaccard /
+      containment: collisions merge two shingles and only ever raise the
+      intersection count; at 2^60 key space that is ~0 at any tested scale
+      and negligible at 10^9+ distinct shingles (see DIVERGENCES.md D11).
+
+    Distinctness is on the shingle STRING (before hashing), matching
+    shingle_array + array_distinct and the oracles' list_distinct; a
+    colliding pair within one doc would keep both equal hashes, identically
+    on the SQL side."""
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _kernel(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            if t is None:
+                t = ""
+            norm = _PY_MULTI_SPACE.sub(" ", _PY_NON_ALNUM.sub(" ", t.lower())).strip()
+            toks = norm.split(" ")
+            if len(toks) >= n:
+                grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            else:
+                grams = [" ".join(toks)]
+            out.append(
+                [
+                    int(md5(g.encode("utf-8")).hexdigest()[:hex_chars], 16)
+                    for g in dict.fromkeys(grams)
+                ]
+            )
+        return pd.Series(out)
+
+    return _kernel(text_col)
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -98,7 +204,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     makes (id, shingle) unique already — no row-level distinct (that would
     be a full extra shuffle)."""
     return _spread(df, id_col).select(
-        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+        F.col(id_col), F.explode(shingle_array_py(text_col, n)).alias("shingle")
     )
 
 
@@ -158,9 +264,14 @@ def minhash_signatures(
     n: int = 3,
     num_perms: int = 16,
 ) -> DataFrame:
-    """Per-doc MinHash signature: columns mh0..mh{K-1}."""
-    sh = word_shingles(df, id_col, text_col, n).withColumn(
-        "h", shingle_hash(F.col("shingle"))
+    """Per-doc MinHash signature: columns mh0..mh{K-1}.
+
+    Shingle hashes come straight from the Arrow kernel (8 hex chars — the
+    exact integers shingle_hash computes from the strings, asserted in
+    tests/test_shingles.py), so no shingle text ever crosses Arrow or the
+    groupBy shuffle."""
+    sh = _spread(df, id_col).select(
+        F.col(id_col), F.explode(shingle_hash_array_py(text_col, n, 8)).alias("h")
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
@@ -269,32 +380,35 @@ def ngram_jaccard_pairs(
     affected pairs the reported Jaccard is a lower bound (the intersection
     count loses the ultra-common shingle; the union sizes stay exact). The
     SQL oracle mirrors the cap exactly.
+
+    Posting keys are 60-bit md5-prefix shingle hashes, not shingle strings
+    (see shingle_hash_array_py: strings never cross Arrow or the shuffle;
+    a collision merges two shingles and can only RAISE a pair's jaccard —
+    probability ~0 at 2^60, DIVERGENCES.md D11). The oracle joins on the
+    identical hash.
     """
-    # Each posting row carries its doc's distinct-shingle count, computed in
-    # the SAME projection as the explode (whole-stage codegen CSEs the
-    # shingle array — the text is normalized/tokenized once). The size then
-    # rides through the posting-list shuffle inside the member structs, so
-    # the Jaccard denominator is available at pair expansion and NO per-doc
+    # Each posting row carries its doc's distinct-shingle count, so the
+    # Jaccard denominator is available at pair expansion and NO per-doc
     # size rejoin exists — the round-1 design joined a sizes table back,
     # which either forces a broadcast (OOM at billions of docs) or costs
     # two extra shuffles.
     # Two projections on purpose: __arr materializes once per doc, and the
     # explode/size below reference it as a plain ATTRIBUTE. Folding
     # size(<expr>) and explode(<expr>) into one projection re-evaluates the
-    # whole regex+zip_with chain per EXPLODED row (~50x per doc — measured
-    # 65s vs 2s on the sf0.1 bench).
+    # whole shingle expression per EXPLODED row (~50x per doc — measured
+    # 65s vs 2s on the sf0.1 bench with the column-expression form).
     base = _spread(df, id_col).select(
-        F.col(id_col), shingle_array(text_col, n).alias("__arr")
+        F.col(id_col), shingle_hash_array_py(text_col, n, 15).alias("__arr")
     )
     sh = base.select(
         F.col(id_col),
         F.size("__arr").alias("sz"),
-        F.explode("__arr").alias("shingle"),
+        F.explode("__arr").alias("h"),
     )
     # Inverted-index postings -> pair combinations, no self-join: one
-    # shuffle on the shingle, one on the pair.
+    # shuffle on the shingle hash, one on the pair.
     out = (
-        sh.groupBy("shingle")
+        sh.groupBy("h")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sz")))
@@ -341,32 +455,33 @@ def contamination_pairs(
     Jaccard would vanish).
 
     Shape: one inverted-index pass over both corpora — train postings
-    group once on the shingle, the eval side (carrying its shingle count,
-    see ngram_jaccard_pairs) equi-joins them ON the shingle key both sides
-    are already hash-partitioned by, and one aggregation computes the
-    metric. No doc-level joins, never an eval x train cross product.
-    Shingles in more than ``max_posting_size`` train docs (boilerplate)
-    are skipped — the documented lower-bound approximation, mirrored by
-    the SQL oracle.
+    group once on the shingle hash (60-bit md5 prefix, strings never leave
+    Python; see ngram_jaccard_pairs), the eval side (carrying its shingle
+    count) equi-joins them ON the key both sides are already
+    hash-partitioned by, and one aggregation computes the metric. No
+    doc-level joins, never an eval x train cross product. Shingles in more
+    than ``max_posting_size`` train docs (boilerplate) are skipped — the
+    documented lower-bound approximation, mirrored by the SQL oracle.
     """
     t_base = _spread(train, id_col).select(
         F.col(id_col).alias("train_id"),
-        F.explode(shingle_array(text_col, n)).alias("shingle"),
+        F.explode(shingle_hash_array_py(text_col, n, 15)).alias("h"),
     )
     e_base = _spread(eval_df, id_col).select(
-        F.col(id_col).alias("eval_id"), shingle_array(text_col, n).alias("__arr")
+        F.col(id_col).alias("eval_id"),
+        shingle_hash_array_py(text_col, n, 15).alias("__arr"),
     )
     e_sh = e_base.select(
-        "eval_id", F.size("__arr").alias("e_sz"), F.explode("__arr").alias("shingle")
+        "eval_id", F.size("__arr").alias("e_sz"), F.explode("__arr").alias("h")
     )
-    postings = t_base.groupBy("shingle").agg(
+    postings = t_base.groupBy("h").agg(
         F.sort_array(F.collect_list("train_id")).alias("train_ids")
     ).filter(F.size("train_ids").between(1, max_posting_size))
-    # eval postings join train posting lists ON THE SHINGLE (both sides
-    # already hashed there), then explode the train side: each output row
-    # is one (eval doc, train doc, shared shingle).
+    # eval postings join train posting lists ON THE SHINGLE HASH (both
+    # sides already partitioned there), then explode the train side: each
+    # output row is one (eval doc, train doc, shared shingle).
     hits = (
-        e_sh.join(postings, "shingle")
+        e_sh.join(postings, "h")
         .select("eval_id", "e_sz", F.explode("train_ids").alias("train_id"))
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("common"), F.first("e_sz").alias("e_sz"))

@@ -709,15 +709,18 @@ WITH toks_t AS (
   SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
+), hh AS (
+  -- join key = 60-bit md5 prefix, identical to shingle_hash_array_py
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS sz FROM hh GROUP BY doc_id
 ), posting_ok AS (
   -- mirrors ngram_jaccard_pairs' max_posting_size=1000 ultra-common-shingle skip
-  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000
+  SELECT h FROM hh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 1000
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN posting_ok k ON a.shingle = k.shingle
+  FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN posting_ok k ON a.h = k.h
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
@@ -1474,19 +1477,22 @@ WITH toks_t AS (
   SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
+), hh AS (
+  -- join key = 60-bit md5 prefix, identical to shingle_hash_array_py
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
 ), e_sh AS (
-  SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 17 = 0
+  SELECT doc_id AS eval_id, h FROM hh WHERE doc_id % 17 = 0
 ), e_sz AS (
   SELECT eval_id, COUNT(*) AS e_sz FROM e_sh GROUP BY eval_id
 ), t_sh AS (
-  SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 17 <> 0
+  SELECT doc_id AS train_id, h FROM hh WHERE doc_id % 17 <> 0
 ), posting_ok AS (
   -- mirrors contamination_pairs' max_posting_size=1000 boilerplate skip
-  SELECT shingle FROM t_sh GROUP BY shingle HAVING COUNT(*) BETWEEN 1 AND 1000
+  SELECT h FROM t_sh GROUP BY h HAVING COUNT(*) BETWEEN 1 AND 1000
 ), hits AS (
   SELECT e.eval_id, t.train_id, COUNT(*) AS common
-  FROM e_sh e JOIN t_sh t ON e.shingle = t.shingle
-  JOIN posting_ok k ON e.shingle = k.shingle
+  FROM e_sh e JOIN t_sh t ON e.h = t.h
+  JOIN posting_ok k ON e.h = k.h
   GROUP BY e.eval_id, t.train_id
 )
 SELECT h.eval_id, h.train_id,
