@@ -606,6 +606,69 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS (id_a < id_b, hamming <= max_hamming)
+    via Hamming-ball LSH banding — turns q21's per-doc fingerprints into
+    the candidate pairs a dedup pipeline consumes.
+
+    The ``bits``-bit simhash splits into ``bands`` equal slices; two docs
+    within Hamming distance < ``bands`` MUST agree on at least one slice
+    (pigeonhole), so banding is exact for max_hamming <= bands-1 — no
+    recall loss, while only docs sharing a slice are ever compared.
+
+    Shape (100 TB): per-band posting lists exactly like minhash_lsh_pairs —
+    one shuffle on (band, slice value), pair expansion inside capped
+    buckets (degenerate buckets skipped, same rationale), simhashes ride
+    through as member payloads, final hamming = bit_count(a XOR b) in
+    whole-stage codegen. No self-join, no rejoin, no broadcast.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    sim = simhash(df, id_col, text_col, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("slice"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bs")
+    ).select(id_col, "simhash", "bs.band", "bs.slice")
+    pairs = (
+        banded.groupBy("band", "slice")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+            ).alias("members")
+        )
+        .filter(F.size("members").between(2, max_bucket_size))
+        .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.bit_count(
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # the same pair surfaces once per agreeing band: dedup on the key
+    return pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -71,3 +71,35 @@ def stratified_fixed(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n_per_stratum)
     )
+
+
+def deterministic_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reproducible global shuffle + sharding: assign every row a
+    ``shard`` (uniform hash bucket) and a ``pos`` (0-based position within
+    its shard, ordered by hash then id) — the "shuffle the corpus into N
+    training shards in a random-but-reproducible order" step every
+    pre-training data pipeline runs last.
+
+    Same corpus + same salt => identical (shard, pos) for every document,
+    on any cluster size, any input partitioning, any row order. Changing
+    the salt reshuffles everything.
+
+    Scale (100 TB): ONE shuffle on the shard key and a per-shard sort —
+    there is never a global single-reducer total order; ``num_shards``
+    scales with the corpus so each shard's sort fits an executor. (A
+    window over partitionBy(shard) gives Spark exactly that plan.)
+    """
+    h = sample_hash(F.col(id_col), salt)
+    shard = F.pmod(h, F.lit(num_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("__h")
+    )

@@ -1818,6 +1818,138 @@ LEFT JOIN comp c ON d.doc_id = c.doc_id
 ORACLE_Q42 = _q42_oracle()
 
 
+def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-ball LSH banding: 32-bit simhash
+    split into 4 slices, docs compared only within identical (band, slice)
+    buckets — exact for hamming <= 3 by pigeonhole. One posting-list
+    shuffle, simhashes carried as member payloads, hamming =
+    bit_count(xor) in codegen."""
+    from pincspark.operators.dedup import simhash_hamming_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(
+        docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+    )
+
+
+def _q43_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS slice FROM sim"
+        for b in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))}) AS t FROM documents
+), hh AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS h FROM tok
+), agg AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hh GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, {recon} AS simhash FROM agg
+), banded AS (
+{bands}
+), bucket_ok AS (
+  -- mirrors simhash_hamming_pairs' max_bucket_size=1000 degenerate-bucket skip
+  SELECT band, slice FROM banded GROUP BY band, slice HAVING COUNT(*) BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+  JOIN bucket_ok k ON a.band = k.band AND a.slice = k.slice
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+ORACLE_Q43 = _q43_oracle()
+
+
+def q44_deterministic_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle into training shards: every document
+    gets (shard, pos) from md5 hashing — identical on any cluster size /
+    partitioning; one shuffle + per-shard sort, never a global order."""
+    from pincspark.operators.sampling import deterministic_shards
+
+    docs = table(spark, sf_dir, "documents")
+    out = deterministic_shards(docs, "doc_id", num_shards=8, salt="r2")
+    return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
+
+
+def _q44_oracle() -> str:
+    from pincspark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "r2")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h, CAST({h} % 8 AS INTEGER) AS shard FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS INTEGER) AS pos
+FROM hashed
+"""
+
+
+ORACLE_Q44 = _q44_oracle()
+
+
+def q45_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: documents laid end-to-end into
+    128-token training sequences across 8 deterministic shard streams —
+    each doc's (shard, pos, seq_id, offset). One exchange + per-shard
+    running-sum window."""
+    from pincspark.operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, "doc_id", "text", budget=128, num_shards=8, salt="r2")
+    return out.select(
+        "doc_id",
+        "shard",
+        F.col("pos").cast("int").alias("pos"),
+        "n_tokens",
+        "seq_id",
+        "offset",
+    )
+
+
+def _q45_oracle() -> str:
+    from pincspark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "r2")
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h, CAST({h} % 8 AS INTEGER) AS shard,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+), positioned AS (
+  SELECT doc_id, shard, n_tokens, h,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS INTEGER) AS pos,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before_toks
+  FROM hashed
+)
+SELECT doc_id, shard, pos, n_tokens,
+       CAST(before_toks // 128 AS BIGINT) AS seq_id,
+       CAST(before_toks % 128 AS BIGINT) AS offset
+FROM positioned
+"""
+
+
+ORACLE_Q45 = _q45_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -1934,6 +2066,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q40_vocab_bpe_pairs": (q40_vocab_bpe_pairs, ORACLE_Q40),
     "q41_quantized_knn": (q41_quantized_knn, ORACLE_Q41),
     "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
+    "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
+    "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
+    "q45_pack_sequences": (q45_pack_sequences, ORACLE_Q45),
 }
 
 
