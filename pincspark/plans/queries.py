@@ -1950,6 +1950,64 @@ FROM positioned
 ORACLE_Q45 = _q45_oracle()
 
 
+def q46_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval (range) join via bucketization: every purchase event
+    matched into the signup validity interval [valid_from, valid_to) it
+    falls in, per user. A naive BETWEEN join plans as a nested loop; the
+    bucketized form is two exchanges + a hash join + a codegen refine
+    filter (operators/ranges.py)."""
+    from pincspark.operators.keyed import validity_intervals
+    from pincspark.operators.ranges import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    sig = (
+        validity_intervals(
+            ev.filter(F.col("event_type") == "signup").select(
+                "event_id", "user_id", "ts"
+            ),
+            key="user_id",
+            ts="ts",
+        )
+        .select(
+            F.col("event_id").alias("interval_event_id"),
+            "user_id",
+            F.unix_micros(F.col("valid_from")).alias("lo"),
+            F.unix_micros(F.col("valid_to")).alias("hi"),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("point_event_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    out = interval_join(
+        pur, sig, "ts_us", "lo", "hi", bucket_width=3_600_000_000, keys=["user_id"]
+    )
+    return out.select(
+        "point_event_id",
+        "user_id",
+        "interval_event_id",
+        F.col("lo").alias("valid_from_us"),
+        "ts_us",
+    )
+
+
+ORACLE_Q46 = """
+WITH sig AS (
+  SELECT event_id AS interval_event_id, user_id, epoch_us(ts) AS lo,
+         epoch_us(COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)) AS hi
+  FROM events WHERE event_type = 'signup'
+), pur AS (
+  SELECT event_id AS point_event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.point_event_id, p.user_id, s.interval_event_id,
+       s.lo AS valid_from_us, p.ts_us
+FROM pur p
+JOIN sig s ON p.user_id = s.user_id AND p.ts_us >= s.lo AND p.ts_us < s.hi
+"""
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -2069,6 +2127,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q45_pack_sequences": (q45_pack_sequences, ORACLE_Q45),
+    "q46_interval_join": (q46_interval_join, ORACLE_Q46),
 }
 
 

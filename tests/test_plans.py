@@ -133,3 +133,12 @@ def test_decode_routing_prunes_before_python(spark, tmp_path):
     filter_idx = plan.find("Filter")
     assert python_idx != -1 and filter_idx != -1
     assert filter_idx > python_idx  # printed tree: children below parents
+
+
+def test_interval_join_no_nested_loop(spark):
+    """q46's bucketized range join must plan as a hash join + refine
+    filter — never BroadcastNestedLoopJoin/CartesianProduct (what a naive
+    BETWEEN join degenerates to)."""
+    plan = _plan(Q.q46_interval_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan
