@@ -1,0 +1,86 @@
+"""Corpus search scoring: BM25 (Okapi) ranking of documents for a term
+query — the lexical-retrieval counterpart of the embedding top-k operators
+(similarity.py), and the standard quality signal a training pipeline uses
+for query-targeted corpus filtering.
+
+Spark-first shape (100 TB):
+- tokens explode once, filtered to the query's terms FIRST (a tiny IN
+  list, pushed into the same codegen stage as the tokenizer) — the corpus
+  never materializes a full posting table for ranking;
+- tf = one groupBy (doc, term); df = one groupBy (term) over that — both
+  tiny because only query terms survive;
+- corpus stats (N, avgdl) are one scalar aggregate broadcast-joined back
+  (never .collect()'d into the plan);
+- idf is joined by term (a few rows — broadcast), the final score is one
+  groupBy(doc) sum.
+Every stage is whole-stage-codegen'd; no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pincspark.functions.text import normalize_text, ws_tokens
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document containing >= 1 query term:
+    (id, n_terms_matched, score), score rounded to 6 dp.
+
+    score = sum over matched terms of
+      ln(1 + (N - df + 0.5) / (df + 0.5)) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+    with N = corpus size, dl = doc token count, avgdl = mean dl, df = docs
+    containing the term. The formula is kept in exactly this nesting on
+    the DuckDB oracle side; the per-doc sum spans at most len(terms)
+    doubles, so 6-dp rounding absorbs any addition-order difference.
+    """
+    toks = df.select(
+        F.col(id_col),
+        ws_tokens(normalize_text(F.col(text_col))).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    matched = toks.filter(F.col("term").isin(*terms))
+    tf = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(ws_tokens(normalize_text(F.col(text_col))))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.round(F.sum("__s"), 6).alias("score"),
+        )
+    )

@@ -2008,6 +2008,84 @@ JOIN sig s ON p.user_id = s.user_id AND p.ts_us >= s.lo AND p.ts_us < s.hi
 """
 
 
+def q47_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p95/p99 of event value per event
+    type) with linear interpolation — Spark `percentile` == DuckDB
+    `quantile_cont` bit-for-bit on the same doubles. The 100-TB twin is
+    `approx_percentile` (KLL-style sketch, mergeable map-side) — same
+    plan shape, bounded memory; the exact form is the oracle-able
+    correctness anchor (cf. q26's HLL/exact pairing)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+ORACLE_Q47 = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+_BM25_TERMS = ("spark", "window", "merge", "vector")
+
+
+def q48_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval scores for a 4-term query over the corpus:
+    tokens filtered to query terms inside the tokenize codegen stage (the
+    corpus never materializes a posting table), tf/df as two tiny keyed
+    aggs, corpus stats broadcast — no UDFs, no collect."""
+    from pincspark.operators.search import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+
+
+def _q48_oracle() -> str:
+    toks = _SQL_TOKS.format(c=_SQL_NORM.format(c="text"))
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # constants spelled exactly as the Spark plan folds them:
+    # k1=1.2, b=0.75 -> k1+1=2.2, 1-b=0.25
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks_t
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+  FROM tok WHERE term IN ({terms})
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         AVG(len({toks})) AS avgdl
+  FROM documents
+)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+       ROUND(SUM(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       ), 6) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
+ORACLE_Q48 = _q48_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -2128,6 +2206,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q45_pack_sequences": (q45_pack_sequences, ORACLE_Q45),
     "q46_interval_join": (q46_interval_join, ORACLE_Q46),
+    "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
+    "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
 }
 
 
