@@ -4,6 +4,13 @@
 
 Each query is forced with the noop sink (full execution, no driver
 materialization) after a JVM/scan warmup.
+
+The flagship (the reference's own batch job) is measured in its OWN
+subprocess with a fresh SparkSession, median-of-3 (VERDICT r2 #2: after the
+48-query catalog the shared session's accumulated state — GC pressure,
+Python-worker residue, shuffle files — tripled the recorded flagship time vs
+an isolated run; the isolated median is the honest number). Invoke
+`python bench.py --flagship <sf>` to run just that child.
 """
 
 from __future__ import annotations
@@ -14,21 +21,22 @@ import re
 import sys
 import time
 
-from pincspark.plans.queries import QUERIES
-from pincspark.session import get_spark
 
-
-def _ais_flagship(spark, sf: float) -> float:
-    """The reference's own batch job (ais_analysis.py:main) at scale:
-    synthesize an archive of ~500k*sf sentences by cycling the golden
-    corpus with advancing tag-block times, then run the full
-    decode -> as-of gold -> zone occupancy pipeline."""
-    import json
+def _synth_archives(sf: float) -> tuple[str, str, str]:
+    """Build (archive, warmup_archive, tmpdir): ~500k*sf sentences cycling
+    the golden corpus with advancing tag-block times."""
     import tempfile
 
-    from pincspark.analysis import batch_archive_analysis
-
-    golden = json.load(open(os.path.join(os.path.dirname(__file__), "tests", "golden", "reference_decoded.json")))
+    golden = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests",
+                "golden",
+                "reference_decoded.json",
+            )
+        )
+    )
     groups = [r["sentences"] for r in golden]
     n_msgs = max(int(500_000 * sf), len(groups))
     tmp = tempfile.mkdtemp(prefix="ais_bench_")
@@ -39,37 +47,75 @@ def _ais_flagship(spark, sf: float) -> float:
             for s in groups[i % len(groups)]:
                 f.write(f"\\s:rBENCH,c:{t}*00" + s + "\n")
             t += 1
-    # A bench-scale archive is a few MB — one file split — which would pin
-    # the scan-side tokenize/checksum stages to one core (at production
-    # scale the archive naturally yields thousands of 128MB splits and this
-    # knob is irrelevant). Split it so the whole pipeline uses the cluster.
-    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
-    # Untimed warmup on a tiny archive: compiles the ~20 codegen stages of
-    # the flagship DAG once, so the timed run measures the pipeline, not
-    # janino (same policy as the catalog warmup above).
     wpath = os.path.join(tmp, "warmup.log")
     with open(wpath, "w") as f:
         for i in range(200):
             for s in groups[i % len(groups)]:
                 f.write(f"\\s:rBENCH,c:{1673222400 + i}*00" + s + "\n")
-    wgold, woccupancy = batch_archive_analysis(
-        spark, wpath, gold_path=os.path.join(tmp, "gold_warm")
-    )
-    woccupancy.write.mode("overwrite").format("noop").save()
+    return path, wpath, tmp
+
+
+def _flagship_once(spark, path: str, gold_path: str) -> float:
+    """One timed decode -> as-of gold -> zone occupancy run (the reference
+    persists gold then analyzes, ais_analysis.py:477 — gold_path mirrors
+    that: occupancy reads the parquet back instead of re-executing)."""
+    from pincspark.analysis import batch_archive_analysis
 
     t0 = time.time()
-    try:
-        # gold_path persists the gold table mid-pipeline (the reference
-        # writes then analyzes, ais_analysis.py:477) — occupancy reads it
-        # back instead of re-executing the decode DAG.
-        gold, occupancy = batch_archive_analysis(
-            spark, path, gold_path=os.path.join(tmp, "gold")
-        )
-        occupancy.write.mode("overwrite").format("noop").save()
-        return time.time() - t0
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+    gold, occupancy = batch_archive_analysis(spark, path, gold_path=gold_path)
+    occupancy.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def _flagship_child() -> None:
+    """`bench.py --flagship <sf>`: fresh session, untimed warmup, THREE
+    timed flagship runs; prints one JSON line {"runs": [...], "median": x}."""
+    from pincspark.session import get_spark
+
+    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 0.1
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    path, wpath, tmp = _synth_archives(sf)
+    spark = get_spark("pincspark-flagship", cpus=cpus)
+    # A bench-scale archive is a few MB — one file split — which would pin
+    # the scan-side tokenize/checksum stages to one core (at production
+    # scale the archive naturally yields thousands of 128MB splits and this
+    # knob is irrelevant). Split it so the whole pipeline uses the cluster.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    # Untimed warmup on a tiny archive: compiles the ~20 codegen stages of
+    # the flagship DAG and forks the Arrow worker pool once, so the timed
+    # runs measure the pipeline, not janino.
+    _flagship_once(spark, wpath, os.path.join(tmp, "gold_warm"))
+    runs = [
+        round(_flagship_once(spark, path, os.path.join(tmp, f"gold_{i}")), 3)
+        for i in range(3)
+    ]
+    spark.stop()
+    print(json.dumps({"runs": runs, "median": sorted(runs)[1]}))
+    sys.stdout.flush()
+
+
+def _flagship_subprocess(sf: float) -> tuple[float, list[float]]:
+    """Run the flagship child and parse the LAST parseable JSON stdout line
+    (anything else on stdout — JVM banners, ivy chatter — is skipped)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--flagship", str(sf)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    if proc.stderr:
+        sys.stderr.write(proc.stderr[-2000:])
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+            return rec["median"], rec["runs"]
+        except (ValueError, KeyError, TypeError):
+            continue
+    raise RuntimeError(
+        f"flagship subprocess produced no JSON line (rc={proc.returncode})"
+    )
 
 
 def main() -> None:
@@ -78,7 +124,28 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Flagship FIRST, isolated, before the catalog session exists.
+    flagship_runs: list[float] = []
+    try:
+        flagship, flagship_runs = _flagship_subprocess(sf)
+    except Exception as e:  # degrade: in-session run, still before the catalog
+        print(f"WARN flagship subprocess failed ({e}); in-session fallback", file=sys.stderr)
+        flagship = None
+
+    from pincspark.plans.queries import QUERIES
+    from pincspark.session import get_spark
+
     spark = get_spark("pincspark-bench", cpus=cpus)
+
+    if flagship is None:
+        path, wpath, tmp = _synth_archives(sf)
+        prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        try:
+            _flagship_once(spark, wpath, os.path.join(tmp, "gold_warm"))
+            flagship = _flagship_once(spark, path, os.path.join(tmp, "gold"))
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
     # Warm up JVM + file metadata so per-query timings measure the plans.
     from pincspark.sources.tables import load_tables
@@ -96,13 +163,11 @@ def main() -> None:
     ).repartition(cpus * 2)
     decode_ais(warm).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {"ais_flagship": round(flagship, 3)}
     for name, (fn, _) in QUERIES.items():
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
-
-    timings["ais_flagship"] = round(_ais_flagship(spark, sf), 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -112,6 +177,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if flagship_runs:
+        result["flagship_runs"] = flagship_runs
 
     # Regression harness: compare against the best prior run at this sf
     # (bench_history.jsonl, committed per round). Machine noise here is
@@ -142,10 +209,16 @@ def main() -> None:
     with open(hist_path, "a") as f:
         f.write(json.dumps({"sf": sf, "value": total, "queries": timings}) + "\n")
 
+    # Stop the session BEFORE printing: the result JSON must be the last
+    # stdout line (the driver parses stdout; BENCH_r02 recorded
+    # "parsed": null when it wasn't clean).
+    spark.stop()
     print(json.dumps(result))
     sys.stdout.flush()
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--flagship":
+        _flagship_child()
+    else:
+        main()

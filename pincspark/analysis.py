@@ -9,6 +9,14 @@ Stage-for-stage parity with SURVEY §3.1; every hop is one of the engine's
 operators, so the whole job is: scan -> narrow decode -> ONE shuffle on
 mmsi (as-of) -> broadcast zone predicate -> low-card agg. At 100 TB the
 only wide exchange is the mmsi shuffle, which AQE skew-handles.
+
+The decoded frame is staged (eager localCheckpoint inside
+``read_and_decode``) before the position/static fan-out: the gold DAG
+consumes it three times (positions + the t5/t24 static union), and without
+staging Spark re-scans the archive and re-runs the Python decode once per
+consumer — the reference reads the day file once (ais_analysis.py:318-321),
+and so does this pipeline (exactly 1 FileScan + 1 ArrowEvalPython across
+the whole flagship, asserted in tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -78,11 +86,12 @@ def batch_archive_analysis(
     spark: SparkSession,
     archive_path: str,
     gold_path: str | None = None,
+    plan_sink: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full §3.1 pipeline. Returns (gold, occupancy); writes/re-reads the
     gold parquet when ``gold_path`` is given (the reference persists then
     analyzes, ais_analysis.py:477-486)."""
-    decoded = read_and_decode(spark, archive_path)
+    decoded = read_and_decode(spark, archive_path, plan_sink=plan_sink)
     gold = build_gold(position_frame(decoded), static_frame(decoded))
     if gold_path is not None:
         gold.write.mode("overwrite").parquet(gold_path)

@@ -45,17 +45,34 @@ def decode_payload(payload: str) -> dict:
     return out
 
 
-@pandas_udf(DECODED)
-def decode_udf(payload: pd.Series) -> pd.DataFrame:
+def _decode_series(payload: pd.Series) -> pd.DataFrame:
     from pincspark.decode.vectorized import decode_batch
 
     return decode_batch(payload, _TOP_COLS, decode_payload)
 
 
-def decode_ais(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+decode_udf = pandas_udf(DECODED)(_decode_series)
+
+# The decode function is PURE; the non-deterministic flag is a Catalyst plan
+# barrier only: PushProjectionThroughUnion clones a deterministic projection
+# into every branch of a union input, which would print N ArrowEvalPython
+# stages (one per branch) where the pipeline semantically has one decode
+# pass. Marking the call non-deterministic keeps the single Python stage
+# ABOVE the union. Used where the decode input is itself a union (e.g. the
+# complete ∪ boundary-repaired reassembly) and the frame is staged right
+# after, so the lost optimizer freedoms (collapse/pushdown through the
+# projection) are irrelevant.
+_decode_udf_barrier = pandas_udf(DECODED)(_decode_series).asNondeterministic()
+
+
+def decode_ais(
+    df: DataFrame, payload_col: str = "payload", plan_barrier: bool = False
+) -> DataFrame:
     """Attach the decoded struct as column ``ais``. Select families with
-    e.g. ``df.select("ais.mmsi", "ais.position.*")``."""
-    return df.withColumn("ais", decode_udf(F.col(payload_col)))
+    e.g. ``df.select("ais.mmsi", "ais.position.*")``. ``plan_barrier``:
+    see :data:`_decode_udf_barrier`."""
+    fn = _decode_udf_barrier if plan_barrier else decode_udf
+    return df.withColumn("ais", fn(F.col(payload_col)))
 
 
 # ---------------------------------------------------------------------------

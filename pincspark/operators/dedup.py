@@ -317,10 +317,7 @@ def minhash_lsh_pairs(
     # skipped: their members are, by construction, near-identical boilerplate
     # better handled by exact_dedup upstream, and a cap of 1000 still emits
     # up to ~500k pairs per bucket. The SQL oracle mirrors the cap exactly.
-    banded = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bs")
-    ).select(id_col, "bs.band", "bs.sig")
-
+    #
     # Signatures RIDE THROUGH the bucket shuffle as a member-struct payload
     # (id + mh array), so the estimated Jaccard is computed inline at pair
     # expansion and NO rejoin exists at all — the round-1 design joined the
@@ -682,10 +679,11 @@ def dedup_clusters(
 
     Iterative min-label propagation: every node starts as its own label;
     each round every node takes the min of its own and its neighbors'
-    labels; stop at fixpoint (sum of labels is strictly decreasing until
-    convergence, so one cheap agg per round detects it). Rounds needed =
-    component diameter, and LSH components are shallow (pairs share
-    bucket signatures), so this is a handful of label-table shuffles.
+    labels; stop at fixpoint — detected type-agnostically as "zero labels
+    changed this round" (a sum-based check would be wrong for string doc
+    ids, where sum() is NULL every round). Rounds needed = component
+    diameter, and LSH components are shallow (pairs share bucket
+    signatures), so this is a handful of label-table shuffles.
 
     Scale notes (100 TB): only the LABELS table (one row per node that
     appears in a pair — far smaller than the corpus) ever shuffles; the
@@ -706,25 +704,37 @@ def dedup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    prev_sum = None
+    converged = False
     for _ in range(max_iters):
         msgs = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        nxt = (
             labels.join(msgs, labels["node"] == msgs["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        if cur_sum == prev_sum:
+        changed = nxt.filter(F.col("label") != F.col("old_label")).count()
+        labels = nxt.drop("old_label")
+        if changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters did not converge within max_iters={max_iters}; "
+            "returned labels may split components with larger diameters — "
+            "raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -1453,7 +1453,7 @@ ORACLE_Q36 = _q36_oracle()
 
 def q37_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: every eval doc (doc_id % 17 == 0, a
-    stand-in benchmark split) whose 3-gram shingles are >= 30% contained
+    stand-in benchmark split) whose 3-gram shingles are >= 15% contained
     in some train doc — the benchmark-leak sweep a training pipeline runs
     before every release. Inverted-index containment, no cross product."""
     from pincspark.operators.dedup import contamination_pairs

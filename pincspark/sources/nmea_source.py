@@ -83,7 +83,40 @@ def tokenize_sentences(df: DataFrame, sentence: str = "sentence") -> DataFrame:
     )
 
 
-def reassemble(df: DataFrame, repair_boundaries: bool = True) -> DataFrame:
+# monotonically_increasing_id layout: partition index in the upper 31 bits,
+# per-partition row offset in the lower 33 (the adjacency key relies on the
+# offset being consecutive within a split; the repair pass relies on the
+# partition index for its split-boundary check).
+_MI_OFFSET_MASK = (1 << 33) - 1
+
+
+def _emit_groups(grouped: DataFrame) -> DataFrame:
+    """Grouped fragment frames -> one row per validated complete message:
+    exactly ``total`` fragments numbered 1..total (the reference's sequence
+    check, ais_ingressServer.py:95-101), payloads concatenated in order."""
+    return (
+        grouped.filter(F.col("n_frags") == F.col("total"))
+        .filter(
+            F.expr(
+                "forall(zip_with(frags.num, sequence(1, total), (a, b) -> a = b), x -> x)"
+            )
+        )
+        .select(
+            F.col("frags").getItem(0).getField("tagblock").alias("tagblock"),
+            F.col("frags").getItem(0).getField("ts").alias("ts"),
+            F.col("seq_id"),
+            F.col("total").alias("n_sentences"),
+            F.expr("array_join(frags.payload, '')").alias("payload"),
+        )
+    )
+
+
+def reassemble(
+    df: DataFrame,
+    repair_boundaries: bool = True,
+    materialize: bool | None = None,
+    plan_sink: list | None = None,
+) -> DataFrame:
     """ST1-batch: validate checksums, group adjacent fragments, emit one row
     per complete message group with the concatenated payload.
 
@@ -98,7 +131,29 @@ def reassemble(df: DataFrame, repair_boundaries: bool = True) -> DataFrame:
     thousands of rows at 100 TB, not billions) globally per
     (seq_id, total) with a num==1-starts-a-group running session over the
     line order — rescuing boundary groups without ever funneling the full
-    archive through one task."""
+    archive through one task.
+
+    A repaired group must be exactly what the single-split adjacency pass
+    would have produced had the file not been cut: its fragments come from
+    exactly TWO adjacency keys, the second run starts at row offset 0 of
+    the NEXT input split, and each run is internally adjacent (which the
+    shared key already guarantees). AIS seq ids cycle 0-9, so without this
+    guard an orphan fragment 1 of one message and an orphan fragment 2 of
+    an unrelated one (partners lost to checksum errors) could be spliced
+    into a fabricated message that the reference — one unsplit stream —
+    would drop.
+
+    ``materialize`` (default: follows ``repair_boundaries``): the repair
+    makes ``grouped`` a two-consumer subtree (complete + leftovers), and
+    Spark re-executes the archive scan per consumer (common-subtree reuse
+    is not guaranteed across the union). Eagerly ``localCheckpoint``-ing
+    the grouped frame stages it once, so the archive is scanned exactly
+    once regardless of how many frames fan out above. On a multi-executor
+    cluster prefer ``.checkpoint()`` to reliable storage or staging to
+    parquet — localCheckpoint trades executor-loss tolerance for speed.
+    """
+    if materialize is None:
+        materialize = repair_boundaries
     valid = df.filter(checksum_valid(F.col("sentence")))
     keyed = valid.withColumn(
         "group_key", F.col("line_idx") - (F.col("num") - 1).cast("bigint")
@@ -112,18 +167,11 @@ def reassemble(df: DataFrame, repair_boundaries: bool = True) -> DataFrame:
             F.count(F.lit(1)).alias("n_frags"),
         )
     )
-    complete = grouped.filter(F.col("n_frags") == F.col("total")).filter(
-        F.expr(
-            "forall(zip_with(frags.num, sequence(1, total), (a, b) -> a = b), x -> x)"
-        )
-    )
-    out = complete.select(
-        F.col("frags").getItem(0).getField("tagblock").alias("tagblock"),
-        F.col("frags").getItem(0).getField("ts").alias("ts"),
-        F.col("seq_id"),
-        F.col("total").alias("n_sentences"),
-        F.expr("array_join(frags.payload, '')").alias("payload"),
-    )
+    if repair_boundaries and materialize:
+        if plan_sink is not None:
+            plan_sink.append(grouped._jdf.queryExecution().executedPlan().toString())
+        grouped = grouped.localCheckpoint(eager=True)
+    out = _emit_groups(grouped)
     if not repair_boundaries:
         return out
 
@@ -149,30 +197,68 @@ def reassemble(df: DataFrame, repair_boundaries: bool = True) -> DataFrame:
             ).alias("frags"),
             F.count(F.lit(1)).alias("n_frags"),
         )
-        .filter(F.col("n_frags") == F.col("total"))
+        # Splice guard: only rejoin halves actually cut by a split boundary.
+        # keys[i] is fragment i's adjacency key; b is the 1-based index where
+        # the second run starts. Require exactly two runs, the second
+        # internally uniform, living in the NEXT partition, at row offset 0
+        # (a true continuation IS the first surviving line of its split; any
+        # interposed line would have broken adjacency in the unsplit stream
+        # too, so the reference would drop the group — and so do we).
+        .withColumn(
+            "keys", F.expr("transform(frags, f -> f.line_idx - (f.num - 1))")
+        )
+        .withColumn(
+            "b",
+            F.expr(
+                "cast(array_position(transform(keys, k -> k != keys[0]), true) as int)"
+            ),
+        )
         .filter(
             F.expr(
-                "forall(zip_with(frags.num, sequence(1, total), (a, b) -> a = b), x -> x)"
+                f"""CASE WHEN size(array_distinct(keys)) != 2 OR b < 2 THEN false
+                    ELSE forall(slice(keys, b, size(keys) - b + 1),
+                                k -> k = element_at(keys, b))
+                         AND shiftright(element_at(frags, b).line_idx, 33)
+                             = shiftright(frags[0].line_idx, 33) + 1
+                         AND (element_at(frags, b).line_idx & {_MI_OFFSET_MASK}) = 0
+                    END"""
             )
         )
-        .select(
-            F.col("frags").getItem(0).getField("tagblock").alias("tagblock"),
-            F.col("frags").getItem(0).getField("ts").alias("ts"),
-            F.col("seq_id"),
-            F.col("total").alias("n_sentences"),
-            F.expr("array_join(frags.payload, '')").alias("payload"),
-        )
+        .drop("keys", "b")
     )
-    return out.unionByName(regrouped)
+    return out.unionByName(_emit_groups(regrouped))
 
 
-def read_and_decode(spark: SparkSession, path: str) -> DataFrame:
+def read_and_decode(
+    spark: SparkSession,
+    path: str,
+    materialize: bool = True,
+    plan_sink: list | None = None,
+) -> DataFrame:
     """Full S1 -> P27 -> P1 -> P2/ST1 -> decode pipeline, ending with the
-    typed ``ais`` struct column."""
+    typed ``ais`` struct column.
+
+    ``materialize`` (default on): eagerly ``localCheckpoint`` the decoded
+    frame so downstream fan-out (position frame + static frame + as-of
+    gold consume it three times) re-reads the staged result instead of
+    re-scanning the archive and re-running the Python decode per consumer.
+    The reference reads the day file once (ais_analysis.py:318-321); with
+    staging the whole flagship DAG executes exactly ONE archive FileScan
+    and ONE ArrowEvalPython decode (asserted in tests/test_plans.py).
+    ``plan_sink``: debug hook — collects the executed-plan strings of each
+    staged subtree so tests can assert over the full executed work."""
     from pincspark.decode.kernel import decode_ais
 
     df = tokenize_sentences(with_tagblock_ts(read_archive(spark, path)))
-    return decode_ais(reassemble(df))
+    decoded = decode_ais(
+        reassemble(df, materialize=materialize, plan_sink=plan_sink),
+        plan_barrier=True,
+    )
+    if materialize:
+        if plan_sink is not None:
+            plan_sink.append(decoded._jdf.queryExecution().executedPlan().toString())
+        decoded = decoded.localCheckpoint(eager=True)
+    return decoded
 
 
 def decode_line_stream(

@@ -27,3 +27,27 @@ def test_disjoint_components_keep_own_minimum(spark):
 def test_duplicate_and_reversed_edges_are_harmless(spark):
     got = _clusters(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_string_ids_multi_hop(spark):
+    """ADVICE r2: the convergence check must be type-agnostic. With string
+    doc ids sum(label) is NULL every round, so a sum-based fixpoint test
+    exits after one round and splits any component of diameter >= 2."""
+    got = _clusters(
+        spark, [("docB", "docA"), ("docB", "docC"), ("docD", "docC"), ("docD", "docE")]
+    )
+    assert got == {k: "docA" for k in ("docA", "docB", "docC", "docD", "docE")}
+
+
+def test_nonconvergence_warns(spark):
+    import warnings
+
+    from pincspark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (6, 5)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_clusters(pairs, max_iters=1).collect()
+    assert any("did not converge" in str(x.message) for x in w)

@@ -223,3 +223,33 @@ def test_reassemble_repairs_split_boundary_groups(spark, tmp_path):
 
     unrepaired = reassemble(tok, repair_boundaries=False).collect()
     assert sorted(r["n_sentences"] for r in unrepaired) == [1, 1]
+
+
+def test_reassemble_splice_guard_rejects_unrelated_orphans(spark, tmp_path):
+    """ADVICE r2: two orphan fragments with the same (seq_id, total) whose
+    partners were lost (e.g. to checksum failures) must NOT be spliced into
+    a fabricated message — the reference, reading one unsplit stream, drops
+    both. Only a continuation sitting at row offset 0 of the NEXT split
+    qualifies as a boundary cut."""
+    from pincspark.sources.nmea_source import (
+        read_archive,
+        reassemble,
+        tokenize_sentences,
+        with_tagblock_ts,
+    )
+
+    part1 = "!ABVDM,2,1,4,A,58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l,0*14"
+    part2 = "!ABVDM,2,2,4,A,PAiH8888880,2*1B"
+    single = "!ABVDM,1,1,7,A,15R9eN001n7DHvT13w0TBSM>00Rm,0*54"
+    d = tmp_path / "archive"
+    d.mkdir()
+    # orphan frag 1 (its partner never arrives in this split), then a
+    # singleton — so frag 1 is NOT at a split tail in any meaningful way
+    (d / "a.log").write_text(TAG + part1 + "\n" + TAG + single + "\n")
+    # frag 2 at offset 1 of the next split: not a boundary continuation
+    (d / "b.log").write_text(TAG + single + "\n" + TAG + part2 + "\n")
+
+    tok = tokenize_sentences(with_tagblock_ts(read_archive(spark, str(d))))
+    out = reassemble(tok).collect()
+    # both singles decode; the two orphan halves are dropped, not spliced
+    assert sorted(r["n_sentences"] for r in out) == [1, 1]

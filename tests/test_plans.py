@@ -142,3 +142,37 @@ def test_interval_join_no_nested_loop(spark):
     plan = _plan(Q.q46_interval_join(spark, SF_DIR))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan
+
+
+def test_flagship_single_scan_single_decode(spark, tmp_path):
+    """The whole flagship DAG must execute exactly ONE archive FileScan and
+    ONE Python decode stage (VERDICT r2 #1): without staging, the gold
+    fan-out (positions + the t5/t24 static union consume `decoded` three
+    times) plus reassemble's two-consumer grouped subtree multiplied the
+    executed plan to 6 FileScans / 12 ArrowEvalPython. The grouped and
+    decoded frames are localCheckpoint-staged once; `plan_sink` captures
+    the executed plan of each staged subtree, so the concatenation of those
+    plans with the final gold/occupancy plans IS the total executed work."""
+    from pincspark.analysis import batch_archive_analysis
+
+    tag = "\\s:rTEST,c:1673222400*00"
+    sentences = [
+        "!ABVDM,1,1,7,A,15R9eN001n7DHvT13w0TBSM>00Rm,0*54",
+        "!ABVDM,2,1,4,A,58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l,0*14",
+        "!ABVDM,2,2,4,A,PAiH8888880,2*1B",
+    ]
+    p = tmp_path / "archive.log"
+    p.write_text("".join(tag + s + "\n" for s in sentences))
+
+    sink: list[str] = []
+    gold, occupancy = batch_archive_analysis(spark, str(p), plan_sink=sink)
+    assert len(sink) == 2  # grouped stage + decoded stage
+    everything = "\n".join(
+        sink
+        + [
+            gold._jdf.queryExecution().executedPlan().toString(),
+            occupancy._jdf.queryExecution().executedPlan().toString(),
+        ]
+    )
+    assert everything.count("FileScan") == 1
+    assert everything.count("ArrowEvalPython") == 1
