@@ -2156,6 +2156,146 @@ FROM orders GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# q49: the type-8 DAC1/FID31 weather report as pure SQL (P11 oracle twin)
+# --------------------------------------------------------------------------
+
+# Weather payloads: the golden-corpus sentence plus two synthesized reports
+# (southern/western hemisphere with negative temperatures; boundary/sentinel
+# values on every field), all round-tripped against the Python kernel in
+# tests/test_pipeline.py.
+WEATHER_PAYLOADS = [
+    "805GdVh0GjuoMp2?>h0AP@=UdB06EuOwgrBGwnSwe7wvlOwwsAwwnSGmwvh0",
+    "839Lg000Gwohb721=6=vwKjkPkQeOR<NTCwp6;T8GjP=TD5jHL65jiRKEN@0",
+    "876qich0Gjuqw02N=3p7Wt3wP1wp2001Owwt003wwwwvl00?s?wwP3wwowP0",
+]
+
+# (column, start bit, width, signed) for every integer met-hydro field of the
+# IMO289 weather report — spans == decode_type8 (families.py) ==
+# ais_parser.py:143-221 (incl. the reference's quirk of decoding
+# avgWindSpeed/windGust as SIGNED 7-bit). lon/lat are handled separately
+# (the /60000.0 25/24-bit variant, not the position report's /600000.0).
+WEATHER_SPANS: list[tuple[str, int, int, bool]] = [
+    ("positionAccuracy", 105, 1, False),
+    ("utc_day", 106, 5, False),
+    ("utc_hour", 111, 5, False),
+    ("utc_minute", 116, 6, False),
+    ("avgWindSpeed", 122, 7, True),
+    ("windGust", 129, 7, True),
+    ("windDirection", 136, 9, False),
+    ("windGustDirection", 145, 9, False),
+    ("airTemperature", 154, 11, True),
+    ("relativeHumidity", 165, 7, False),
+    ("dewpoint", 172, 10, True),
+    ("airPressure", 182, 9, False),
+    ("airPressureTendency", 191, 2, False),
+    ("horizontalVisibility", 193, 8, False),
+    ("waterLevel", 201, 12, False),
+    ("waterLevelTrend", 213, 2, False),
+    ("surfaceCurrentSpeed", 215, 8, False),
+    ("surfaceCurrentDirection", 223, 9, False),
+    ("surfaceCurrentSpeed_2", 232, 8, False),
+    ("surfaceCurrentDirection_2", 240, 9, False),
+    ("CurrentMeasureLevel_2", 249, 5, False),
+    ("surfaceCurrentSpeed_3", 254, 8, False),
+    ("surfaceCurrentDirection_3", 262, 9, False),
+    ("CurrentMeasureLevel_3", 271, 5, False),
+    ("significantWaveHeight", 276, 8, False),
+    ("wavePeriod", 284, 6, False),
+    ("waveDirection", 290, 9, False),
+    ("swellHeight", 299, 8, False),
+    ("swellPeriod", 307, 6, False),
+    ("swellDirection", 313, 9, False),
+    ("seaState", 322, 4, False),
+    ("waterTemperature", 326, 10, False),
+    ("precipitation", 336, 3, False),
+    ("salinity", 339, 9, False),
+    ("ice", 348, 2, False),
+]
+
+_POS_ACC_0 = "an unaugmented GNSS fix with accuracy > 10m"
+_POS_ACC_1 = "a DGPS-quality fix with an accuracy of < 10ms"
+
+
+def q49_weather_decode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 as pure SQL: the full DAC1/FID31 met-hydro report — the widest
+    decoder in the reference (ais_parser.py:143-221) — as generated
+    bit-field column expressions over the armor-value array, plus the five
+    enum description strings (P22/P23) and the positionAccuracy conditional,
+    all from the same span/enum tables the Python kernel uses. No Python at
+    run time; the oracle runs the identical integer arithmetic."""
+    from pincspark.decode.kernel import armor_vals_sql, bitfield
+    from pincspark.functions.enums import WEATHER_DESCS, lookup
+
+    df = spark.createDataFrame(
+        [(p,) for p in WEATHER_PAYLOADS], "payload STRING"
+    ).withColumn("__vals", F.expr(armor_vals_sql("payload")))
+    p = "payload"
+    b = lambda s, n, sg=False: bitfield(p, s, n, sg, vals="__vals")
+    out = df.select(
+        "payload",
+        b(0, 6).cast("int").alias("message_type"),
+        b(8, 30).alias("mmsi"),
+        b(40, 10).cast("int").alias("dac"),
+        b(50, 6).cast("int").alias("fid"),
+        (b(56, 25, True).cast("double") / F.lit(60000.0)).alias("longitude"),
+        (b(81, 24, True).cast("double") / F.lit(60000.0)).alias("latitude"),
+        *[
+            b(s, n, sg).cast("int").alias(name)
+            for name, s, n, sg in WEATHER_SPANS
+        ],
+    )
+    out = out.withColumn(
+        "positionAccuracyDesc",
+        F.when(F.col("positionAccuracy") == 0, F.lit(_POS_ACC_0)).otherwise(
+            F.lit(_POS_ACC_1)
+        ),
+    )
+    for code_col, enum_name, desc_col in WEATHER_DESCS:
+        out = out.withColumn(desc_col, lookup(F.col(code_col), enum_name))
+    return out
+
+
+def _q49_oracle() -> str:
+    from pincspark.decode.kernel import bitfield_sql
+    from pincspark.functions.enums import WEATHER_DESCS, lookup_sql
+
+    vals = ",\n  ".join(f"('{p}')" for p in WEATHER_PAYLOADS)
+    b = lambda s, n, sg=False: bitfield_sql("payload", s, n, sg)
+    fields = ",\n       ".join(
+        f"CAST({b(s, n, sg)} AS INTEGER) AS {name}"
+        for name, s, n, sg in WEATHER_SPANS
+    )
+    descs = ",\n       ".join(
+        f"{lookup_sql(enum_name, code_col)} AS {desc_col}"
+        for code_col, enum_name, desc_col in WEATHER_DESCS
+    )
+    return f"""
+WITH raw(payload) AS (VALUES
+  {vals}
+),
+dec AS (
+SELECT payload,
+       CAST({b(0, 6)} AS INTEGER) AS message_type,
+       {b(8, 30)} AS mmsi,
+       CAST({b(40, 10)} AS INTEGER) AS dac,
+       CAST({b(50, 6)} AS INTEGER) AS fid,
+       CAST({b(56, 25, True)} AS DOUBLE) / 60000.0 AS longitude,
+       CAST({b(81, 24, True)} AS DOUBLE) / 60000.0 AS latitude,
+       {fields}
+FROM raw
+)
+SELECT *,
+       CASE WHEN positionAccuracy = 0 THEN '{_POS_ACC_0}'
+            ELSE '{_POS_ACC_1}' END AS positionAccuracyDesc,
+       {descs}
+FROM dec
+"""
+
+
+ORACLE_Q49 = _q49_oracle()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2208,6 +2348,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q46_interval_join": (q46_interval_join, ORACLE_Q46),
     "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
     "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
+    "q49_weather_decode_sql": (q49_weather_decode_sql, ORACLE_Q49),
 }
 
 

@@ -253,3 +253,54 @@ def test_reassemble_splice_guard_rejects_unrelated_orphans(spark, tmp_path):
     out = reassemble(tok).collect()
     # both singles decode; the two orphan halves are dropped, not spliced
     assert sorted(r["n_sentences"] for r in out) == [1, 1]
+
+
+def test_weather_sql_decode_matches_python_kernel(spark):
+    """q49's pure-SQL DAC1/FID31 decode agrees field-by-field (all 35
+    integer met-hydro spans, the /60000 lon/lat variant, and every enum
+    description) with the Python kernel on the golden + synthesized
+    weather payloads."""
+    from pincspark.decode.families import decode_message
+    from pincspark.functions.nmea import Bits
+    from pincspark.plans import queries as Q
+    from tests.conftest import SF_DIR
+
+    expected = {}
+    for payload in Q.WEATHER_PAYLOADS:
+        rec = decode_message(Bits.from_payload(payload))
+        expected[payload] = {**rec, **rec["payload_fields"]}
+
+    import pytest as _pytest
+
+    for r in Q.q49_weather_decode_sql(spark, SF_DIR).collect():
+        exp = expected[r["payload"]]
+        assert r["message_type"] == exp["messageType"] == 8
+        assert r["mmsi"] == exp["mmsi"]
+        assert r["dac"] == 1 and r["fid"] == 31
+        assert r["longitude"] == _pytest.approx(exp["longitude"])
+        assert r["latitude"] == _pytest.approx(exp["latitude"])
+        for name, _, _, _ in Q.WEATHER_SPANS:
+            assert r[name] == exp[name], (name, r[name], exp[name])
+
+
+def test_weather_sql_descs_match_reference_golden(spark):
+    """The q49 desc strings reproduce the reference's own decoded output
+    (tests/golden/reference_decoded.json) for the golden weather sentence."""
+    from pincspark.plans import queries as Q
+    from tests.conftest import SF_DIR
+
+    golden = next(r for r in GOLDEN if r["common"]["messageType"] == 8)
+    row = (
+        Q.q49_weather_decode_sql(spark, SF_DIR)
+        .filter(F.col("payload") == Q.WEATHER_PAYLOADS[0])
+        .collect()[0]
+    )
+    for k in (
+        "positionAccuracyDesc",
+        "airPressureTendencyDesc",
+        "waterLevelTrendDesc",
+        "seaStateDesc",
+        "precipitationDesc",
+        "iceDesc",
+    ):
+        assert row[k] == golden["body"][k], (k, row[k], golden["body"][k])
