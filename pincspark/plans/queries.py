@@ -2296,6 +2296,124 @@ ORACLE_Q49 = _q49_oracle()
 
 
 # --------------------------------------------------------------------------
+# q50: the type-6 DAC533 vendor decode + egress normalizer (P10/D7 twin)
+# --------------------------------------------------------------------------
+
+# DAC533 payloads: golden-corpus FID4 (buoy flags, 144 bits) and FID1
+# (light-beacon volts, 138 bits), plus two synthesized FID2 renewable-energy
+# lantern reports — one full (138 bits) and one truncated at 120 bits to
+# exercise the reference's guarded-optional zero-fill
+# (ais_parser.py:266-293 `if len(binaryString) >= N else 0`).
+TYPE6_533_PAYLOADS = [
+    "6>m><PH000clQDB?AA`<P@0P",  # FID4, golden
+    "6>m>=9D000clQD528=00W<0",  # FID1, golden
+    "6>jHC640W=i4QD9wWdhIrnL",  # FID2 full, synthesized
+    "6>jHC6H0W=i:QD8j5PI>",  # FID2 truncated, synthesized
+]
+
+
+def q50_type6_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 + the egress normalizer as one oracled query: decode the DAC533
+    vendor payloads through the real kernel and project them with
+    ``egress.type6_533_table`` into the pinned 37-column fact layout
+    (ais_egressServerCH.py:167), including the BY-NAME remapping that
+    replaces the reference's positional ``data_transform``
+    (ais_egressServerCH.py:23-65; divergence D7: FID2 lantern fields get 0,
+    not a positional mis-slot). The oracle re-derives every column with
+    independent SQL bit arithmetic."""
+    from pincspark.decode.kernel import decode_ais
+    from pincspark.egress import type6_533_table
+
+    df = spark.createDataFrame(
+        [(1673222400 + i, p) for i, p in enumerate(TYPE6_533_PAYLOADS)],
+        "ts BIGINT, payload STRING",
+    )
+    return type6_533_table(decode_ais(df))
+
+
+def _q50_oracle() -> str:
+    from pincspark.decode.kernel import bitfield_sql
+    from pincspark.functions.enums import lookup_sql
+
+    vals = ",\n  ".join(
+        f"({1673222400 + i}, '{p}')" for i, p in enumerate(TYPE6_533_PAYLOADS)
+    )
+    b = lambda s, n: bitfield_sql("payload", s, n)
+    opt = lambda s, n, minb: (
+        f"(CASE WHEN length(payload) * 6 >= {minb} THEN {b(s, n)} ELSE 0 END)"
+    )
+    fid = b(82, 6)
+
+    def volt(f1_span, f2_span, f4_span, f1_scale, f2_scale, f4_scale):
+        # double multiplication on BOTH engines (a DuckDB decimal literal
+        # would multiply exactly and round differently than IEEE)
+        arms = []
+        for f, (s, n), sc in ((1, f1_span, f1_scale), (2, f2_span, f2_scale), (4, f4_span, f4_scale)):
+            arms.append(
+                f"WHEN {fid} = {f} THEN CAST({b(s, n)} AS DOUBLE) * CAST({sc} AS DOUBLE)"
+            )
+        return "(CASE " + " ".join(arms) + " END)"
+
+    # fid-dependent span for the shared telemetry fields
+    def shared(f1, f24):
+        return f"(CASE WHEN {fid} = 1 THEN {opt(*f1)} ELSE {opt(*f24)} END)"
+
+    def fid4_flag(s, minb):
+        return f"(CASE WHEN {fid} = 4 THEN {opt(s, 1, minb)} ELSE 0 END)"
+
+    buoy_flags = ",\n       ".join(
+        f"CAST({fid4_flag(128 + i, 129 + i)} AS INTEGER) AS {name}"
+        for i, name in enumerate(
+            (
+                "buoy_temp", "buoy_force_off", "buoy_islight",
+                "buoy_errled_short", "buoy_errled_open", "buoy_errled_voltlow",
+                "buoy_errled_vinlow", "buoy_errled_power", "buoy_adjmaxpower",
+                "buoy_sensor_interrupt", "buoy_solarcharging",
+            )
+        )
+    )
+    return f"""
+WITH raw(ts, payload) AS (VALUES
+  {vals}
+)
+SELECT ts,
+       CAST({b(0, 6)} AS INTEGER) AS messageType,
+       {lookup_sql("message_type", b(0, 6))} AS messageTypeDesc,
+       CAST({b(6, 2)} AS INTEGER) AS "repeat",
+       {b(8, 30)} AS mmsi,
+       CAST({b(38, 2)} AS INTEGER) AS seqno,
+       {b(40, 30)} AS dest_mmsi,
+       CAST({b(70, 1)} AS INTEGER) AS retransmit,
+       CAST({b(72, 10)} AS INTEGER) AS dac,
+       CAST({fid} AS INTEGER) AS fid,
+       {volt((88, 10), (88, 9), (88, 9), 0.05, 0.1, 0.05)} AS volt_int,
+       {volt((98, 10), (97, 9), (97, 9), 0.05, 0.1, 0.05)} AS volt_ex1,
+       {volt((108, 10), (106, 9), (106, 9), 0.05, 0.1, 0.2)} AS volt_ex2,
+       CAST({shared((131, 1, 132), (115, 1, 116))} AS INTEGER) AS off_pos,
+       CAST({shared((128, 2, 130), (116, 2, 118))} AS INTEGER) AS ambient,
+       CAST({opt(118, 2, 120)} AS INTEGER) AS racon,
+       CAST({opt(120, 2, 122)} AS INTEGER) AS light,
+       CAST({opt(122, 1, 123)} AS INTEGER) AS health,
+       CAST({opt(123, 1, 124)} AS INTEGER) AS beat,
+       CAST({fid4_flag(124, 125)} AS INTEGER) AS alarm_active,
+       CAST((CASE WHEN {fid} = 4 THEN {opt(125, 1, 126)}
+                  WHEN {fid} = 1 THEN {opt(124, 2, 126)}
+                  ELSE 0 END) AS INTEGER) AS buoy_led_power,
+       CAST((CASE WHEN {fid} = 4 THEN {opt(126, 1, 127)}
+                  WHEN {fid} = 1 THEN {opt(126, 2, 128)}
+                  ELSE 0 END) AS INTEGER) AS buoy_low_vin,
+       CAST((CASE WHEN {fid} = 4 THEN {opt(127, 1, 128)}
+                  WHEN {fid} = 1 THEN {opt(130, 1, 131)}
+                  ELSE 0 END) AS INTEGER) AS buoy_photocell,
+       {buoy_flags}
+FROM raw
+"""
+
+
+ORACLE_Q50 = _q50_oracle()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2349,6 +2467,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
     "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
     "q49_weather_decode_sql": (q49_weather_decode_sql, ORACLE_Q49),
+    "q50_type6_egress": (q50_type6_egress, ORACLE_Q50),
 }
 
 
