@@ -333,3 +333,195 @@ def quantized_topk(
         )
     )
     return _two_phase_topk(scored, query_id, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression layer — the other half of the
+# 100-TB ANN recipe: IVF prunes WHICH vectors to score, PQ shrinks WHAT is
+# stored/scored per vector: m sub-codes of log2(num_codes) bits instead of
+# d floats, ~32x smaller at m=8/k=16 on 64-dim float32).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    num_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 0,
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: the vector space is
+    split into ``m`` contiguous subspaces; subspace ``s``'s codebook is the
+    ``num_codes`` smallest-id vectors' s-th subvectors (no RNG — fully
+    reproducible and portable to the SQL oracle, same policy as
+    ivf_assign), optionally refined with ``iters`` per-subspace Lloyd
+    iterations under L2 (the trained variant; recall pinned in
+    tests/test_scale.py).
+
+    Returns (sub, code, centroid). Scale shape: init collects num_codes
+    vectors; each Lloyd iteration is a narrow assignment pass + ONE
+    (sub, code, pos) mean-shuffle of scalar rows; the driver only holds
+    m * num_codes centroids."""
+    spark = corpus.sparkSession
+    first = [
+        list(r[0])
+        for r in corpus.orderBy(F.col(id_col).asc())
+        .limit(num_codes)
+        .select(vec_col)
+        .collect()
+    ]
+    d = len(first[0])
+    assert d % m == 0, f"vector dim {d} not divisible by m={m}"
+    ds = d // m
+    books = [
+        [(s, c, v[s * ds : (s + 1) * ds]) for c, v in enumerate(first)]
+        for s in range(m)
+    ]
+    rows = [r for b in books for r in b]
+    for _ in range(iters):
+        cb = spark.createDataFrame(rows, ["sub", "code", "centroid"])
+        sub_rows = corpus.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), "
+                    f"s -> struct(s AS sub, slice({vec_col}, s * {ds} + 1, {ds}) AS sv))"
+                )
+            ).alias("e"),
+        ).select(id_col, "e.sub", "e.sv")
+        dist = F.expr(
+            "round(aggregate(zip_with(sv, centroid, (x, y) -> CAST((x - y) * (x - y) AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (a, e) -> a + e), 9)"
+        )
+        w = Window.partitionBy(id_col, "sub").orderBy(
+            F.col("__d").asc(), F.col("code").asc()
+        )
+        assigned = (
+            sub_rows.join(F.broadcast(cb), "sub")
+            .withColumn("__d", dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        means = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"))
+            .select("sub", "code", F.col("pm.mx").alias("centroid"))
+        )
+        new = {(r["sub"], r["code"]): list(r["centroid"]) for r in means.collect()}
+        rows = [(s, c, new.get((s, c), v)) for s, c, v in rows]
+    return spark.createDataFrame(rows, ["sub", "code", "centroid"])
+
+
+def _pq_literal_books(codebooks: DataFrame) -> tuple[list, int, int, int]:
+    """Collect codebooks to a nested python list [sub][code][dim] (tiny:
+    m * num_codes rows) for literal embedding in the encode expression."""
+    rows = codebooks.collect()
+    m = 1 + max(r["sub"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    ds = len(rows[0]["centroid"])
+    books = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["sub"]][r["code"]] = [float(x) for x in r["centroid"]]
+    return books, m, k, ds
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` sub-codes: per subspace, the code of
+    the L2-nearest codebook centroid (distance rounded to 9 dp, ties to
+    the smallest code — portable across engines).
+
+    The codebooks are embedded as LITERAL nested arrays in one generated
+    expression, so encoding is a pure narrow map — no join, no shuffle, no
+    per-row blowup (the join-then-argmin alternative multiplies the corpus
+    by m * num_codes rows before reducing; at 100 TB that is the
+    difference between a scan and a disaster)."""
+    books, m, k, ds = _pq_literal_books(codebooks)
+
+    def arr(xs: list[float]) -> str:
+        return "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + ")"
+
+    dists = []
+    for s in range(m):
+        per_code = []
+        for c in range(k):
+            per_code.append(
+                f"round(aggregate(zip_with(slice({vec_col}, {s * ds + 1}, {ds}), "
+                f"{arr(books[s][c])}, (x, y) -> CAST((x - y) * (x - y) AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), (a, e) -> a + e), 9)"
+            )
+        dists.append("array(" + ",".join(per_code) + ")")
+    dists_sql = "array(" + ",".join(dists) + ")"
+    return corpus.withColumn("__dists", F.expr(dists_sql)).select(
+        F.col(id_col),
+        F.expr(
+            "transform(__dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    num_codes: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    corpus is scored through its PQ codes only. Per query, a lookup table
+    of m * num_codes inner products (query subvector x codebook centroid,
+    rounded to 9 dp) is built ONCE; each corpus vector then costs m table
+    lookups + m-1 adds instead of a d-element dot product. Score is the
+    ADC-approximated inner product <query, reconstruction(vector)>,
+    rounded to 6 dp; rank ties break by neighbor id (deterministic).
+
+    Scale shape: encode is a narrow map (see pq_encode); the LUT build is
+    queries x (m * num_codes) broadcast rows; scoring is a broadcast of
+    (query, LUT) against the encoded corpus scan — no corpus shuffle —
+    then the shared two-phase per-query top-k."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, num_codes, corpus_id, corpus_vec)
+    _, m, num_codes, ds = _pq_literal_books(codebooks)
+
+    encoded = pq_encode(corpus, codebooks, corpus_id, corpus_vec).repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, corpus_id
+    )
+
+    ip = F.expr(
+        f"round(aggregate(zip_with(slice({query_vec}, sub * {ds} + 1, {ds}), "
+        "centroid, (x, y) -> CAST(x * y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (a, e) -> a + e), 9)"
+    )
+    qlut = (
+        queries.crossJoin(F.broadcast(codebooks))
+        .select(query_id, "sub", "code", ip.alias("ip"))
+        .groupBy(query_id)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code", "ip"))).alias("e"))
+        .select(query_id, F.col("e.ip").alias("lut"))  # flat, (sub, code) order
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(qlut))
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            F.expr(
+                f"round(aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
+                f"(acc, s) -> acc + element_at(lut, s * {num_codes} + element_at(codes, s + 1) + 1)), 6)"
+            ).alias("score"),
+        )
+    )
+    return _two_phase_topk(scored, query_id, k)

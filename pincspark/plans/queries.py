@@ -817,6 +817,72 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
 """
 
 
+def q51_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (IVF-PQ's compression layer): corpus encoded
+    as 8 sub-codes from deterministic codebooks (16 smallest-id vectors'
+    subvectors, iters=0 so the oracle replicates the index build exactly
+    — same policy as q22), queries scored via the ADC lookup table. The
+    trained (Lloyd-refined) variant's recall is pinned in
+    tests/test_scale.py."""
+    from pincspark.operators.similarity import pq_codebooks, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq_codebooks(emb, m=8, num_codes=16, iters=0)
+    return pq_topk(emb, queries, k=5, codebooks=cb).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
+
+
+ORACLE_Q51 = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), init AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code, v
+  FROM e ORDER BY vec_id ASC LIMIT 16
+), cb AS (  -- (sub, code, centroid): subvector s of init vector c
+  SELECT s.sub, init.code, init.v[s.sub * 8 + 1 : s.sub * 8 + 8] AS cv
+  FROM (SELECT unnest(generate_series(0, 7)) AS sub) s, init
+), dist AS (  -- L2^2 per (vector, sub, code), 9 dp like the Spark encode
+  SELECT e.vec_id, cb.sub, cb.code,
+         ROUND(list_sum(list_transform(generate_series(1, 8),
+               i -> (e.v[cb.sub * 8 + i] - cb.cv[i]) ^ 2)), 9) AS d2
+  FROM e, cb
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), codes AS (
+  SELECT vec_id, list(code ORDER BY sub ASC) AS codes FROM enc GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), lutrows AS (  -- ADC lookup table: <query subvector, centroid>, 9 dp
+  SELECT q.query_id, cb.sub, cb.code,
+         ROUND(list_dot_product(q.qv[cb.sub * 8 + 1 : cb.sub * 8 + 8], cb.cv), 9) AS ip
+  FROM q, cb
+), lut AS (
+  SELECT query_id, list(ip ORDER BY sub ASC, code ASC) AS lut
+  FROM lutrows GROUP BY query_id
+), s AS (  -- sum the m looked-up inner products in sub order (portable FP)
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(generate_series(1, 8),
+               s -> l.lut[(s - 1) * 16 + c.codes[s] + 1])), 6) AS score
+  FROM codes c, lut l
+  WHERE c.vec_id <> l.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # AIS-domain operators under the oracle gate
 # --------------------------------------------------------------------------
@@ -2468,6 +2534,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
     "q49_weather_decode_sql": (q49_weather_decode_sql, ORACLE_Q49),
     "q50_type6_egress": (q50_type6_egress, ORACLE_Q50),
+    "q51_pq_topk": (q51_pq_topk, ORACLE_Q51),
 }
 
 

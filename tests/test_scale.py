@@ -71,3 +71,71 @@ def test_ivf_kmeans_recall(spark):
     )
     recall = hits.count() / exact.count()
     assert recall >= 0.9, recall
+
+
+def test_embedding_dedup_blocked_by_ivf_cell(spark):
+    """VERDICT r2 #6: the documented unlabeled-corpus path end-to-end —
+    embedding_dup_pairs blocked by trained IVF cell ids instead of labels.
+    Plant 25 near-duplicates (deterministic per-dimension perturbation,
+    cosine ~0.97 to their source) in the sf0.01 corpus; the cell-blocked
+    sweep must recover >= 90% of the exact all-pairs truth at
+    threshold 0.9, while comparing only within-cell pairs."""
+    from pyspark.sql import functions as F
+
+    from pincspark.operators.dedup import embedding_dup_pairs
+    from pincspark.operators.similarity import ivf_assign, kmeans_centroids
+    from tests.conftest import SF_DIR_T2
+
+    emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CAST(0.03 * cos(i * 1.7 + vec_id) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+
+    cents = kmeans_centroids(corpus, num_cells=16, iters=5)
+    _, assigned = ivf_assign(corpus, num_cells=16, centroids=cents)
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            assigned, threshold=0.9, block_col="cell"
+        ).collect()
+    }
+    assert len(exact) >= 25  # the planted dups are in the truth set
+    assert blocked <= exact  # blocking only restricts, never fabricates
+    assert len(blocked & exact) / len(exact) >= 0.9
+
+
+def test_pq_adc_recall_on_planted_duplicates(spark):
+    """Trained product quantization (per-subspace Lloyd refinement) must
+    surface a planted near-duplicate (cosine ~0.97 to its source) in the
+    ADC top-5 for >= 90% of queries — PQ stores 8 sub-codes instead of 64
+    floats (~32x), so this pins that the compressed index still finds the
+    near-dups a dedup/retrieval pipeline exists to find."""
+    from pyspark.sql import functions as F
+
+    from pincspark.operators.similarity import pq_codebooks, pq_topk
+    from tests.conftest import SF_DIR_T2
+
+    emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CAST(0.03 * cos(i * 1.7 + vec_id) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    queries = planted.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq_codebooks(corpus, m=8, num_codes=16, iters=3)
+    top = pq_topk(corpus, queries, k=5, codebooks=cb)
+    hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 10000).count()
+    assert hits >= 23, hits  # >= 90% of 25 planted twins found in top-5
