@@ -434,6 +434,7 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` sub-codes: per subspace, the code of
     the L2-nearest codebook centroid (distance rounded to 9 dp, ties to
@@ -462,6 +463,7 @@ def pq_encode(
     dists_sql = "array(" + ",".join(dists) + ")"
     return corpus.withColumn("__dists", F.expr(dists_sql)).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.expr(
             "transform(__dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"
         ).alias("codes"),
@@ -514,6 +516,83 @@ def pq_topk(
     )
     scored = (
         encoded.crossJoin(F.broadcast(qlut))
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            F.expr(
+                f"round(aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
+                f"(acc, s) -> acc + element_at(lut, s * {num_codes} + element_at(codes, s + 1) + 1)), 6)"
+            ).alias("score"),
+        )
+    )
+    return _two_phase_topk(scored, query_id, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    num_codes: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """The full 100-TB ANN recipe: IVF prunes WHICH vectors each query
+    scores (nprobe/num_cells of the corpus), PQ compresses WHAT is scored
+    (m sub-codes instead of d floats, via the per-query ADC lookup table).
+    Same output shape as cosine_topk.
+
+    Scale shape: one narrow pass assigns (cell, codes) per corpus vector
+    — the stored index is (id, cell, m codes), ~32x smaller than raw
+    float32 at the defaults; queries broadcast with their probe cells +
+    LUT against that index scan; per-query work is
+    O(N * nprobe/num_cells * m) lookups. No corpus shuffle anywhere."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, num_cells, iters=3, id_col=corpus_id, vec_col=corpus_vec)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, num_codes, corpus_id, corpus_vec, iters=3)
+    _, m, num_codes, ds = _pq_literal_books(codebooks)
+
+    _, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, centroids=centroids)
+    # ONE pass builds the stored index rows (id, cell, codes) — the cell
+    # rides through the encode projection; no corpus self-join
+    index = pq_encode(assigned, codebooks, corpus_id, corpus_vec, keep_cols=("cell",))
+
+    qcells = queries.crossJoin(F.broadcast(centroids)).select(
+        query_id,
+        query_vec,
+        "cell",
+        F.round(cosine(F.col(query_vec), F.col("centroid")), 9).alias("cscore"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("cscore").desc(), F.col("cell").asc())
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, query_vec, "cell")
+    )
+    ip = F.expr(
+        f"round(aggregate(zip_with(slice({query_vec}, sub * {ds} + 1, {ds}), "
+        "centroid, (x, y) -> CAST(x * y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (a, e) -> a + e), 9)"
+    )
+    qlut = (
+        queries.crossJoin(F.broadcast(codebooks))
+        .select(query_id, "sub", "code", ip.alias("ip"))
+        .groupBy(query_id)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code", "ip"))).alias("e"))
+        .select(query_id, F.col("e.ip").alias("lut"))
+    )
+    probe_lut = probes.join(qlut, query_id).select(query_id, "cell", "lut")
+
+    scored = (
+        index.join(F.broadcast(probe_lut), "cell")
         .filter(F.col(corpus_id) != F.col(query_id))
         .select(
             query_id,

@@ -139,3 +139,29 @@ def test_pq_adc_recall_on_planted_duplicates(spark):
     top = pq_topk(corpus, queries, k=5, codebooks=cb)
     hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 10000).count()
     assert hits >= 23, hits  # >= 90% of 25 planted twins found in top-5
+
+
+def test_ivfpq_recall_on_planted_duplicates(spark):
+    """IVF + PQ composed (probe 8/16 cells, score through 8 sub-codes):
+    the planted near-duplicate must still surface in the top-5 for >= 85%
+    of queries — the compressed-and-pruned index config a 100-TB corpus
+    would actually run."""
+    from pyspark.sql import functions as F
+
+    from pincspark.operators.similarity import ivfpq_topk
+    from tests.conftest import SF_DIR_T2
+
+    emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CAST(0.03 * cos(i * 1.7 + vec_id) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    queries = planted.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ivfpq_topk(corpus, queries, k=5, nprobe=8)
+    hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 10000).count()
+    assert hits >= 22, hits  # >= ~85% of 25 planted twins
