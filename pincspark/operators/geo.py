@@ -82,11 +82,18 @@ def point_in_polygon_static(x: Column, y: Column, ring: list[list[float]]) -> Co
     """Ray casting with the polygon KNOWN AT PLAN TIME: the crossing test
     unrolls to a flat sum of per-edge CASE expressions — fully whole-stage-
     codegen'd scalar arithmetic (the array-fold variant evaluates its lambda
-    interpreted per edge, ~6x slower at 100k+ rows/zone)."""
+    interpreted per edge, ~6x slower at 100k+ rows/zone).
+
+    The edge slope (qx-px)/(qy-py) is precomputed in PYTHON and planted as
+    a literal: per row that saves a division per edge (~99 edges/zone), and
+    because the SQL oracle plants the IDENTICAL double literal
+    (plans/queries.py:_zone_oracle), boundary decisions stay bit-identical
+    across engines."""
     terms = []
     for (px, py), (qx, qy) in zip(ring[:-1], ring[1:]):
         span = (F.lit(py) > y) != (F.lit(qy) > y)
-        cross = x < (F.lit(qx - px) * (y - F.lit(py)) / F.lit(qy - py) + F.lit(px))
+        slope = (qx - px) / (qy - py)
+        cross = x < (F.lit(slope) * (y - F.lit(py)) + F.lit(px))
         terms.append(F.when(span & cross, 1).otherwise(0))
     xs = [p[0] for p in ring]
     ys = [p[1] for p in ring]

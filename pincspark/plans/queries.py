@@ -918,9 +918,13 @@ def _zone_oracle() -> str:
         terms = []
         verts = z["coordinates"]
         for (px, py), (qx, qy) in zip(verts[:-1], verts[1:]):
+            # slope precomputed in Python — the SAME double literal the
+            # Spark predicate plants (geo.point_in_polygon_static), so
+            # boundary decisions are bit-identical across engines
+            slope = (qx - px) / (qy - py)
             terms.append(
                 f"(CASE WHEN (({py!r} > lat) <> ({qy!r} > lat)) AND "
-                f"(lon < ({qx!r} - {px!r}) * (lat - {py!r}) / ({qy!r} - {py!r}) + {px!r}) "
+                f"(lon < {slope!r} * (lat - {py!r}) + {px!r}) "
                 f"THEN 1 ELSE 0 END)"
             )
         crossings = " + ".join(terms)
