@@ -43,6 +43,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Parquet timestamp[us] without tz arrives as TIMESTAMP_NTZ;
+            # with the session pinned to UTC above, the cast to LTZ is a
+            # no-op on the stored instant, and epoch functions
+            # (unix_micros etc.) resolve identically to DuckDB's epoch view.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
