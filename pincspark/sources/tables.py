@@ -37,7 +37,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     identical instants.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # NTZ->LTZ casts (for unix_micros) must be tz-invariant vs the oracle.
+    # NTZ->LTZ casts (for unix_micros) are tz-invariant vs the oracle ONLY
+    # if the session timezone is UTC when the plan EXECUTES — the cast below
+    # is lazy, so this conf must still hold at action time (ADVICE r3).
+    # In-repo sessions pin UTC at builder time (session.py — the source of
+    # truth); this set exists to normalize EXTERNAL sessions (the driver's
+    # correctness harness hands us its own SparkSession) and is idempotent
+    # for ours. Callers must not change the tz between plan and action.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
