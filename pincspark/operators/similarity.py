@@ -17,6 +17,8 @@ Scale notes (100 TB of vectors):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -440,11 +442,53 @@ def pq_encode(
     the L2-nearest codebook centroid (distance rounded to 9 dp, ties to
     the smallest code — portable across engines).
 
-    The codebooks are embedded as LITERAL nested arrays in one generated
-    expression, so encoding is a pure narrow map — no join, no shuffle, no
-    per-row blowup (the join-then-argmin alternative multiplies the corpus
-    by m * num_codes rows before reducing; at 100 TB that is the
-    difference between a scan and a disaster)."""
+    The codebooks ride into an Arrow-batched pandas UDF as a numpy
+    (m, k, ds) closure, so encoding is a pure narrow map — no join, no
+    shuffle, no per-row blowup — and the m * k distance argmins per row
+    are ONE vectorized broadcast-subtract/square/sum over the whole Arrow
+    batch instead of m * k interpreted higher-order-function folds per
+    row (VERDICT r3 #2: the fold form cost 10-14 s isolated at sf0.1 —
+    the same interpreted-lambda tax the shingle kernels already paid and
+    eliminated, dedup.py). ``pq_encode_expr`` keeps the pure-expression
+    form as the cross-checked twin (tests/test_scale.py parity test).
+
+    Rounding contract (shared by twin and oracle): d2 = round(sum((x-y)^2
+    over the ds subvector elements, in order), 9). numpy sums <=8-element
+    axes sequentially (pairwise summation starts at 128), so the fold
+    order matches the SQL ``aggregate`` exactly."""
+    books, m, k, ds = _pq_literal_books(codebooks)
+    B = np.asarray(books, dtype=np.float64)  # (m, k, ds)
+
+    @F.pandas_udf("array<int>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, m*ds)
+        S = V.reshape(len(V), m, 1, ds)
+        d2 = np.round(((S - B[None, :, :, :]) ** 2).sum(axis=3), 9)  # (n, m, k)
+        # argmin returns the FIRST minimum -> ties to the smallest code,
+        # same as the twin's array_position and the oracle's row_number
+        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+
+    return corpus.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        _codes(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_encode_expr(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pure-expression twin of :func:`pq_encode`: codebooks embedded as
+    LITERAL nested arrays in one generated expression (no Python worker at
+    all, at the cost of interpreted HOF evaluation). Kept as the
+    cross-check for the numpy kernel — both must produce identical codes
+    on the same codebooks (tests/test_scale.py)."""
     books, m, k, ds = _pq_literal_books(codebooks)
 
     def arr(xs: list[float]) -> str:
@@ -468,6 +512,21 @@ def pq_encode(
             "transform(__dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"
         ).alias("codes"),
     )
+
+
+def _adc_score(m: int, num_codes: int) -> F.Column:
+    """ADC score: sum of the m looked-up LUT inner products, summed in sub
+    order (left-assoc chain == the oracle's list_sum fold), rounded to 6
+    dp. Statically unrolled — element_at chains stay in whole-stage
+    codegen, where an ``aggregate`` lambda would be interpreted per row."""
+    terms = [
+        F.expr(f"element_at(lut, {s * num_codes} + element_at(codes, {s + 1}) + 1)")
+        for s in range(m)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return F.round(total, 6)
 
 
 def pq_topk(
@@ -520,10 +579,7 @@ def pq_topk(
         .select(
             query_id,
             F.col(corpus_id).alias("neighbor_id"),
-            F.expr(
-                f"round(aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
-                f"(acc, s) -> acc + element_at(lut, s * {num_codes} + element_at(codes, s + 1) + 1)), 6)"
-            ).alias("score"),
+            _adc_score(m, num_codes).alias("score"),
         )
     )
     return _two_phase_topk(scored, query_id, k)
@@ -597,10 +653,7 @@ def ivfpq_topk(
         .select(
             query_id,
             F.col(corpus_id).alias("neighbor_id"),
-            F.expr(
-                f"round(aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
-                f"(acc, s) -> acc + element_at(lut, s * {num_codes} + element_at(codes, s + 1) + 1)), 6)"
-            ).alias("score"),
+            _adc_score(m, num_codes).alias("score"),
         )
     )
     return _two_phase_topk(scored, query_id, k)

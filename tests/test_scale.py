@@ -165,3 +165,27 @@ def test_ivfpq_recall_on_planted_duplicates(spark):
     top = ivfpq_topk(corpus, queries, k=5, nprobe=8)
     hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 10000).count()
     assert hits >= 22, hits  # >= ~85% of 25 planted twins
+
+
+def test_pq_encode_numpy_matches_expression_twin(spark):
+    """The production numpy encode kernel (Arrow-batched argmin over the
+    (m, k, ds) codebook tensor) and the pure-expression twin (literal
+    codebooks, interpreted HOF folds) must assign IDENTICAL codes — same
+    9-dp rounding, same smallest-code tie-break. This is the cross-check
+    that lets q51 run the fast kernel while the oracle replicates the
+    expression semantics."""
+    from pincspark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_expr,
+    )
+    from tests.conftest import SF_DIR_T2
+
+    emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
+    cb = pq_codebooks(emb, m=8, num_codes=16, iters=0)
+    fast = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    slow = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode_expr(emb, cb).collect()
+    }
+    assert fast == slow
+    assert len(fast) == emb.count()
