@@ -883,6 +883,102 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
 """
 
 
+def q52_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the full 100-TB ANN recipe under the oracle
+    gate: IVF prunes WHICH vectors each query scores (q22's deterministic
+    smallest-id centroids, nprobe=4), PQ compresses WHAT is scored (q51's
+    deterministic iters=0 codebooks, ADC lookup table). The trained
+    (Lloyd-refined) composition's recall is pinned in tests/test_scale.py;
+    this query pins the exact arithmetic against DuckDB."""
+    from pincspark.operators.similarity import ivfpq_topk, pq_codebooks
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(16)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid"))
+    )
+    cb = pq_codebooks(emb, m=8, num_codes=16, iters=0)
+    return ivfpq_topk(
+        emb, queries, k=5, num_cells=16, nprobe=4, centroids=cents, codebooks=cb
+    ).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
+
+
+ORACLE_Q52 = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16
+), assign AS (  -- IVF: every corpus vector joins its nearest cell (q22)
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_SQL_COS.format(a='e.v', b='cent.cv')}, 9) DESC, cent.cell ASC
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+), init AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code, v
+  FROM e ORDER BY vec_id ASC LIMIT 16
+), cb AS (  -- PQ codebooks: subvector s of init vector c (q51)
+  SELECT s.sub, init.code, init.v[s.sub * 8 + 1 : s.sub * 8 + 8] AS cv
+  FROM (SELECT unnest(generate_series(0, 7)) AS sub) s, init
+), dist AS (
+  SELECT e.vec_id, cb.sub, cb.code,
+         ROUND(list_sum(list_transform(generate_series(1, 8),
+               i -> (e.v[cb.sub * 8 + i] - cb.cv[i]) ^ 2)), 9) AS d2
+  FROM e, cb
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), codes AS (
+  SELECT vec_id, list(code ORDER BY sub ASC) AS codes FROM enc GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), probes AS (  -- each query probes its nprobe=4 nearest cells (q22)
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND({_SQL_COS.format(a='q.qv', b='cent.cv')}, 9) DESC, cent.cell ASC
+           ) AS rn
+    FROM q, cent
+  ) WHERE rn <= 4
+), lutrows AS (
+  SELECT q.query_id, cb.sub, cb.code,
+         ROUND(list_dot_product(q.qv[cb.sub * 8 + 1 : cb.sub * 8 + 8], cb.cv), 9) AS ip
+  FROM q, cb
+), lut AS (
+  SELECT query_id, list(ip ORDER BY sub ASC, code ASC) AS lut
+  FROM lutrows GROUP BY query_id
+), s AS (  -- score ONLY corpus vectors inside a probed cell
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(generate_series(1, 8),
+               s -> l.lut[(s - 1) * 16 + c.codes[s] + 1])), 6) AS score
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN lut l ON l.query_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # AIS-domain operators under the oracle gate
 # --------------------------------------------------------------------------
@@ -2539,6 +2635,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q49_weather_decode_sql": (q49_weather_decode_sql, ORACLE_Q49),
     "q50_type6_egress": (q50_type6_egress, ORACLE_Q50),
     "q51_pq_topk": (q51_pq_topk, ORACLE_Q51),
+    "q52_ivfpq_topk": (q52_ivfpq_topk, ORACLE_Q52),
 }
 
 
