@@ -78,31 +78,43 @@ def point_in_polygon(x: Column, y: Column, verts: Column) -> Column:
     )
 
 
-def point_in_polygon_static(x: Column, y: Column, ring: list[list[float]]) -> Column:
+def point_in_polygon_static(x_sql: str, y_sql: str, ring: list[list[float]]) -> Column:
     """Ray casting with the polygon KNOWN AT PLAN TIME: the crossing test
     unrolls to a flat sum of per-edge CASE expressions — fully whole-stage-
     codegen'd scalar arithmetic (the array-fold variant evaluates its lambda
     interpreted per edge, ~6x slower at 100k+ rows/zone).
 
+    ``x_sql``/``y_sql`` are SQL fragments (usually backtick-quoted column
+    names) and the whole predicate is built as ONE SQL string parsed
+    JVM-side: assembling the same tree through the Column DSL costs a py4j
+    round-trip per node — ~2 s of driver time per plan at ~100 edges x 2
+    zones (measured; it dominated the occupancy stage of the flagship,
+    whose execution is 0.3 s). The parsed tree is identical, so the
+    physical plan (flat codegen'd CASE sum) is unchanged.
+
     The edge slope (qx-px)/(qy-py) is precomputed in PYTHON and planted as
-    a literal: per row that saves a division per edge (~99 edges/zone), and
-    because the SQL oracle plants the IDENTICAL double literal
+    a literal: per row that saves a division per edge, and because the SQL
+    oracle plants the IDENTICAL repr() double literal
     (plans/queries.py:_zone_oracle), boundary decisions stay bit-identical
-    across engines."""
+    across engines (the ``D`` suffix makes the Spark parser bind them as
+    DOUBLE, not DECIMAL)."""
     terms = []
     for (px, py), (qx, qy) in zip(ring[:-1], ring[1:]):
-        span = (F.lit(py) > y) != (F.lit(qy) > y)
         slope = (qx - px) / (qy - py)
-        cross = x < (F.lit(slope) * (y - F.lit(py)) + F.lit(px))
-        terms.append(F.when(span & cross, 1).otherwise(0))
+        terms.append(
+            f"(CASE WHEN (({py!r}D > {y_sql}) != ({qy!r}D > {y_sql})) AND "
+            f"({x_sql} < {slope!r}D * ({y_sql} - {py!r}D) + {px!r}D) "
+            f"THEN 1 ELSE 0 END)"
+        )
     xs = [p[0] for p in ring]
     ys = [p[1] for p in ring]
-    bbox = (
-        (x >= F.lit(min(xs))) & (x <= F.lit(max(xs)))
-        & (y >= F.lit(min(ys))) & (y <= F.lit(max(ys)))
-    )
+    crossings = " + ".join(terms)
     # bbox short-circuit: outside points never evaluate the edge sum
-    return F.when(bbox, (sum(terms) % 2) == 1).otherwise(F.lit(False))
+    return F.expr(
+        f"CASE WHEN {x_sql} >= {min(xs)!r}D AND {x_sql} <= {max(xs)!r}D "
+        f"AND {y_sql} >= {min(ys)!r}D AND {y_sql} <= {max(ys)!r}D "
+        f"THEN ((({crossings}) % 2) = 1) ELSE false END"
+    )
 
 
 def spatial_join(
@@ -126,7 +138,9 @@ def spatial_join(
         matched = F.array_compact(
             F.array(*[
                 F.when(
-                    point_in_polygon_static(F.col(x_col), F.col(y_col), z["coordinates"]),
+                    point_in_polygon_static(
+                        f"`{x_col}`", f"`{y_col}`", z["coordinates"]
+                    ),
                     F.struct(
                         F.lit(z["zone_id"]).alias("zone_id"),
                         F.lit(z["zone_name"]).alias("zone_name"),
