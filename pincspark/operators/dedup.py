@@ -433,6 +433,63 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """EXACT Jaccard verification of an upstream candidate-pair frame —
+    the composition a 100-TB dedup pipeline actually runs: LSH proposes
+    (minhash_lsh_pairs / simhash_hamming_pairs), this verifies.
+
+    ``candidates`` needs columns (id_a, id_b); the result keeps exactly the
+    candidate pairs whose true shingle Jaccard >= threshold.
+
+    Shape: each doc's distinct-shingle hash array materializes once (same
+    Arrow kernel as q20), then TWO equi-joins attach the arrays to the
+    pair's two sides and ``array_intersect`` computes |A∩B| inline — no
+    posting lists, no quadratic bucket expansion, and no common-shingle
+    cap (the standalone ngram_jaccard_pairs must cap boilerplate postings
+    to bound its pair blowup; here the pair set is FIXED by the caller,
+    so the intersection is exact even for stopword-like shingles). The
+    joins shuffle only candidate docs' arrays; with candidates a tiny
+    fraction of the corpus (the LSH contract), both sides AQE-size freely
+    — no forced broadcast.
+    """
+    base = _spread(df, id_col).select(
+        F.col(id_col), shingle_hash_array_py(text_col, n, 15).alias("__arr")
+    )
+    a = base.select(F.col(id_col).alias(id_a), F.col("__arr").alias("__arr_a"))
+    b = base.select(F.col(id_col).alias(id_b), F.col("__arr").alias("__arr_b"))
+    return (
+        candidates.select(id_a, id_b)
+        .join(a, id_a)
+        .join(b, id_b)
+        .select(
+            id_a,
+            id_b,
+            F.size(F.array_intersect("__arr_a", "__arr_b")).alias("common"),
+            F.size("__arr_a").alias("sz_a"),
+            F.size("__arr_b").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_a, id_b, "jaccard")
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

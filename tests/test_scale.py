@@ -189,3 +189,39 @@ def test_pq_encode_numpy_matches_expression_twin(spark):
     }
     assert fast == slow
     assert len(fast) == emb.count()
+
+
+def test_lsh_then_verify_composition(spark):
+    """The 100-TB dedup composition: MinHash-LSH proposes candidate pairs,
+    ngram_jaccard_verify confirms them with EXACT shingle Jaccard. The
+    verified output must equal the uncapped exact posting-list computation
+    restricted to the candidate set — same pairs, same 6-dp values — so
+    the verify stage can replace q20's all-pairs posting expansion
+    whenever an upstream candidate frame exists (VERDICT r3 #5)."""
+    from pincspark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_verify,
+    )
+    from tests.conftest import SF_DIR_T2
+
+    docs = table(spark, SF_DIR_T2, "documents").select("doc_id", "text")
+    cands = minhash_lsh_pairs(docs, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.3
+    )
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_verify(
+            docs, cands, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    exact_all = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_posting_size=10**9
+        ).collect()
+    }
+    cand_keys = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    expected = {k: v for k, v in exact_all.items() if k in cand_keys}
+    assert verified == expected
+    assert verified  # the corpus has real near-dups above threshold
