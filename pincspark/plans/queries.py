@@ -733,6 +733,82 @@ WHERE ROUND(CAST(common AS DOUBLE) / CAST(za.sz + zb.sz - common AS DOUBLE), 6) 
 ORACLE_Q20 = _jaccard_oracle()
 
 
+def q53_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup pipeline under the oracle gate (VERDICT r3 #5):
+    MinHash-LSH proposes candidate pairs (q19's machinery, est >= 0.3),
+    ngram_jaccard_verify confirms them with EXACT shingle Jaccard
+    (array_intersect over the pair's two shingle sets — no posting lists,
+    no common-shingle cap) at threshold 0.5."""
+    from pincspark.operators.dedup import ngram_jaccard_verify
+
+    docs = table(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perms=16, bands=4
+    ).filter(F.col("est_jaccard") >= 0.3)
+    return ngram_jaccard_verify(docs, cands, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _lsh_verify_oracle() -> str:
+    shingle = (
+        f"CASE WHEN len(toks) >= 3 THEN "
+        f"list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"mh{b * 4 + r}" for r in range(4))
+        + ") AS sig FROM sig_t"
+        for b in range(4)
+    )
+    eqs = " + ".join(f"CAST(sa.mh{i} = sb.mh{i} AS INTEGER)" for i in range(16))
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
+), hh32 AS (  -- 32-bit keys: the minhash permutation domain (q19)
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+), sig_t AS (
+  SELECT doc_id,
+         {mins}
+  FROM hh32 GROUP BY doc_id
+), banded AS (
+{bands}
+), bucket_ok AS (
+  SELECT band, sig FROM banded GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bucket_ok k ON a.band = k.band AND a.sig = k.sig
+), cand AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p JOIN sig_t sa ON p.id_a = sa.doc_id JOIN sig_t sb ON p.id_b = sb.doc_id
+  WHERE ROUND(({eqs}) / 16.0, 6) >= 0.3
+), hh60 AS (  -- 60-bit keys: the exact-verify domain (shingle_hash_array_py)
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM hh60 GROUP BY doc_id
+), common AS (  -- exact |A∩B| per CANDIDATE pair: no posting cap anywhere
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN hh60 a ON a.doc_id = c.id_a
+  JOIN hh60 b ON b.doc_id = c.id_b AND a.h = b.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT m.id_a, m.id_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(za.sz + zb.sz - common AS DOUBLE), 6) AS jaccard
+FROM common m JOIN sizes za ON m.id_a = za.doc_id JOIN sizes zb ON m.id_b = zb.doc_id
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(za.sz + zb.sz - common AS DOUBLE), 6) >= 0.5
+"""
+
+
+ORACLE_Q53 = _lsh_verify_oracle()
+
+
 def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprints (32-bit): per-bit +1/-1 token-hash
     voting, one explode + one groupBy."""
@@ -2636,6 +2712,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q50_type6_egress": (q50_type6_egress, ORACLE_Q50),
     "q51_pq_topk": (q51_pq_topk, ORACLE_Q51),
     "q52_ivfpq_topk": (q52_ivfpq_topk, ORACLE_Q52),
+    "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
 }
 
 
