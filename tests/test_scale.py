@@ -225,3 +225,41 @@ def test_lsh_then_verify_composition(spark):
     expected = {k: v for k, v in exact_all.items() if k in cand_keys}
     assert verified == expected
     assert verified  # the corpus has real near-dups above threshold
+
+
+def test_pq_encode_twin_parity_on_adversarial_ties(spark):
+    """Tie-heavy property check for the encode twins: centroids duplicated
+    and mirrored so many vectors are EXACTLY equidistant (after the 9-dp
+    rounding contract) to several codes — the numpy kernel's first-argmin
+    and the expression twin's array_position(array_min) must both resolve
+    to the smallest code, on a deterministic lattice of corner cases."""
+    from pincspark.operators.similarity import pq_encode, pq_encode_expr
+
+    # m=2 subspaces, ds=2, k=4 codes; codes 1 and 3 are duplicates and
+    # code 2 mirrors code 0, so midpoints tie across 3 codes at once
+    books = [
+        [[0.0, 0.0], [1.0, 1.0], [-1.0, -1.0], [1.0, 1.0]],
+        [[0.5, -0.5], [0.5, -0.5], [2.0, 2.0], [-2.0, -2.0]],
+    ]
+    cb = spark.createDataFrame(
+        [(s, c, v) for s, book in enumerate(books) for c, v in enumerate(book)],
+        "sub INT, code INT, centroid ARRAY<DOUBLE>",
+    )
+    grid = [-1.0, -0.5, 0.0, 0.5, 1.0]
+    vecs = [
+        (i, [a, b, c, d])
+        for i, (a, b, c, d) in enumerate(
+            (a, b, c, d) for a in grid for b in grid for c in grid for d in grid
+        )
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+    fast = {r["vec_id"]: list(r["codes"]) for r in pq_encode(corpus, cb).collect()}
+    slow = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode_expr(corpus, cb).collect()
+    }
+    assert fast == slow
+    assert len(fast) == len(vecs)
+    # the duplicated/mirrored books guarantee ties were actually exercised:
+    # code 3 (duplicate of 1 in sub 0, never smallest) must never win
+    assert all(codes[0] != 3 for codes in fast.values())
+    assert all(codes[1] != 1 for codes in fast.values())  # dup of code 0
