@@ -10,20 +10,26 @@ Design for 100 TB of media:
 - partitioning: media tables should be written bucketed/partitioned by
   content-hash prefix so downstream dedup joins co-locate.
 
-Codec stubs: this container ships no image/audio libraries, so the actual
-pixel/sample decode is STUBBED — ``decode_image_batch`` raises
-NotImplementedError when ``strict=True``, and by default produces a
-DETERMINISTIC FAKE decode (content-hash-seeded stats) so the Spark-side
-plumbing (schemas, UDF signatures, batch shapes, explode logic) is fully
-real and testable. Swap ``_fake_pixels``/``_fake_samples`` for
-PIL/libsndfile calls in production.
+Codecs: UNCOMPRESSED formats decode for real with numpy + the stdlib —
+PPM (P6) images via a pure-numpy header/raster parse and PCM WAV audio via
+the stdlib ``wave`` module — no PIL/libsndfile needed. COMPRESSED formats
+(JPEG/PNG/FLAC/...) genuinely need codec libraries this container ships
+without: for those ``strict=True`` raises NotImplementedError, and the
+default produces a DETERMINISTIC FAKE decode (content-hash-seeded stats)
+so the Spark-side plumbing (schemas, UDF signatures, batch shapes,
+explode logic) stays fully real and testable end-to-end. Plug
+PIL/torchvision/libsndfile into ``_decode_image_bytes`` /
+``_decode_audio_bytes`` in production.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -63,41 +69,194 @@ def _hash_floats(data: bytes, n: int, salt: bytes = b"") -> list[float]:
     return out[:n]
 
 
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Pure-numpy P6 (binary PPM) decode -> (h, w, 3) float array in
+    [0, 1]. Handles comments and 1- or 2-byte-per-sample maxval per the
+    netpbm spec."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines start with '#'); raster starts after ONE whitespace
+    # byte following maxval
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    dt = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = w * h * 3
+    raster = np.frombuffer(data, dtype=dt, count=n, offset=i)
+    return raster.reshape(h, w, 3).astype(np.float64) / float(maxval)
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """stdlib PCM WAV decode -> (mono float samples in [-1, 1], rate)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # 8-bit WAV is unsigned
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def _grid_means(plane: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Block-average a 2D plane onto a (gh, gw) grid (the resize step):
+    rows/cols are binned by integer linspace edges, so any input size maps
+    deterministically onto the fixed grid."""
+    h, w = plane.shape
+    re = np.linspace(0, h, gh + 1).astype(int)
+    ce = np.linspace(0, w, gw + 1).astype(int)
+    rows = np.add.reduceat(plane, re[:-1], axis=0) / np.maximum(np.diff(re), 1)[:, None]
+    cells = np.add.reduceat(rows, ce[:-1], axis=1) / np.maximum(np.diff(ce), 1)[None, :]
+    return cells
+
+
+def _grid_shape(dim: int) -> tuple[int, int]:
+    """(gh, gw) with gh * gw == dim, gh the largest divisor <= sqrt(dim)."""
+    gh = max(d for d in range(1, int(dim**0.5) + 1) if dim % d == 0)
+    return gh, dim // gh
+
+
+def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | None:
+    """(mean_intensity, grid feature) for formats decodable WITHOUT codec
+    libraries; None when a real codec (PIL/torchvision) would be needed.
+    Feature = luminance block-averaged onto a fixed (gh, gw) grid — the
+    deterministic resize step — flattened row-major."""
+    if data.startswith(b"P6"):
+        px = _decode_ppm(data)  # (h, w, 3) in [0, 1]
+        lum = px.mean(axis=2)
+        gh, gw = _grid_shape(dim)
+        feats = [round(float(v), 9) for v in _grid_means(lum, gh, gw).ravel()]
+        return round(float(lum.mean()), 9), feats
+    return None
+
+
+def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[float]] | None:
+    """(rms, sample_rate, duration_ms, band-RMS feature) for PCM WAV
+    ('RIFF' magic, stdlib wave); None for formats needing codec libs."""
+    if not data.startswith(b"RIFF"):
+        return None
+    x, rate = _decode_wav(data)
+    if len(x) == 0:
+        return 0.0, rate, 0, [0.0] * dim
+    edges = np.linspace(0, len(x), dim + 1).astype(int)
+    sq = x * x
+    sums = np.add.reduceat(sq, edges[:-1])
+    counts = np.maximum(np.diff(edges), 1)
+    feats = [round(float(v), 9) for v in np.sqrt(sums / counts)]
+    rms = round(float(np.sqrt(sq.mean())), 9)
+    return rms, rate, int(round(len(x) * 1000.0 / rate)), feats
+
+
 def decode_image_features(
     df: DataFrame,
     dim: int = 32,
     strict: bool = False,
 ) -> DataFrame:
-    """Image decode + feature extraction as a mapInPandas stage.
+    """Image decode + resize + feature extraction as a mapInPandas stage.
 
-    strict=True raises NotImplementedError (no image codec in this
-    container); default produces deterministic fake features so the
-    pipeline shape is real.
+    Uncompressed PPM (P6) decodes FOR REAL (pure numpy: raster parse,
+    luminance, block-average resize onto a fixed grid). Compressed formats
+    need codec libraries this container ships without: strict=True raises
+    NotImplementedError for them; the default produces deterministic fake
+    features so the pipeline shape stays real either way.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if strict:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "plug PIL/torchvision here"
-                )
             rows = []
             for row in pdf.itertuples(index=False):
                 data = bytes(row.content) if row.content is not None else b""
-                feats = _hash_floats(data, dim)
-                rows.append((
-                    int(row.media_id),
-                    len(data),
-                    round(sum(feats) / len(feats), 9),
-                    feats,
-                ))
+                real = _decode_image_bytes(data, dim)
+                if real is not None:
+                    mean, feats = real
+                elif strict:
+                    raise NotImplementedError(
+                        "no codec for this image format in this environment; "
+                        "plug PIL/torchvision into _decode_image_bytes"
+                    )
+                else:
+                    feats = _hash_floats(data, dim)
+                    mean = round(sum(feats) / len(feats), 9)
+                rows.append((int(row.media_id), len(data), mean, feats))
             yield pd.DataFrame(
                 rows, columns=["media_id", "n_bytes", "mean_intensity", "feature"]
             )
 
     imgs = df.filter(F.col("kind") == "image").select("media_id", "content")
     return imgs.mapInPandas(_batches, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.IntegerType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+def decode_audio_features(
+    df: DataFrame,
+    dim: int = 16,
+    strict: bool = False,
+) -> DataFrame:
+    """Audio decode + feature extraction as a mapInPandas stage: PCM WAV
+    decodes FOR REAL via the stdlib ``wave`` module (mono-mixed float
+    samples -> overall RMS + per-band RMS over ``dim`` equal time slices).
+    Other formats: NotImplementedError under strict, deterministic fake
+    otherwise — same contract as decode_image_features."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.content) if row.content is not None else b""
+                real = _decode_audio_bytes(data, dim)
+                if real is not None:
+                    rms, rate, dur, feats = real
+                elif strict:
+                    raise NotImplementedError(
+                        "no codec for this audio format in this environment; "
+                        "plug libsndfile/ffmpeg into _decode_audio_bytes"
+                    )
+                else:
+                    feats = _hash_floats(data, dim, salt=b"audio")
+                    rms = round(sum(feats) / len(feats), 9)
+                    rate, dur = 0, 0
+                rows.append((int(row.media_id), len(data), rms, rate, dur, feats))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "rms", "sample_rate", "duration_ms", "feature",
+                ],
+            )
+
+    auds = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return auds.mapInPandas(_batches, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(

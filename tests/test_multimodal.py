@@ -72,3 +72,73 @@ def test_media_fingerprint_dedup(spark, media):
         .collect()
     )
     assert len(dups) == 1 and sorted(dups[0]["ids"]) == [1, 5]
+
+
+def _ppm(w: int, h: int, px_fn) -> bytes:
+    """Minimal P6 writer for fixtures (comment line included on purpose)."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(bytes(px_fn(x, y)))
+    return b"P6\n# fixture\n%d %d\n255\n" % (w, h) + bytes(body)
+
+
+def _wav(samples: list[int], rate: int = 8000) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_ppm_decodes_for_real(spark):
+    """P6 images decode with the pure-numpy codec: a uniform gray image
+    yields exactly gray/255 everywhere, and a half-black/half-white image
+    block-averages onto the grid with the halves intact — hand-computable
+    expectations, not fake-codec hashes."""
+    gray = _ppm(4, 2, lambda x, y: (128, 128, 128))
+    split = _ppm(4, 4, lambda x, y: (0, 0, 0) if x < 2 else (255, 255, 255))
+    media = spark.createDataFrame(
+        [(1, "image", gray, None), (2, "image", split, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_image_features(media, dim=4).collect()}
+    g = 128.0 / 255.0
+    assert rows[1]["mean_intensity"] == pytest.approx(g, abs=1e-9)
+    assert [pytest.approx(g, abs=1e-6)] * 4 == list(rows[1]["feature"])
+    # 2x2 grid of the split image: left cells 0, right cells 1 (row-major)
+    assert [round(v, 6) for v in rows[2]["feature"]] == [0.0, 1.0, 0.0, 1.0]
+    assert rows[2]["mean_intensity"] == pytest.approx(0.5, abs=1e-9)
+    # real decode also satisfies strict mode (no codec library involved)
+    strict_rows = decode_image_features(media, dim=4, strict=True).collect()
+    assert len(strict_rows) == 2
+
+
+def test_wav_decodes_for_real(spark):
+    """PCM WAV decodes via the stdlib: a constant half-scale signal has
+    RMS exactly 0.5 in every band, and the duration derives from the
+    frame count and rate."""
+    from pincspark.operators.multimodal import decode_audio_features
+
+    const = _wav([16384] * 8000, rate=8000)  # 1 s at amplitude 0.5
+    media = spark.createDataFrame(
+        [(7, "audio", const, None), (8, "audio", b"fLaC-not-pcm", None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_audio_features(media, dim=4).collect()}
+    assert rows[7]["rms"] == pytest.approx(0.5, abs=1e-9)
+    assert rows[7]["sample_rate"] == 8000
+    assert rows[7]["duration_ms"] == 1000
+    assert [pytest.approx(0.5, abs=1e-6)] * 4 == list(rows[7]["feature"])
+    # non-PCM bytes fall back to the deterministic fake (non-strict)
+    assert rows[8]["sample_rate"] == 0 and len(rows[8]["feature"]) == 4
+    with pytest.raises(Exception, match="NotImplementedError|audio format"):
+        decode_audio_features(
+            media.filter(F.col("media_id") == 8), strict=True
+        ).collect()
