@@ -47,9 +47,14 @@ def _synth_archives(sf: float) -> tuple[str, str, str]:
             for s in groups[i % len(groups)]:
                 f.write(f"\\s:rBENCH,c:{t}*00" + s + "\n")
             t += 1
+    # Warmup archive at ~10% of the timed one (min 200 groups): a
+    # few-hundred-row warmup leaves the timed run0 paying page-cache,
+    # multi-split scan and gold-write warm-up (~1.7x the steady runs);
+    # a proportional warmup exercises the same split counts and write
+    # paths, so all three timed runs measure steady state.
     wpath = os.path.join(tmp, "warmup.log")
     with open(wpath, "w") as f:
-        for i in range(200):
+        for i in range(max(n_msgs // 10, 200)):
             for s in groups[i % len(groups)]:
                 f.write(f"\\s:rBENCH,c:{1673222400 + i}*00" + s + "\n")
     return path, wpath, tmp

@@ -330,13 +330,20 @@ def minhash_lsh_pairs(
         F.col(id_col), mh_arr.alias("mh"), F.explode(band_structs).alias("bs")
     ).select(id_col, "mh", "bs.band", "bs.sig")
 
-    est = F.aggregate(
-        F.zip_with(
-            F.col("p.a.mh"), F.col("p.b.mh"), lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, e: acc + e,
-    ) / F.lit(float(num_perms))
+    # est = matching-minhash fraction, STATICALLY unrolled (num_perms is
+    # known at plan time): an aggregate(zip_with(...)) fold evaluates its
+    # lambdas interpreted per pair; the flat element_at comparison chain
+    # stays in whole-stage codegen.
+    match_terms = [
+        F.expr(
+            f"CAST(element_at(p.a.mh, {i + 1}) = element_at(p.b.mh, {i + 1}) AS INT)"
+        )
+        for i in range(num_perms)
+    ]
+    match_sum = match_terms[0]
+    for t in match_terms[1:]:
+        match_sum = match_sum + t
+    est = match_sum / F.lit(float(num_perms))
     pair_ests = (
         banded.groupBy("band", "sig")
         .agg(
