@@ -809,6 +809,160 @@ WHERE ROUND(CAST(common AS DOUBLE) / CAST(za.sz + zb.sz - common AS DOUBLE), 6) 
 ORACLE_Q53 = _lsh_verify_oracle()
 
 
+def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data FLAGSHIP: the full corpus-curation pipeline a
+    pre-training run executes, composed end-to-end from the engine's
+    operators and oracle-checked as ONE query —
+
+        quality filter (>= 0.6) -> exact dedup (normalized-md5 reps)
+        -> MinHash-LSH candidates (est >= 0.3) -> exact Jaccard verify
+        (>= 0.5) -> connected-component keep-list -> deterministic
+        shard/pos assignment (8 shards)
+
+    Every stage is the already-oracled operator (q15/q14/q19/q53/q42/q44)
+    applied to the previous stage's survivors; the composition checks the
+    subsetting seams between them. Scale shape is the sum of its parts:
+    narrow quality scan, one fingerprint shuffle, banded LSH postings,
+    candidate-only verify joins, labels-only propagation, one shard
+    shuffle — the corpus text itself never fans out."""
+    from pincspark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+    from pincspark.operators.sampling import deterministic_shards
+
+    docs = table(spark, sf_dir, "documents")
+    qdocs = docs.filter(TXT.quality_score(F.col("text")) >= 0.6).select(
+        "doc_id", "text"
+    )
+    ekeep = exact_dedup(qdocs, "doc_id", "text").filter("keep").select("doc_id")
+    # Stage the curated-survivor frame once: three consumers (LSH
+    # signatures, verify arrays, keep-list join) would otherwise re-run
+    # the quality scan + fingerprint window each — same single-scan policy
+    # as the AIS flagship (nmea_source.read_and_decode).
+    edocs = qdocs.join(ekeep, "doc_id").localCheckpoint(eager=False)
+    cands = minhash_lsh_pairs(
+        edocs, "doc_id", "text", n=3, num_perms=16, bands=4
+    ).filter(F.col("est_jaccard") >= 0.3)
+    pairs = ngram_jaccard_verify(edocs, cands, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    kept = (
+        edocs.select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("node"), "left")
+        .filter(F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id"))
+        .select("doc_id")
+    )
+    out = deterministic_shards(kept, "doc_id", num_shards=8, salt="cur")
+    return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
+
+
+def _curation_oracle() -> str:
+    from pincspark.operators.sampling import sample_hash_sql
+
+    shingle = (
+        f"CASE WHEN len(toks) >= 3 THEN "
+        f"list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"mh{b * 4 + r}" for r in range(4))
+        + ") AS sig FROM sig_t"
+        for b in range(4)
+    )
+    eqs = " + ".join(f"CAST(sa.mh{i} = sb.mh{i} AS INTEGER)" for i in range(16))
+    h = sample_hash_sql("doc_id", "cur")
+    return f"""
+WITH RECURSIVE qm AS (
+  SELECT doc_id, text,
+         {_SQL_TOKS.format(c='text')} AS toks,
+         {_SQL_TOKS.format(c='lower(text)')} AS ltoks,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS pr
+  FROM documents
+), q AS (
+  SELECT doc_id, text,
+         ROUND((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+                + (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 2.0
+                        AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 10.0
+                   THEN 1.0 ELSE 0.5 END)
+                + least(CAST(len(list_filter(ltoks, t -> list_contains({_SQL_STOPS}, t))) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) * 5.0, 1.0)) / 3.0
+               * (1.0 - least(pr * 2.0, 1.0)), 6) AS quality
+  FROM qm
+), qdocs AS (
+  SELECT doc_id, text FROM q WHERE quality >= 0.6
+), fp AS (
+  SELECT doc_id, text, md5({_SQL_NORM.format(c='text')}) AS fingerprint FROM qdocs
+), edocs AS (  -- exact-dedup representatives (smallest id per fingerprint)
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep FROM fp
+  ) WHERE keep
+), toks_t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM edocs
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
+), hh32 AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+), sig_t AS (
+  SELECT doc_id,
+         {mins}
+  FROM hh32 GROUP BY doc_id
+), banded AS (
+{bands}
+), bucket_ok AS (
+  SELECT band, sig FROM banded GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND 1000
+), lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bucket_ok k ON a.band = k.band AND a.sig = k.sig
+), cand AS (
+  SELECT p.id_a, p.id_b
+  FROM lsh_pairs p JOIN sig_t sa ON p.id_a = sa.doc_id JOIN sig_t sb ON p.id_b = sb.doc_id
+  WHERE ROUND(({eqs}) / 16.0, 6) >= 0.3
+), hh60 AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM hh60 GROUP BY doc_id
+), common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN hh60 a ON a.doc_id = c.id_a
+  JOIN hh60 b ON b.doc_id = c.id_b AND a.h = b.h
+  GROUP BY c.id_a, c.id_b
+), verified AS (
+  SELECT m.id_a, m.id_b
+  FROM common m JOIN sizes za ON m.id_a = za.doc_id JOIN sizes zb ON m.id_b = zb.doc_id
+  WHERE ROUND(CAST(common AS DOUBLE) / CAST(za.sz + zb.sz - common AS DOUBLE), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified
+), walk(src, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+), comp AS (
+  SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src
+), kept AS (
+  SELECT e.doc_id FROM edocs e LEFT JOIN comp c ON e.doc_id = c.doc_id
+  WHERE COALESCE(c.cluster_id, e.doc_id) = e.doc_id
+), hashed AS (
+  SELECT doc_id, {h} AS h, CAST({h} % 8 AS INTEGER) AS shard FROM kept
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS INTEGER) AS pos
+FROM hashed
+"""
+
+
+ORACLE_Q54 = _curation_oracle()
+
+
 def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprints (32-bit): per-bit +1/-1 token-hash
     voting, one explode + one groupBy."""
@@ -2713,6 +2867,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q51_pq_topk": (q51_pq_topk, ORACLE_Q51),
     "q52_ivfpq_topk": (q52_ivfpq_topk, ORACLE_Q52),
     "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
+    "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
 }
 
 
