@@ -176,3 +176,22 @@ def test_flagship_single_scan_single_decode(spark, tmp_path):
     )
     assert everything.count("FileScan") == 1
     assert everything.count("ArrowEvalPython") == 1
+
+
+def test_curation_pipeline_no_cartesian_no_forced_broadcast(spark):
+    """q54 composes six stages; its physical plan must contain NO
+    cartesian/nested-loop product anywhere (every pair expansion is
+    bucketed or candidate-driven) and no broadcast of a document-scale
+    frame: with the auto-broadcast threshold off, any broadcast left in
+    the plan would be a forced hint on a corpus-sized table — the 100-TB
+    OOM. (AQE remains free to broadcast small sides at runtime.)"""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(Q.q54_curation_pipeline(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
