@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from pincspark.functions.vectors import cosine
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Conditional cluster-spread for small single-split inputs (same
+    rationale and condition as operators.dedup._spread): repartition only
+    when the scan is under-split vs the cluster parallelism — at
+    production scale the corpus arrives as thousands of splits and an
+    unconditional repartition would be a full-corpus shuffle bought for
+    nothing."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,9 +64,7 @@ def cosine_topk(
     through one reducer per query — the 100-TB anti-pattern.
     """
     q = F.broadcast(queries.select(query_id, query_vec))
-    corpus_spread = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, corpus_id
-    )
+    corpus_spread = _spread(corpus, corpus_id)
     scored = (
         corpus_spread.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
         .crossJoin(q)
@@ -111,8 +122,7 @@ def kmeans_centroids(
         .select(id_col, vec_col).collect()
     ]
     spark = corpus.sparkSession
-    n = spark.sparkContext.defaultParallelism
-    corpus = corpus.repartition(n, id_col)
+    corpus = _spread(corpus, id_col)
     for _ in range(iters):
         cent_df = F.broadcast(
             spark.createDataFrame(centroids, ["cell", "centroid"])
@@ -168,9 +178,7 @@ def ivf_assign(
             .limit(num_cells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
         )
-    corpus = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, id_col
-    )
+    corpus = _spread(corpus, id_col)
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
@@ -318,9 +326,7 @@ def quantized_topk(
         .withColumn("__qn", F.sqrt(_int_dot(F.col("__qq"), F.col("__qq")).cast("double")))
         .filter(F.col("__qn") > 0)
     )
-    corpus_spread = cq.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, "neighbor_id"
-    )
+    corpus_spread = _spread(cq, "neighbor_id")
     scored = (
         corpus_spread.crossJoin(F.broadcast(qq))
         .filter(F.col("neighbor_id") != F.col(query_id))
@@ -557,9 +563,7 @@ def pq_topk(
         codebooks = pq_codebooks(corpus, m, num_codes, corpus_id, corpus_vec)
     _, m, num_codes, ds = _pq_literal_books(codebooks)
 
-    encoded = pq_encode(corpus, codebooks, corpus_id, corpus_vec).repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, corpus_id
-    )
+    encoded = _spread(pq_encode(corpus, codebooks, corpus_id, corpus_vec), corpus_id)
 
     ip = F.expr(
         f"round(aggregate(zip_with(slice({query_vec}, sub * {ds} + 1, {ds}), "
