@@ -626,8 +626,7 @@ def embedding_dup_pairs(
     """
     from pincspark.functions.vectors import cosine
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    a = df.repartition(n, id_col).select(
+    a = _spread(df, id_col).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )

@@ -1222,12 +1222,17 @@ def q23_zone_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ray-casting predicate."""
     from pincspark.operators.geo import zone_occupancy
 
+    from pincspark.operators.dedup import _spread
+
     ev = table(spark, sf_dir, "events")
-    points = ev.select(
-        F.col("user_id"),
-        (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
-        (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
-    ).repartition(spark.sparkContext.defaultParallelism, F.col("user_id"))  # split the single-file scan
+    points = _spread(  # split the single-file scan (no-op on a split table)
+        ev.select(
+            F.col("user_id"),
+            (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
+            (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
+        ),
+        "user_id",
+    )
     occ = zone_occupancy(points, zones=None, key="user_id")  # static codegen PIP
     return occ.select(
         "zone_id", "zone_name",
