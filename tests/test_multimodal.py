@@ -142,3 +142,46 @@ def test_wav_decodes_for_real(spark):
         decode_audio_features(
             media.filter(F.col("media_id") == 8), strict=True
         ).collect()
+
+
+def test_codec_edge_branches():
+    """Pure-function codec branches that the Spark-stage tests don't hit:
+    2-byte-maxval PPM (big-endian samples), 8-bit unsigned and stereo
+    WAV, and the grid's mean-preservation property on block-aligned
+    planes (no SparkSession needed — these run in the executor kernel)."""
+    import struct
+    import numpy as np
+    from pincspark.operators.multimodal import (
+        _decode_ppm,
+        _decode_wav,
+        _grid_means,
+        _grid_shape,
+    )
+
+    # 16-bit PPM: maxval 65535, samples big-endian per netpbm
+    raster = struct.pack(">6H", *([32768, 32768, 32768] * 2))
+    px = _decode_ppm(b"P6 2 1 65535\n" + raster)
+    assert px.shape == (1, 2, 3)
+    assert np.allclose(px, 32768 / 65535.0)
+
+    # 8-bit WAV is unsigned around 128; stereo mixes to mono
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(1)
+        wf.setframerate(4000)
+        # L=192 (+0.5), R=64 (-0.5) -> mono mix exactly 0.0
+        wf.writeframes(bytes([192, 64] * 100))
+    x, rate = _decode_wav(buf.getvalue())
+    assert rate == 4000 and len(x) == 100
+    assert np.allclose(x, 0.0)
+
+    # grid block-averaging preserves the overall mean on aligned planes
+    rng = np.arange(48, dtype=np.float64).reshape(6, 8) / 48.0
+    gh, gw = _grid_shape(8)
+    cells = _grid_means(rng, gh, gw)
+    assert cells.shape == (gh, gw)
+    assert abs(cells.mean() - rng.mean()) < 1e-12
