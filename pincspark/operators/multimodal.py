@@ -145,7 +145,13 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
     Feature = luminance block-averaged onto a fixed (gh, gw) grid — the
     deterministic resize step — flattened row-major."""
     if data.startswith(b"P6"):
-        px = _decode_ppm(data)  # (h, w, 3) in [0, 1]
+        try:
+            px = _decode_ppm(data)  # (h, w, 3) in [0, 1]
+        except Exception:
+            # truncated raster / malformed header: a corrupt blob must not
+            # kill a 100-TB job — treat as undecodable (strict raises,
+            # default falls back to the deterministic fake)
+            return None
         lum = px.mean(axis=2)
         gh, gw = _grid_shape(dim)
         feats = [round(float(v), 9) for v in _grid_means(lum, gh, gw).ravel()]
@@ -158,7 +164,10 @@ def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[fl
     ('RIFF' magic, stdlib wave); None for formats needing codec libs."""
     if not data.startswith(b"RIFF"):
         return None
-    x, rate = _decode_wav(data)
+    try:
+        x, rate = _decode_wav(data)
+    except Exception:
+        return None  # corrupt container: same must-not-kill-the-job policy
     if len(x) == 0:
         return 0.0, rate, 0, [0.0] * dim
     edges = np.linspace(0, len(x), dim + 1).astype(int)

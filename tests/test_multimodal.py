@@ -185,3 +185,21 @@ def test_codec_edge_branches():
     cells = _grid_means(rng, gh, gw)
     assert cells.shape == (gh, gw)
     assert abs(cells.mean() - rng.mean()) < 1e-12
+
+
+def test_corrupt_media_does_not_kill_the_job(spark):
+    """A truncated raster or WAV container must degrade to the
+    deterministic fallback (non-strict), never fail the task — at corpus
+    scale some blobs are always corrupt."""
+    from pincspark.operators.multimodal import decode_audio_features
+
+    bad_ppm = b"P6\n100 100\n255\n\x01\x02\x03"  # claims 30k bytes, has 3
+    bad_wav = b"RIFF\x10\x00\x00\x00WAVEjunk"
+    media = spark.createDataFrame(
+        [(11, "image", bad_ppm, None), (12, "audio", bad_wav, None)],
+        MEDIA_SCHEMA,
+    )
+    img = decode_image_features(media, dim=4).collect()
+    aud = decode_audio_features(media, dim=4).collect()
+    assert len(img) == 1 and len(img[0]["feature"]) == 4
+    assert len(aud) == 1 and aud[0]["sample_rate"] == 0
