@@ -443,10 +443,13 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    minus_col: str | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` sub-codes: per subspace, the code of
     the L2-nearest codebook centroid (distance rounded to 9 dp, ties to
-    the smallest code — portable across engines).
+    the smallest code — portable across engines). With ``minus_col``, the
+    encoded vector is (vec - minus) — the IVF-PQ residual path — computed
+    inside the same Arrow batch.
 
     The codebooks ride into an Arrow-batched pandas UDF as a numpy
     (m, k, ds) closure, so encoding is a pure narrow map — no join, no
@@ -476,10 +479,28 @@ def pq_encode(
         # same as the twin's array_position and the oracle's row_number
         return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
 
+    @F.pandas_udf("array<int>")
+    def _codes_minus(vecs: pd.Series, minus: pd.Series) -> pd.Series:
+        # residual variant: encode (vec - minus) without materializing the
+        # residual column plan-side (stays one vectorized Arrow batch)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.float64) - np.stack(
+            minus.to_numpy()
+        ).astype(np.float64)
+        S = V.reshape(len(V), m, 1, ds)
+        d2 = np.round(((S - B[None, :, :, :]) ** 2).sum(axis=3), 9)
+        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+
+    enc = (
+        _codes(F.col(vec_col))
+        if minus_col is None
+        else _codes_minus(F.col(vec_col), F.col(minus_col))
+    )
     return corpus.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        _codes(F.col(vec_col)).alias("codes"),
+        enc.alias("codes"),
     )
 
 
@@ -520,11 +541,13 @@ def pq_encode_expr(
     )
 
 
-def _adc_score(m: int, num_codes: int) -> F.Column:
+def _adc_score(m: int, num_codes: int, extra: F.Column | None = None) -> F.Column:
     """ADC score: sum of the m looked-up LUT inner products, summed in sub
     order (left-assoc chain == the oracle's list_sum fold), rounded to 6
     dp. Statically unrolled — element_at chains stay in whole-stage
-    codegen, where an ``aggregate`` lambda would be interpreted per row."""
+    codegen, where an ``aggregate`` lambda would be interpreted per row.
+    ``extra`` adds a per-row term before rounding (the residual path's
+    <query, cell-centroid> component)."""
     terms = [
         F.expr(f"element_at(lut, {s * num_codes} + element_at(codes, {s + 1}) + 1)")
         for s in range(m)
@@ -532,6 +555,8 @@ def _adc_score(m: int, num_codes: int) -> F.Column:
     total = terms[0]
     for t in terms[1:]:
         total = total + t
+    if extra is not None:
+        total = total + extra
     return F.round(total, 6)
 
 
@@ -603,27 +628,56 @@ def ivfpq_topk(
     query_vec: str = "query_vec",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The full 100-TB ANN recipe: IVF prunes WHICH vectors each query
     scores (nprobe/num_cells of the corpus), PQ compresses WHAT is scored
     (m sub-codes instead of d floats, via the per-query ADC lookup table).
     Same output shape as cosine_topk.
 
+    ``residual=True`` is the textbook IVFADC refinement: PQ encodes the
+    RESIDUAL v - c(cell) instead of v (residuals concentrate near the
+    origin, so the same m x k codebook budget quantizes them with far
+    less error), and the score decomposes exactly as
+    <q, v> ~ <q, c(cell)> + <q, reconstruct(residual)> — the first term
+    computed once per (query, probed cell), the second via the usual ADC
+    lookups. Codebooks are trained on residuals; the subtraction happens
+    inside the encode kernel's Arrow batch (pq_encode minus_col), so the
+    residual column never materializes in the plan.
+
     Scale shape: one narrow pass assigns (cell, codes) per corpus vector
     — the stored index is (id, cell, m codes), ~32x smaller than raw
     float32 at the defaults; queries broadcast with their probe cells +
     LUT against that index scan; per-query work is
-    O(N * nprobe/num_cells * m) lookups. No corpus shuffle anywhere."""
+    O(N * nprobe/num_cells * m) lookups. No corpus shuffle anywhere
+    (the residual path adds one broadcast of the k centroids to the
+    encode pass — still narrow)."""
     if centroids is None:
         centroids = kmeans_centroids(corpus, num_cells, iters=3, id_col=corpus_id, vec_col=corpus_vec)
-    if codebooks is None:
-        codebooks = pq_codebooks(corpus, m, num_codes, corpus_id, corpus_vec, iters=3)
-    _, m, num_codes, ds = _pq_literal_books(codebooks)
 
     _, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, centroids=centroids)
-    # ONE pass builds the stored index rows (id, cell, codes) — the cell
-    # rides through the encode projection; no corpus self-join
-    index = pq_encode(assigned, codebooks, corpus_id, corpus_vec, keep_cols=("cell",))
+    if residual:
+        assigned_c = assigned.join(F.broadcast(centroids), "cell")
+        if codebooks is None:
+            res_frame = assigned_c.select(
+                F.col(corpus_id),
+                F.zip_with(
+                    F.col(corpus_vec), F.col("centroid"), lambda x, y: x - y
+                ).alias("__res"),
+            )
+            codebooks = pq_codebooks(res_frame, m, num_codes, corpus_id, "__res", iters=3)
+        _, m, num_codes, ds = _pq_literal_books(codebooks)
+        index = pq_encode(
+            assigned_c, codebooks, corpus_id, corpus_vec,
+            keep_cols=("cell",), minus_col="centroid",
+        )
+    else:
+        if codebooks is None:
+            codebooks = pq_codebooks(corpus, m, num_codes, corpus_id, corpus_vec, iters=3)
+        _, m, num_codes, ds = _pq_literal_books(codebooks)
+        # ONE pass builds the stored index rows (id, cell, codes) — the cell
+        # rides through the encode projection; no corpus self-join
+        index = pq_encode(assigned, codebooks, corpus_id, corpus_vec, keep_cols=("cell",))
 
     qcells = queries.crossJoin(F.broadcast(centroids)).select(
         query_id,
@@ -649,7 +703,22 @@ def ivfpq_topk(
         .agg(F.array_sort(F.collect_list(F.struct("sub", "code", "ip"))).alias("e"))
         .select(query_id, F.col("e.ip").alias("lut"))
     )
-    probe_lut = probes.join(qlut, query_id).select(query_id, "cell", "lut")
+    if residual:
+        # <q, c(cell)> once per (query, probed cell): nprobe rows per query
+        qc_ip = F.expr(
+            f"round(aggregate(zip_with({query_vec}, centroid, "
+            "(x, y) -> CAST(x * y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (a, e) -> a + e), 9)"
+        )
+        probe_qc = (
+            probes.join(F.broadcast(centroids), "cell")
+            .select(query_id, "cell", qc_ip.alias("qc"))
+        )
+        probe_lut = probe_qc.join(qlut, query_id).select(query_id, "cell", "lut", "qc")
+        score = _adc_score(m, num_codes, extra=F.col("qc"))
+    else:
+        probe_lut = probes.join(qlut, query_id).select(query_id, "cell", "lut")
+        score = _adc_score(m, num_codes)
 
     scored = (
         index.join(F.broadcast(probe_lut), "cell")
@@ -657,7 +726,7 @@ def ivfpq_topk(
         .select(
             query_id,
             F.col(corpus_id).alias("neighbor_id"),
-            _adc_score(m, num_codes).alias("score"),
+            score.alias("score"),
         )
     )
     return _two_phase_topk(scored, query_id, k)

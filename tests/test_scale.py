@@ -263,3 +263,30 @@ def test_pq_encode_twin_parity_on_adversarial_ties(spark):
     # code 3 (duplicate of 1 in sub 0, never smallest) must never win
     assert all(codes[0] != 3 for codes in fast.values())
     assert all(codes[1] != 1 for codes in fast.values())  # dup of code 0
+
+
+def test_ivfpq_residual_recall_on_planted_duplicates(spark):
+    """residual=True is the textbook IVFADC: PQ quantizes v - c(cell)
+    (residuals concentrate near the origin, so the same codebook budget
+    carries less error) and scores decompose as <q, c> + ADC. The planted
+    near-duplicate must surface in the top-5 at least as reliably as the
+    plain-vector variant's pinned floor."""
+    from pyspark.sql import functions as F
+
+    from pincspark.operators.similarity import ivfpq_topk
+    from tests.conftest import SF_DIR_T2
+
+    emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CAST(0.03 * cos(i * 1.7 + vec_id) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    queries = planted.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ivfpq_topk(corpus, queries, k=5, nprobe=8, residual=True)
+    hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 10000).count()
+    assert hits >= 22, hits
