@@ -195,3 +195,18 @@ def test_curation_pipeline_no_cartesian_no_forced_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_pq_encode_is_one_arrow_pass(spark):
+    """q51's corpus encode must execute exactly ONE ArrowEvalPython (the
+    numpy kernel) — no join against a codebook table, no per-code row
+    blowup; the codebooks ride in as a closure. The LUT join may
+    broadcast (query-side, tiny) but the corpus side must never
+    sort-merge."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(Q.q51_pq_topk(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "SortMergeJoin" not in plan
