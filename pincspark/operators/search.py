@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pincspark.functions.text import normalize_text, ws_tokens
@@ -83,4 +83,43 @@ def bm25_scores(
             F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
             F.round(F.sum("__s"), 6).alias("score"),
         )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two top-K retrieval lists (the standard
+    hybrid lexical+vector combiner): fused = 1/(c + rank_a) + 1/(c + rank_b),
+    a document absent from one list contributes nothing for it, output is
+    the fused top-``k`` with ties broken by id.
+
+    Scale shape: the inputs are already top-K lists (each produced by a
+    two-phase top-k upstream — never a global sort of the full corpus),
+    so the fusion join, window, and limit all run on 2*K rows per query.
+    """
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("__ra"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("__rb"))
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            F.col("__ra").cast("int").alias("lex_rank"),
+            F.col("__rb").cast("int").alias("vec_rank"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("__rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= k)
     )

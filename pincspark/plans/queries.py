@@ -2487,6 +2487,97 @@ GROUP BY tf.doc_id
 ORACLE_Q48 = _q48_oracle()
 
 
+def q55_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion — the
+    standard modern retrieval combiner, composed from the oracled BM25
+    (q48) and cosine top-k (q18) machinery: the 4-term lexical query's
+    top-100 and the doc-0 embedding's top-100 fuse as
+    1/(60+r_lex) + 1/(60+r_vec); fused top-10. Both input lists come
+    from two-phase top-k (never a global sort of the corpus); the fusion
+    itself runs on <= 200 rows."""
+    from pincspark.operators.search import bm25_scores, rrf_fuse
+    from pincspark.operators.similarity import _two_phase_topk, cosine_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = _two_phase_topk(
+        bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+        .withColumn("__q", F.lit(0))
+        .select("__q", F.col("doc_id").alias("neighbor_id"), "score"),
+        "__q",
+        100,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    vq = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = cosine_topk(emb, vq, k=100).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex, vec, "doc_id", "rank", k=10, c=60).select(
+        "doc_id", "lex_rank", "vec_rank", "rrf_score", "fused_rank"
+    )
+
+
+def _q55_oracle() -> str:
+    toks = _SQL_TOKS.format(c=_SQL_NORM.format(c="text"))
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks_t
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+  FROM tok WHERE term IN ({terms})
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         AVG(len({toks})) AS avgdl
+  FROM documents
+), bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+         ), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm
+  ) WHERE r <= 100
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), vq AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), vs AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND({_SQL_COS.format(a='e.v', b='vq.qv')}, 6) AS score
+  FROM e, vq WHERE e.vec_id <> 0
+), vec AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM vs
+  ) WHERE r <= 100
+), fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         CAST(lex.r AS INTEGER) AS lex_rank,
+         CAST(vec.r AS INTEGER) AS vec_rank,
+         ROUND(COALESCE(1.0 / (60.0 + lex.r), 0.0)
+               + COALESCE(1.0 / (60.0 + vec.r), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score, fused_rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+"""
+
+
+ORACLE_Q55 = _q55_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -2873,6 +2964,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q52_ivfpq_topk": (q52_ivfpq_topk, ORACLE_Q52),
     "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
     "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
+    "q55_hybrid_retrieval": (q55_hybrid_retrieval, ORACLE_Q55),
 }
 
 
