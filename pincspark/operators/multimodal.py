@@ -54,7 +54,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("n_bytes", T.IntegerType(), True),
     T.StructField("mean_intensity", T.DoubleType(), True),
-    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    # doubles, not float32: features are 9-dp-rounded decode outputs and
+    # must compare exactly against the SQL oracle (q56)
+    T.StructField("feature", T.ArrayType(T.DoubleType()), True),
 ])
 
 
@@ -224,7 +226,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("rms", T.DoubleType(), True),
     T.StructField("sample_rate", T.IntegerType(), True),
     T.StructField("duration_ms", T.IntegerType(), True),
-    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("feature", T.ArrayType(T.DoubleType()), True),
 ])
 
 

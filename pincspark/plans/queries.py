@@ -2578,6 +2578,69 @@ SELECT doc_id, lex_rank, vec_rank, rrf_score, fused_rank FROM (
 ORACLE_Q55 = _q55_oracle()
 
 
+def q56_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image codec under the oracle gate: every document is
+    rendered as a deterministic 8x8 P6 PPM (raster = repeat(md5(text), 6),
+    192 pure-ASCII bytes), decoded by the pure-numpy codec in STRICT mode
+    (no fake fallback allowed), and reduced to luminance stats + a 2x2
+    block-average feature grid. The oracle replicates the byte-level
+    arithmetic from the same md5 hex — proving the mapInPandas decode
+    stage itself, not just its plumbing."""
+    from pincspark.operators.multimodal import decode_image_features
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.expr(
+            "CAST(concat('P6', chr(10), '8 8', chr(10), '255', chr(10), "
+            "repeat(md5(text), 6)) AS BINARY)"
+        ).alias("content"),
+    )
+    feats = decode_image_features(media, dim=4, strict=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "mean_intensity",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def _q56_oracle() -> str:
+    # cell (by, bx) averages the 16 luminances of its 4x4 pixel block;
+    # pixel (y, x) -> raster bytes 3*(y*8+x)+1 .. +3 (1-based)
+    cells = []
+    for by in range(2):
+        for bx in range(2):
+            lums = []
+            for j in range(16):
+                y, x = by * 4 + j // 4, bx * 4 + j % 4
+                p = 3 * (y * 8 + x)
+                lums.append(f"(bv[{p + 1}] + bv[{p + 2}] + bv[{p + 3}]) / 3.0")
+            cells.append(
+                f"ROUND(({' + '.join(lums)}) / 16.0 / 255.0, 9) AS f{by * 2 + bx}"
+            )
+    cell_sql = ",\n       ".join(cells)
+    return f"""
+WITH r AS (
+  SELECT doc_id AS media_id, repeat(md5(text), 6) AS ras FROM documents
+), b AS (
+  SELECT media_id,
+         list_transform(generate_series(1, 192),
+                        i -> CAST(ascii(substring(ras, i, 1)) AS DOUBLE)) AS bv
+  FROM r
+)
+SELECT media_id,
+       CAST(203 AS INTEGER) AS n_bytes,
+       ROUND(list_avg(list_transform(bv, v -> v / 255.0)), 9) AS mean_intensity,
+       {cell_sql}
+FROM b
+"""
+
+
+ORACLE_Q56 = _q56_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -2965,6 +3028,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
     "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
     "q55_hybrid_retrieval": (q55_hybrid_retrieval, ORACLE_Q55),
+    "q56_media_decode": (q56_media_decode, ORACLE_Q56),
 }
 
 
