@@ -190,13 +190,22 @@ def main() -> None:
     # discards the polluted sample).
     timings: dict[str, float] = {"ais_flagship": round(flagship, 3)}
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    failed: dict[str, str] = {}
     for _ in range(3):
         for name, (fn, _) in QUERIES.items():
+            if name in failed:
+                continue
             t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as e:  # one broken query must not cost the
+                failed[name] = str(e)[:200]  # whole round its bench artifact
+                print(f"WARN bench query {name} failed: {e}", file=sys.stderr)
+                continue
             samples[name].append(round(time.time() - t0, 3))
     for name, runs in samples.items():
-        timings[name] = sorted(runs)[1]
+        if runs:
+            timings[name] = sorted(runs)[len(runs) // 2]
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -209,6 +218,8 @@ def main() -> None:
     if flagship_runs:
         result["flagship_runs"] = flagship_runs
     result["query_runs"] = samples  # raw per-pass samples behind each median
+    if failed:
+        result["failed"] = failed
 
     # Regression harness: compare against the best prior run at this sf
     # (bench_history.jsonl, committed per round). Machine noise here is
