@@ -27,6 +27,7 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pincspark.functions.text import fingerprint, normalize_text
 
@@ -738,6 +739,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over candidate-pair edges: (node, cluster_id)
     where cluster_id = the smallest doc id in the node's component — the
@@ -758,6 +760,15 @@ def dedup_clusters(
     lineage so the plan does not grow exponentially; production runs on a
     real cluster should point spark.checkpoint.dir at reliable storage
     and use checkpoint() instead.
+
+    Adaptive small-graph path: when the (deduped, directed) edge table
+    holds at most ``driver_threshold`` rows, components resolve with a
+    driver-side union-find over ONE bounded collect (~16 bytes/edge —
+    same class of size-gated driver decision as Spark's auto-broadcast
+    threshold), replacing 2 jobs per propagation round with one. LSH
+    candidate graphs are usually this small even when the corpus is not;
+    the propagation path stays for everything above the gate. Both paths
+    produce identical (node, min-id-of-component) labels.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -768,6 +779,40 @@ def dedup_clusters(
         # shingling, ...) would re-execute per round.
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        rows = edges.collect()
+        for r in rows:
+            for v in (r["src"], r["dst"]):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[rb] = ra
+        comp: dict = {}
+        for v in parent:
+            comp.setdefault(find(v), []).append(v)
+        out = [
+            (v, min(members))
+            for members in comp.values()
+            for v in members
+        ]
+        spark = pairs.sparkSession
+        id_field = pairs.schema[id_a].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", id_field, True),
+                T.StructField("cluster_id", id_field, True),
+            ]
+        )
+        return spark.createDataFrame(out, schema)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

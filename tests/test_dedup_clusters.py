@@ -49,5 +49,33 @@ def test_nonconvergence_warns(spark):
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dedup_clusters(pairs, max_iters=1).collect()
+        # driver_threshold=0 forces the distributed propagation path (the
+        # union-find path has no iteration cap to warn about)
+        dedup_clusters(pairs, max_iters=1, driver_threshold=0).collect()
     assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_union_find_path_matches_propagation_path(spark):
+    """The size-gated driver union-find (edges <= driver_threshold) and
+    the distributed min-label propagation must produce IDENTICAL
+    (node, cluster_id) labels — checked on a graph with chains (deep
+    diameter), a star, singleton pairs, and disconnected parts."""
+    from pincspark.operators.dedup import dedup_clusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # chain, min = 1
+        (10, 11), (10, 12), (10, 13),        # star, min = 10
+        (20, 21),                            # pair
+        (31, 30),                            # reversed pair, min = 30
+    ]
+    pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    fast = {
+        (r["node"], r["cluster_id"])
+        for r in dedup_clusters(pairs, driver_threshold=100).collect()
+    }
+    slow = {
+        (r["node"], r["cluster_id"])
+        for r in dedup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert fast == slow
+    assert (5, 1) in fast and (13, 10) in fast and (31, 30) in fast
