@@ -22,6 +22,16 @@ import sys
 import time
 
 
+def _median(runs: list[float]) -> float:
+    """Median; for an even sample count, the MEAN of the middle pair
+    (sorted(runs)[n//2] would pick the max of 2 samples — ADVICE r4 #4)."""
+    s = sorted(runs)
+    n = len(s)
+    if n % 2:
+        return s[n // 2]
+    return round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+
 def _synth_archives(sf: float) -> tuple[str, str, str]:
     """Build (archive, warmup_archive, tmpdir): ~500k*sf sentences cycling
     the golden corpus with advancing tag-block times."""
@@ -203,9 +213,12 @@ def main() -> None:
                 print(f"WARN bench query {name} failed: {e}", file=sys.stderr)
                 continue
             samples[name].append(round(time.time() - t0, 3))
+    # A query that failed in ANY pass is excluded from timings/total (its
+    # partial samples are not a median and would silently skew the round
+    # total vs clean rounds — ADVICE r4 #4); it is reported under "failed".
     for name, runs in samples.items():
-        if runs:
-            timings[name] = sorted(runs)[len(runs) // 2]
+        if runs and name not in failed:
+            timings[name] = _median(runs)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -215,11 +228,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if flagship_runs:
-        result["flagship_runs"] = flagship_runs
-    result["query_runs"] = samples  # raw per-pass samples behind each median
     if failed:
-        result["failed"] = failed
+        result["failed_queries"] = sorted(failed)
 
     # Regression harness: compare against the best prior run at this sf
     # (bench_history.jsonl, committed per round). Machine noise here is
@@ -245,15 +255,30 @@ def main() -> None:
         if q in best and best[q] > 0.2 and t > 1.5 * best[q]
     }
     if regressions:
-        result["regressions"] = regressions
+        result["regression_count"] = len(regressions)
+        result["worst_regression"] = max(
+            regressions, key=lambda q: regressions[q]["ratio"]
+        )
         print(f"WARN bench regressions vs best prior run: {regressions}", file=sys.stderr)
-    # History entries from the median-of-3 harness are tagged; earlier
-    # single-sample rows stay (best-tracking takes min, which slow noise
-    # can't pollute — ADVICE r3 #1).
+    # The FULL record (raw per-pass samples, flagship runs, failure
+    # messages, regression detail) goes to bench_history.jsonl; the stdout
+    # line stays compact — VERDICT r4 #2: the driver tails stdout and never
+    # parsed the mega-line that carried raw sample arrays. History entries
+    # from the median-of-3 harness are tagged; earlier single-sample rows
+    # stay (best-tracking takes min, which slow noise can't pollute).
     with open(hist_path, "a") as f:
         f.write(
             json.dumps(
-                {"sf": sf, "value": total, "queries": timings, "median_of": 3}
+                {
+                    "sf": sf,
+                    "value": total,
+                    "queries": timings,
+                    "median_of": 3,
+                    "query_runs": samples,
+                    "flagship_runs": flagship_runs,
+                    "failed": failed,
+                    "regressions": regressions,
+                }
             )
             + "\n"
         )

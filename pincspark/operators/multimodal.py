@@ -71,10 +71,12 @@ def _hash_floats(data: bytes, n: int, salt: bytes = b"") -> list[float]:
     return out[:n]
 
 
-def _decode_ppm(data: bytes) -> np.ndarray:
-    """Pure-numpy P6 (binary PPM) decode -> (h, w, 3) float array in
-    [0, 1]. Handles comments and 1- or 2-byte-per-sample maxval per the
-    netpbm spec."""
+def _decode_ppm_raw(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy P6 (binary PPM) decode -> ((h, w, 3) int64 raster,
+    maxval). Handles comments and 1- or 2-byte-per-sample maxval per the
+    netpbm spec. Integer samples are returned UNSCALED so downstream
+    reductions can sum exactly (integer sums in float64 are exact in any
+    fold order — the cross-engine parity contract of q56 rests on it)."""
     if not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
     # header = magic, width, height, maxval as whitespace-separated tokens
@@ -99,7 +101,14 @@ def _decode_ppm(data: bytes) -> np.ndarray:
     dt = np.dtype(">u2") if maxval > 255 else np.uint8
     n = w * h * 3
     raster = np.frombuffer(data, dtype=dt, count=n, offset=i)
-    return raster.reshape(h, w, 3).astype(np.float64) / float(maxval)
+    return raster.reshape(h, w, 3).astype(np.int64), maxval
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """P6 decode -> (h, w, 3) float array in [0, 1] (scaled view of
+    :func:`_decode_ppm_raw`, kept as the float API)."""
+    raster, maxval = _decode_ppm_raw(data)
+    return raster.astype(np.float64) / float(maxval)
 
 
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -135,6 +144,23 @@ def _grid_means(plane: np.ndarray, gh: int, gw: int) -> np.ndarray:
     return cells
 
 
+def _grid_sums(plane: np.ndarray, gh: int, gw: int) -> tuple[np.ndarray, np.ndarray]:
+    """Integer block SUMS of a 2D int plane onto a (gh, gw) grid plus the
+    per-cell pixel counts. Sums of integers are exact in float64 whatever
+    the reduction order, so the caller can apply divisions in a fixed
+    sequence that matches the SQL oracle bit-for-bit (ADVICE r4 #3 — the
+    float `_grid_means` path folded in numpy's pairwise order, leaving
+    ulp-level disagreement with DuckDB's sequential fold that only the
+    9-dp round was absorbing)."""
+    h, w = plane.shape
+    re = np.linspace(0, h, gh + 1).astype(int)
+    ce = np.linspace(0, w, gw + 1).astype(int)
+    rows = np.add.reduceat(plane, re[:-1], axis=0)
+    sums = np.add.reduceat(rows, ce[:-1], axis=1)
+    counts = np.maximum(np.diff(re), 1)[:, None] * np.maximum(np.diff(ce), 1)[None, :]
+    return sums, counts
+
+
 def _grid_shape(dim: int) -> tuple[int, int]:
     """(gh, gw) with gh * gw == dim, gh the largest divisor <= sqrt(dim)."""
     gh = max(d for d in range(1, int(dim**0.5) + 1) if dim % d == 0)
@@ -148,16 +174,25 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
     deterministic resize step — flattened row-major."""
     if data.startswith(b"P6"):
         try:
-            px = _decode_ppm(data)  # (h, w, 3) in [0, 1]
+            raster, maxval = _decode_ppm_raw(data)  # (h, w, 3) int64
         except Exception:
             # truncated raster / malformed header: a corrupt blob must not
             # kill a 100-TB job — treat as undecodable (strict raises,
             # default falls back to the deterministic fake)
             return None
-        lum = px.mean(axis=2)
+        # Exact-arithmetic contract (q56 oracle parity): sum raw integer
+        # samples (exact in float64 in any order), then divide in the
+        # FIXED sequence / 3.0 / count / maxval — identical IEEE ops to
+        # the oracle's (b1+b2+...)/3.0/16.0/255.0, no fold-order ulps.
+        pix = raster.sum(axis=2)  # per-pixel r+g+b, exact ints
         gh, gw = _grid_shape(dim)
-        feats = [round(float(v), 9) for v in _grid_means(lum, gh, gw).ravel()]
-        return round(float(lum.mean()), 9), feats
+        sums, counts = _grid_sums(pix, gh, gw)
+        feats = [
+            round(float(s) / 3.0 / float(c) / float(maxval), 9)
+            for s, c in zip(sums.ravel(), counts.ravel())
+        ]
+        mean = round(float(pix.sum()) / 3.0 / float(pix.size) / float(maxval), 9)
+        return mean, feats
     return None
 
 
@@ -170,6 +205,10 @@ def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[fl
         x, rate = _decode_wav(data)
     except Exception:
         return None  # corrupt container: same must-not-kill-the-job policy
+    if rate <= 0:
+        # a corrupt header can declare framerate 0 while carrying frames;
+        # dividing by it below would kill the mapInPandas task (ADVICE r4)
+        return None
     if len(x) == 0:
         return 0.0, rate, 0, [0.0] * dim
     edges = np.linspace(0, len(x), dim + 1).astype(int)

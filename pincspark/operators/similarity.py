@@ -462,22 +462,32 @@ def pq_encode(
     form as the cross-checked twin (tests/test_scale.py parity test).
 
     Rounding contract (shared by twin and oracle): d2 = round(sum((x-y)^2
-    over the ds subvector elements, in order), 9). numpy sums <=8-element
-    axes sequentially (pairwise summation starts at 128), so the fold
-    order matches the SQL ``aggregate`` exactly."""
+    over the ds subvector elements, in order), 9). The sum is accumulated
+    SEQUENTIALLY over the ds axis (still vectorized over n*m*k) so the
+    float fold order matches the SQL ``aggregate`` left fold bit-for-bit —
+    numpy's own axis-sum is NOT a left fold even for tiny axes (its
+    unrolled 8-accumulator reduction kicks in at n=8, ADVICE r4 #1), and a
+    1-ulp difference landing on a 0.5e-9 rounding boundary could flip a
+    tie-broken argmin across engines."""
     books, m, k, ds = _pq_literal_books(codebooks)
     B = np.asarray(books, dtype=np.float64)  # (m, k, ds)
+
+    def _d2(V: np.ndarray) -> np.ndarray:
+        # (n, m*ds) -> (n, m, k): left fold acc += (x_i - y_i)^2 over ds
+        S = V.reshape(len(V), m, ds)
+        acc = np.zeros((len(V), m, k))
+        for i in range(ds):
+            acc = acc + (S[:, :, None, i] - B[None, :, :, i]) ** 2
+        return np.round(acc, 9)
 
     @F.pandas_udf("array<int>")
     def _codes(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, m*ds)
-        S = V.reshape(len(V), m, 1, ds)
-        d2 = np.round(((S - B[None, :, :, :]) ** 2).sum(axis=3), 9)  # (n, m, k)
         # argmin returns the FIRST minimum -> ties to the smallest code,
         # same as the twin's array_position and the oracle's row_number
-        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+        return pd.Series(list(_d2(V).argmin(axis=2).astype(np.int32)))
 
     @F.pandas_udf("array<int>")
     def _codes_minus(vecs: pd.Series, minus: pd.Series) -> pd.Series:
@@ -488,9 +498,7 @@ def pq_encode(
         V = np.stack(vecs.to_numpy()).astype(np.float64) - np.stack(
             minus.to_numpy()
         ).astype(np.float64)
-        S = V.reshape(len(V), m, 1, ds)
-        d2 = np.round(((S - B[None, :, :, :]) ** 2).sum(axis=3), 9)
-        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+        return pd.Series(list(_d2(V).argmin(axis=2).astype(np.int32)))
 
     enc = (
         _codes(F.col(vec_col))

@@ -2608,17 +2608,22 @@ def q56_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q56_oracle() -> str:
     # cell (by, bx) averages the 16 luminances of its 4x4 pixel block;
-    # pixel (y, x) -> raster bytes 3*(y*8+x)+1 .. +3 (1-based)
+    # pixel (y, x) -> raster bytes 3*(y*8+x)+1 .. +3 (1-based).
+    # Arithmetic contract shared with the numpy codec (ADVICE r4 #3): sum
+    # the RAW integer byte values first (integer sums in float64 are exact
+    # in any fold order, so engines cannot diverge), then divide in the
+    # fixed sequence / 3.0 / count / 255.0 — the codec performs the same
+    # IEEE ops in the same order (multimodal._decode_image_bytes).
     cells = []
     for by in range(2):
         for bx in range(2):
-            lums = []
+            terms = []
             for j in range(16):
                 y, x = by * 4 + j // 4, bx * 4 + j % 4
                 p = 3 * (y * 8 + x)
-                lums.append(f"(bv[{p + 1}] + bv[{p + 2}] + bv[{p + 3}]) / 3.0")
+                terms.append(f"bv[{p + 1}] + bv[{p + 2}] + bv[{p + 3}]")
             cells.append(
-                f"ROUND(({' + '.join(lums)}) / 16.0 / 255.0, 9) AS f{by * 2 + bx}"
+                f"ROUND(({' + '.join(terms)}) / 3.0 / 16.0 / 255.0, 9) AS f{by * 2 + bx}"
             )
     cell_sql = ",\n       ".join(cells)
     return f"""
@@ -2632,7 +2637,7 @@ WITH r AS (
 )
 SELECT media_id,
        CAST(203 AS INTEGER) AS n_bytes,
-       ROUND(list_avg(list_transform(bv, v -> v / 255.0)), 9) AS mean_intensity,
+       ROUND(list_sum(bv) / 3.0 / 64.0 / 255.0, 9) AS mean_intensity,
        {cell_sql}
 FROM b
 """
