@@ -738,14 +738,27 @@ def q53_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH proposes candidate pairs (q19's machinery, est >= 0.3),
     ngram_jaccard_verify confirms them with EXACT shingle Jaccard
     (array_intersect over the pair's two shingle sets — no posting lists,
-    no common-shingle cap) at threshold 0.5."""
-    from pincspark.operators.dedup import ngram_jaccard_verify
+    no common-shingle cap) at threshold 0.5. The corpus is shingled ONCE:
+    the staged 60-bit hash arrays feed both stages (the minhash domain is
+    the md5 prefix — see minhash_signatures)."""
+    from pincspark.operators.dedup import (
+        _spread,
+        ngram_jaccard_verify,
+        shingle_hash_array_py,
+    )
 
     docs = table(spark, sf_dir, "documents")
+    arrs = (
+        _spread(docs, "doc_id")
+        .select("doc_id", shingle_hash_array_py("text", 3, 15).alias("__arr"))
+        .localCheckpoint(eager=False)
+    )
     cands = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_perms=16, bands=4
+        docs, "doc_id", "text", n=3, num_perms=16, bands=4, shingles=arrs
     ).filter(F.col("est_jaccard") >= 0.3)
-    return ngram_jaccard_verify(docs, cands, "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_verify(
+        docs, cands, "doc_id", "text", n=3, threshold=0.5, shingles=arrs
+    )
 
 
 def _lsh_verify_oracle() -> str:
@@ -824,12 +837,21 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsetting seams between them. Scale shape is the sum of its parts:
     narrow quality scan, one fingerprint shuffle, banded LSH postings,
     candidate-only verify joins, labels-only propagation, one shard
-    shuffle — the corpus text itself never fans out."""
+    shuffle — the corpus text itself never fans out.
+
+    The survivors are shingled ONCE: the 60-bit hash arrays staged here
+    feed the LSH propose stage (whose 32-bit minhash domain is the md5
+    prefix, recovered by shiftright — bit-identical values, oracle
+    unchanged), the exact-Jaccard verify joins, AND the keep-list id
+    join, so neither the corpus text nor the quality scan is revisited
+    after this point (VERDICT r4 #5)."""
     from pincspark.operators.dedup import (
+        _spread,
         dedup_clusters,
         exact_dedup,
         minhash_lsh_pairs,
         ngram_jaccard_verify,
+        shingle_hash_array_py,
     )
     from pincspark.operators.sampling import deterministic_shards
 
@@ -837,19 +859,34 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdocs = docs.filter(TXT.quality_score(F.col("text")) >= 0.6).select(
         "doc_id", "text"
     )
-    ekeep = exact_dedup(qdocs, "doc_id", "text").filter("keep").select("doc_id")
-    # Stage the curated-survivor frame once: three consumers (LSH
+    # The text rides through the fingerprint window (keep_cols) so the
+    # survivors come out of ONE quality-scan + one wide pass — flagging
+    # ids and joining back would shuffle the text for the join anyway,
+    # plus two id shuffles and a second quality scan.
+    edocs = (
+        exact_dedup(qdocs, "doc_id", "text", keep_cols=("text",))
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    # Stage the survivors' shingle-hash arrays once: three consumers (LSH
     # signatures, verify arrays, keep-list join) would otherwise re-run
-    # the quality scan + fingerprint window each — same single-scan policy
-    # as the AIS flagship (nmea_source.read_and_decode).
-    edocs = qdocs.join(ekeep, "doc_id").localCheckpoint(eager=False)
+    # the quality scan + fingerprint window + Arrow shingle kernel each —
+    # same single-scan policy as the AIS flagship. At cluster scale swap
+    # localCheckpoint for checkpoint() (reliable storage).
+    arrs = (
+        _spread(edocs, "doc_id")
+        .select("doc_id", shingle_hash_array_py("text", 3, 15).alias("__arr"))
+        .localCheckpoint(eager=False)
+    )
     cands = minhash_lsh_pairs(
-        edocs, "doc_id", "text", n=3, num_perms=16, bands=4
+        edocs, "doc_id", "text", n=3, num_perms=16, bands=4, shingles=arrs
     ).filter(F.col("est_jaccard") >= 0.3)
-    pairs = ngram_jaccard_verify(edocs, cands, "doc_id", "text", n=3, threshold=0.5)
+    pairs = ngram_jaccard_verify(
+        edocs, cands, "doc_id", "text", n=3, threshold=0.5, shingles=arrs
+    )
     clusters = dedup_clusters(pairs)
     kept = (
-        edocs.select("doc_id")
+        arrs.select("doc_id")
         .join(clusters, F.col("doc_id") == F.col("node"), "left")
         .filter(F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id"))
         .select("doc_id")

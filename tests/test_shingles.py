@@ -107,3 +107,27 @@ def test_hash_kernel_matches_jvm_md5_corpus(spark):
     )
     jvm, py = _hash_parity(spark, docs, 15)
     assert jvm == py
+
+
+def test_minhash_from_shared_60bit_arrays_matches_text_path(spark):
+    """The q53/q54 single-shingle-pass contract: minhash signatures derived
+    from a precomputed 60-bit (15-hex-char) shingle-hash frame via
+    shiftright(h, 28) must equal the direct width-8 text path bit-for-bit
+    (the 32-bit hash is the md5 hex PREFIX of the 60-bit one), on both the
+    edge corpus and real documents."""
+    from pincspark.operators.dedup import minhash_signatures
+    from pincspark.sources.tables import table
+
+    edge = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_TEXTS) if t is not None], ["i", "t"]
+    )
+    docs = table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("i"), F.col("text").alias("t")
+    )
+    for df in (edge, docs):
+        arrs = df.select("i", shingle_hash_array_py("t", 3, 15).alias("__arr"))
+        direct = minhash_signatures(df, "i", "t").orderBy("i").collect()
+        shared = (
+            minhash_signatures(df, "i", "t", shingles=arrs).orderBy("i").collect()
+        )
+        assert [tuple(r) for r in direct] == [tuple(r) for r in shared]
