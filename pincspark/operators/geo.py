@@ -97,7 +97,20 @@ def point_in_polygon_static(x_sql: str, y_sql: str, ring: list[list[float]]) -> 
     oracle plants the IDENTICAL repr() double literal
     (plans/queries.py:_zone_oracle), boundary decisions stay bit-identical
     across engines (the ``D`` suffix makes the Spark parser bind them as
-    DOUBLE, not DECIMAL)."""
+    DOUBLE, not DECIMAL).
+
+    Ceiling: the unrolled predicate plants ~5 double literals per edge in
+    the plan. Real traffic-zone rings are tens-to-hundreds of edges;
+    beyond ~4096 edges the expression tree (not the data) becomes the
+    cost, and the right mechanism is the dynamic array-fold variant
+    (point_in_polygon over an edge-array column / broadcast zone table),
+    which this module already provides. The assert fails loudly at plan
+    build instead of letting a degenerate ring compile a megabyte CASE
+    chain."""
+    assert len(ring) <= 4096, (
+        f"polygon ring of {len(ring)} vertices exceeds the static-unroll "
+        "ceiling (4096); use the dynamic point_in_polygon edge-array path"
+    )
     terms = []
     for (px, py), (qx, qy) in zip(ring[:-1], ring[1:]):
         slope = (qx - px) / (qy - py)

@@ -424,6 +424,17 @@ def pq_codebooks(
     return spark.createDataFrame(rows, ["sub", "code", "centroid"])
 
 
+# Ceiling on codebook floats carried driver-side / embedded as plan
+# literals. A PQ codebook is m*k*ds floats — 8 subs x 256 codes x 8 dims =
+# 16k is a large production book and well under both the expression-tree
+# and task-closure comfort zones. Above this, literal embedding stops
+# being the right mechanism: move the books to a Spark broadcast variable
+# (sc.broadcast) consumed inside the pandas UDF, and give pq_encode_expr
+# a join-based twin. The assert makes a future 64k+ book fail loudly at
+# plan build instead of silently compiling a megabyte expression.
+_PQ_LITERAL_FLOAT_CEILING = 32_768
+
+
 def _pq_literal_books(codebooks: DataFrame) -> tuple[list, int, int, int]:
     """Collect codebooks to a nested python list [sub][code][dim] (tiny:
     m * num_codes rows) for literal embedding in the encode expression."""
@@ -431,6 +442,11 @@ def _pq_literal_books(codebooks: DataFrame) -> tuple[list, int, int, int]:
     m = 1 + max(r["sub"] for r in rows)
     k = 1 + max(r["code"] for r in rows)
     ds = len(rows[0]["centroid"])
+    assert m * k * ds <= _PQ_LITERAL_FLOAT_CEILING, (
+        f"codebook of {m}x{k}x{ds} = {m * k * ds} floats exceeds the "
+        f"literal-embedding ceiling ({_PQ_LITERAL_FLOAT_CEILING}); switch "
+        "to a broadcast variable (see _PQ_LITERAL_FLOAT_CEILING note)"
+    )
     books = [[None] * k for _ in range(m)]
     for r in rows:
         books[r["sub"]][r["code"]] = [float(x) for x in r["centroid"]]
