@@ -100,6 +100,14 @@ def _flagship_child() -> None:
     # the flagship DAG and forks the Arrow worker pool once, so the timed
     # runs measure the pipeline, not janino.
     _flagship_once(spark, wpath, os.path.join(tmp, "gold_warm"))
+    # Two untimed passes over the FULL archive: the first full-size run
+    # pays ~1.6x and the second ~1.2x (page cache + 10x the splits of the
+    # warmup archive + JIT tiering — a 7-run profile at sf0.1 reads 4.0,
+    # 3.0, then a 2.5-2.9 plateau), which skewed the recorded median
+    # across rounds (VERDICT r4 #4). The catalog loop already noop-warms
+    # the actual sf-dir tables; this is the same steady-state policy.
+    for w in ("gold_warm2", "gold_warm3"):
+        _flagship_once(spark, path, os.path.join(tmp, w))
     runs = [
         round(_flagship_once(spark, path, os.path.join(tmp, f"gold_{i}")), 3)
         for i in range(3)
