@@ -229,15 +229,25 @@ def main() -> None:
             timings[name] = _median(runs)
 
     total = round(sum(timings.values()), 3)
+    # The stdout line keys queries by their short id ("q01") rather than the
+    # full registry name: the driver tails only the LAST 2000 chars of
+    # stdout, and 57 full-name keys serialize to ~1.7KB — one regression
+    # field away from truncating the line it is supposed to parse. Full
+    # names live in bench_history.jsonl (written below) and in
+    # CORRECTNESS_r{N}.json; "qNN" is an unambiguous prefix of both.
+    def _short(name: str) -> str:
+        m = re.match(r"(q\d+)_", name)
+        return m.group(1) if m else name
+
     result = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {_short(k): v for k, v in timings.items()},
         "sf": sf,
     }
     if failed:
-        result["failed_queries"] = sorted(failed)
+        result["failed_queries"] = sorted(_short(q) for q in failed)
 
     # Regression harness: compare against the best prior run at this sf
     # (bench_history.jsonl, committed per round). Machine noise here is
