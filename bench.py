@@ -221,6 +221,27 @@ def main() -> None:
                 print(f"WARN bench query {name} failed: {e}", file=sys.stderr)
                 continue
             samples[name].append(round(time.time() - t0, 3))
+    # Adaptive resample: the r4/r5 records show single 10-12s contention
+    # spikes drifting ACROSS queries between passes (q27 [10.05, 2.37,
+    # 0.81] while q28 took its spike on a different pass) — one spike
+    # shifts a 3-sample median onto a half-contended sample. When the
+    # spread is extreme (max > 3x min), take up to 2 extra samples so the
+    # median sits on uncontended runs; queries with stable samples are
+    # never re-run, so the added wall cost is a few seconds.
+    for name, runs in samples.items():
+        if name in failed or not runs:
+            continue
+        extra = 0
+        while extra < 2 and max(runs) > 3 * min(runs):
+            fn = QUERIES[name][0]
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as e:
+                failed[name] = str(e)[:200]
+                break
+            runs.append(round(time.time() - t0, 3))
+            extra += 1
     # A query that failed in ANY pass is excluded from timings/total (its
     # partial samples are not a median and would silently skew the round
     # total vs clean rounds — ADVICE r4 #4); it is reported under "failed".
