@@ -14,6 +14,8 @@ full sort of the vocabulary; the final rank window runs over k rows only.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,3 +47,199 @@ def vocab_topk(
     return top.withColumn(
         "token_id", F.row_number().over(Window.orderBy(*order)).cast("int")
     )
+
+# ---------------------------------------------------------------------------
+# BPE trainer (Sennrich et al. 2016, "Neural Machine Translation of Rare
+# Words with Subword Units") — the iterative step q40's pair census feeds.
+#
+# Scale shape (100 TB): training never touches raw documents after the
+# first aggregation. Pass 1 collapses the corpus to the DISTINCT-WORD
+# frequency table (one explode + one keyed agg with map-side combine; at
+# web scale ~1e8 rows, thousands of times smaller than the corpus). Every
+# merge iteration then runs on that table only: one explode of adjacent
+# symbol pairs weighted by word count, one keyed agg, one 1-row
+# TakeOrdered collect (the chosen pair — bounded driver state), and one
+# narrow map rewriting the symbol arrays. Lineage is cut with
+# localCheckpoint every few iterations (checkpoint() on a real cluster).
+# The merge rewrite is a left fold (F.aggregate), JVM-side — greedy
+# left-to-right, non-overlapping, exactly the reference algorithm's scan.
+# ---------------------------------------------------------------------------
+
+_EOW = "</w>"  # end-of-word marker, fused into the last character's symbol
+
+
+def _merge_pair_expr(sym, a: str, b: str):
+    """Column expr: greedy left-to-right non-overlapping replacement of
+    adjacent symbols (a, b) with a+b in the array ``sym``.
+
+    Left fold over element indexes with state (out, skip): ``skip`` marks
+    that position i was consumed by a merge emitted at i-1. Quadratic in
+    word length (concat copies), but symbol arrays are word-sized (<~40)."""
+    merged = a + b
+
+    def step(st, i):
+        cur = F.get(sym, i)
+        nxt = F.get(sym, i + 1)  # NULL past the end (get is ANSI-safe)
+        take = (
+            cur.eqNullSafe(F.lit(a))
+            & nxt.eqNullSafe(F.lit(b))
+            & ~st.getField("skip")
+        )
+        return F.when(
+            st.getField("skip"),
+            F.struct(st.getField("out").alias("out"), F.lit(False).alias("skip")),
+        ).otherwise(
+            F.when(
+                take,
+                F.struct(
+                    F.concat(st.getField("out"), F.array(F.lit(merged))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(st.getField("out"), F.array(cur)).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.size(sym) - 1),
+        init,
+        step,
+        lambda st: st.getField("out"),
+    )
+
+
+def word_freq_table(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Distinct-word frequency table (word, cnt) — the ONLY corpus-wide
+    pass BPE training makes."""
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    return (
+        df.select(F.explode(ws_tokens(text)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def symbolize(word):
+    """word -> initial symbol array: characters, last one fused with </w>
+    (so merges can never cross a word boundary)."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, n), F.lit(_EOW))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+    lowercase: bool = True,
+    checkpoint_every: int = 1,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the ordered
+    merge table [(left, right, pair_count)]. Deterministic: ties on count
+    break lexicographically (left asc, right asc) — mirrored in the pure
+    Python reference implementation the tests pin against."""
+    words = word_freq_table(df, text_col, lowercase).withColumn(
+        "sym", symbolize(F.col("word"))
+    )
+    words = words.select("sym", "cnt").localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for it in range(n_merges):
+        pair = F.struct(
+            F.element_at(F.col("sym"), F.col("i") + 1).alias("a"),
+            F.element_at(F.col("sym"), F.col("i") + 2).alias("b"),
+        )
+        top = (
+            words.where(F.size("sym") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(0), F.size("sym") - 2)).alias("i"),
+                "sym",
+                "cnt",
+            )
+            .select(pair.alias("p"), "cnt")
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["c"])
+        merges.append((a, b, c))
+        words = words.select(_merge_pair_expr(F.col("sym"), a, b).alias("sym"), "cnt")
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_merges:
+            words = words.localCheckpoint()  # cut lineage; checkpoint() at scale
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge table (rank = list
+    order). Arrow-batched pandas UDF — the standard rank-greedy BPE apply
+    loop is pointer-chasing over tiny arrays, the case where a codegen'd
+    fold loses to a dict lookup; distinct words are memoized per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): r for r, (a, b, _) in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        sym = list(word[:-1]) + [word[-1] + _EOW] if word else []
+        while len(sym) >= 2:
+            best, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            a, b = merges[best][0], merges[best][1]
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        cache[word] = sym
+        return sym
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            if lowercase:
+                t = t.lower()
+            toks: list[str] = []
+            for w in t.split():
+                toks.extend(encode_word(w, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))
