@@ -623,14 +623,19 @@ def rolling_fingerprints(
     31-bit prime — portable to the SQL oracle verbatim.
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    sz = F.size(toks)
+    # Hash each token ONCE into a materialized column, then build the k
+    # shifted views by slicing the hash array: the md5 is the expensive
+    # part and the k slices previously re-hashed every token k times.
+    # CollapseProject won't inline __hs into its k consumers (transform is
+    # not a "cheap" expression), so the projection boundary is load-bearing.
+    hs_df = _spread(df, id_col).select(
+        F.col(id_col),
+        F.transform(toks, lambda t: shingle_hash(t) % F.lit(mod)).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    sz = F.size(hs)
     m = sz - (k - 1)
-    hashed = [
-        F.transform(
-            F.slice(toks, 1 + j, m), lambda t: shingle_hash(t) % F.lit(mod)
-        )
-        for j in range(k)
-    ]
+    hashed = [F.slice(hs, 1 + j, m) for j in range(k)]
     acc = hashed[0]
     for j in range(1, k):
         acc = F.zip_with(
@@ -638,12 +643,12 @@ def rolling_fingerprints(
         )
     rollings = F.when(sz >= k, acc).otherwise(
         F.array(F.aggregate(
-            F.transform(toks, lambda t: shingle_hash(t) % F.lit(mod)),
+            hs,
             F.lit(0).cast("bigint"),
             lambda a, b: (a * F.lit(base) % F.lit(mod) + b) % F.lit(mod),
         ))
     )
-    return _spread(df, id_col).select(
+    return hs_df.select(
         F.col(id_col),
         F.array_min(rollings).alias("fp_min"),
         F.size(F.array_distinct(rollings)).cast("bigint").alias("n_windows"),
