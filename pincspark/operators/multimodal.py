@@ -10,16 +10,17 @@ Design for 100 TB of media:
 - partitioning: media tables should be written bucketed/partitioned by
   content-hash prefix so downstream dedup joins co-locate.
 
-Codecs: UNCOMPRESSED formats decode for real with numpy + the stdlib —
-PPM (P6) images via a pure-numpy header/raster parse and PCM WAV audio via
-the stdlib ``wave`` module — no PIL/libsndfile needed. COMPRESSED formats
-(JPEG/PNG/FLAC/...) genuinely need codec libraries this container ships
-without: for those ``strict=True`` raises NotImplementedError, and the
-default produces a DETERMINISTIC FAKE decode (content-hash-seeded stats)
-so the Spark-side plumbing (schemas, UDF signatures, batch shapes,
-explode logic) stays fully real and testable end-to-end. Plug
-PIL/torchvision/libsndfile into ``_decode_image_bytes`` /
-``_decode_audio_bytes`` in production.
+Codecs: three formats decode FOR REAL with numpy + the stdlib — P6 PPM
+(pure-numpy header/raster parse), PNG (stdlib zlib DEFLATE + full
+five-filter scanline reconstruction, color types 0/2/3/4/6, 8- and
+16-bit), and PCM WAV (stdlib ``wave``) — no PIL/libsndfile needed.
+Formats whose codecs genuinely need external libraries this container
+ships without (JPEG/FLAC/...): ``strict=True`` raises
+NotImplementedError, and the default produces a DETERMINISTIC FAKE decode
+(content-hash-seeded stats) so the Spark-side plumbing (schemas, UDF
+signatures, batch shapes, explode logic) stays fully real and testable
+end-to-end. Plug PIL/torchvision/libsndfile into ``_decode_image_bytes``
+/ ``_decode_audio_bytes`` in production.
 """
 
 from __future__ import annotations
@@ -111,6 +112,174 @@ def _decode_ppm(data: bytes) -> np.ndarray:
     return raster.astype(np.float64) / float(maxval)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(payload).to_bytes(4, "big")
+        + ctype
+        + payload
+        + (zlib.crc32(ctype + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def png_encode(raster: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (stdlib zlib): one filter type for all
+    scanlines. Exists so the decoder can be proven by lossless round-trip
+    without PIL — and so q57 can mint real DEFLATE-compressed blobs."""
+    import zlib
+
+    h, w, _ = raster.shape
+    px = raster.astype(np.int64)
+    bpp = 3
+    out = bytearray()
+    prior = [0] * (w * bpp)
+    for y in range(h):
+        raw = [int(v) for v in px[y].ravel()]
+        out.append(filter_type)
+        for x in range(w * bpp):
+            a = raw[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if filter_type == 0:
+                v = raw[x]
+            elif filter_type == 1:
+                v = raw[x] - a
+            elif filter_type == 2:
+                v = raw[x] - b
+            elif filter_type == 3:
+                v = raw[x] - (a + b) // 2
+            elif filter_type == 4:
+                v = raw[x] - _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad filter {filter_type}")
+            out.append(v & 0xFF)
+        prior = raw
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_raw(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib PNG decode -> ((h, w, 3) int64 raster, maxval).
+
+    Real DEFLATE decode (zlib) + full scanline unfiltering (all five PNG
+    filter types), supporting non-interlaced color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8, and
+    16-bit for the non-palette types. Alpha is dropped and gray is
+    replicated so every decode lands on the same (h, w, 3) integer-raster
+    contract as the PPM codec — the exact-arithmetic feature path is
+    shared verbatim. Adam7 interlace raises (undecodable -> fallback)."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    i, n = len(_PNG_SIG), len(data)
+    width = height = None
+    depth = ctype = interlace = 0
+    plte: np.ndarray | None = None
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = int.from_bytes(data[i : i + 4], "big")
+        cname = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + clen]
+        if len(payload) < clen:
+            raise ValueError("truncated chunk")
+        if cname == b"IHDR":
+            width = int.from_bytes(payload[0:4], "big")
+            height = int.from_bytes(payload[4:8], "big")
+            depth, ctype, _, _, interlace = payload[8:13]
+        elif cname == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif cname == b"IDAT":
+            idat.extend(payload)
+        elif cname == b"IEND":
+            break
+        i += 12 + clen
+    if not width or not height or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if interlace:
+        raise ValueError("Adam7 interlace unsupported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None or depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise ValueError(f"unsupported color type {ctype}/depth {depth}")
+    sample_bytes = depth // 8
+    bpp = nch * sample_bytes
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated raster")
+    recon = bytearray(height * stride)
+    prior_off = -stride
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = raw[off + 1 : off + 1 + stride]
+        ro = y * stride
+        if ft == 0:
+            recon[ro : ro + stride] = line
+        elif ft == 2 and y > 0:
+            p = recon[ro + prior_off : ro]
+            recon[ro : ro + stride] = bytes(
+                (v + p[x]) & 0xFF for x, v in enumerate(line)
+            )
+        elif ft == 2:
+            recon[ro : ro + stride] = line
+        else:
+            for x in range(stride):
+                a = recon[ro + x - bpp] if x >= bpp else 0
+                b = recon[ro + x + prior_off] if y > 0 else 0
+                c = recon[ro + x - bpp + prior_off] if (x >= bpp and y > 0) else 0
+                if ft == 1:
+                    v = line[x] + a
+                elif ft == 3:
+                    v = line[x] + (a + b) // 2
+                elif ft == 4:
+                    v = line[x] + _paeth(a, b, c)
+                else:
+                    raise ValueError(f"bad filter {ft}")
+                recon[ro + x] = v & 0xFF
+    if depth == 16:
+        samples = np.frombuffer(bytes(recon), dtype=">u2").astype(np.int64)
+        maxval = 65535
+    else:
+        samples = np.frombuffer(bytes(recon), dtype=np.uint8).astype(np.int64)
+        maxval = 255
+    px = samples.reshape(height, width, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        return plte.astype(np.int64)[px[:, :, 0]], 255
+    if ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ctype == 6:
+        rgb = px[:, :, :3]
+    else:
+        rgb = px
+    return rgb, maxval
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """stdlib PCM WAV decode -> (mono float samples in [-1, 1], rate)."""
     with wave.open(io.BytesIO(data), "rb") as wf:
@@ -167,33 +336,46 @@ def _grid_shape(dim: int) -> tuple[int, int]:
     return gh, dim // gh
 
 
+def _raster_features(
+    raster: np.ndarray, maxval: int, dim: int
+) -> tuple[float, list[float]]:
+    """(mean_intensity, grid feature) from an (h, w, 3) INTEGER raster.
+
+    Exact-arithmetic contract (q56/q57 oracle parity): sum raw integer
+    samples (integer sums in float64 are exact in any fold order), then
+    divide in the FIXED sequence / 3.0 / count / maxval — identical IEEE
+    ops to the oracle's (b1+b2+...)/3.0/16.0/255.0, no fold-order ulps."""
+    pix = raster.sum(axis=2)  # per-pixel r+g+b, exact ints
+    gh, gw = _grid_shape(dim)
+    sums, counts = _grid_sums(pix, gh, gw)
+    feats = [
+        round(float(s) / 3.0 / float(c) / float(maxval), 9)
+        for s, c in zip(sums.ravel(), counts.ravel())
+    ]
+    mean = round(float(pix.sum()) / 3.0 / float(pix.size) / float(maxval), 9)
+    return mean, feats
+
+
 def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | None:
     """(mean_intensity, grid feature) for formats decodable WITHOUT codec
-    libraries; None when a real codec (PIL/torchvision) would be needed.
+    libraries — P6 PPM (pure numpy) and PNG (stdlib zlib + unfilter);
+    None when a real codec (PIL/torchvision) would be needed (JPEG, ...).
     Feature = luminance block-averaged onto a fixed (gh, gw) grid — the
     deterministic resize step — flattened row-major."""
     if data.startswith(b"P6"):
-        try:
-            raster, maxval = _decode_ppm_raw(data)  # (h, w, 3) int64
-        except Exception:
-            # truncated raster / malformed header: a corrupt blob must not
-            # kill a 100-TB job — treat as undecodable (strict raises,
-            # default falls back to the deterministic fake)
-            return None
-        # Exact-arithmetic contract (q56 oracle parity): sum raw integer
-        # samples (exact in float64 in any order), then divide in the
-        # FIXED sequence / 3.0 / count / maxval — identical IEEE ops to
-        # the oracle's (b1+b2+...)/3.0/16.0/255.0, no fold-order ulps.
-        pix = raster.sum(axis=2)  # per-pixel r+g+b, exact ints
-        gh, gw = _grid_shape(dim)
-        sums, counts = _grid_sums(pix, gh, gw)
-        feats = [
-            round(float(s) / 3.0 / float(c) / float(maxval), 9)
-            for s, c in zip(sums.ravel(), counts.ravel())
-        ]
-        mean = round(float(pix.sum()) / 3.0 / float(pix.size) / float(maxval), 9)
-        return mean, feats
-    return None
+        decode = _decode_ppm_raw
+    elif data.startswith(_PNG_SIG):
+        decode = _decode_png_raw
+    else:
+        return None
+    try:
+        raster, maxval = decode(data)  # (h, w, 3) int64
+    except Exception:
+        # truncated raster / malformed chunk / bad filter: a corrupt blob
+        # must not kill a 100-TB job — treat as undecodable (strict
+        # raises, default falls back to the deterministic fake)
+        return None
+    return _raster_features(raster, maxval, dim)
 
 
 def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[float]] | None:

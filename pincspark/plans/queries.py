@@ -2683,6 +2683,84 @@ FROM b
 ORACLE_Q56 = _q56_oracle()
 
 
+def q57_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL compressed-image codec under the oracle gate: the q56
+    raster (repeat(md5(text), 6) as an 8x8 RGB image) is PNG-ENCODED in a
+    mapInPandas stage — filter type doc_id % 5, so all five PNG scanline
+    filters are exercised across the corpus — then decoded back by the
+    pure-stdlib zlib+unfilter codec in STRICT mode (no fake fallback).
+    PNG is lossless, so the analytic oracle sees straight through the
+    DEFLATE container to the same byte arithmetic as q56: any codec bug
+    (filter reconstruction, chunk walk, inflate handling) breaks parity.
+    n_bytes is excluded from the output on purpose — it is the compressed
+    size, which no SQL engine can re-derive."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.multimodal import decode_image_features, png_encode
+
+    def _mint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+                raster = np.frombuffer(
+                    (hexd * 6).encode("ascii"), dtype=np.uint8
+                ).reshape(8, 8, 3)
+                rows.append(
+                    (int(row.doc_id), png_encode(raster, int(row.doc_id) % 5))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(
+        _mint, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("image"))
+    feats = decode_image_features(media, dim=4, strict=True)
+    return feats.select(
+        "media_id",
+        "mean_intensity",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def _q57_oracle() -> str:
+    # identical analytic arithmetic to q56 (the PNG round-trip is
+    # lossless), minus the container-dependent n_bytes column
+    cells = []
+    for by in range(2):
+        for bx in range(2):
+            terms = []
+            for j in range(16):
+                y, x = by * 4 + j // 4, bx * 4 + j % 4
+                p = 3 * (y * 8 + x)
+                terms.append(f"bv[{p + 1}] + bv[{p + 2}] + bv[{p + 3}]")
+            cells.append(
+                f"ROUND(({' + '.join(terms)}) / 3.0 / 16.0 / 255.0, 9) AS f{by * 2 + bx}"
+            )
+    cell_sql = ",\n       ".join(cells)
+    return f"""
+WITH r AS (
+  SELECT doc_id AS media_id, repeat(md5(text), 6) AS ras FROM documents
+), b AS (
+  SELECT media_id,
+         list_transform(generate_series(1, 192),
+                        i -> CAST(ascii(substring(ras, i, 1)) AS DOUBLE)) AS bv
+  FROM r
+)
+SELECT media_id,
+       ROUND(list_sum(bv) / 3.0 / 64.0 / 255.0, 9) AS mean_intensity,
+       {cell_sql}
+FROM b
+"""
+
+
+ORACLE_Q57 = _q57_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -3085,6 +3163,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q20_ngram_jaccard": (q20_ngram_jaccard, ORACLE_Q20),
     "q21_simhash": (q21_simhash, ORACLE_Q21),
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
+    "q57_png_decode": (q57_png_decode, ORACLE_Q57),
 }
 
 
