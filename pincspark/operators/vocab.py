@@ -106,11 +106,15 @@ def _merge_pair_expr(sym, a: str, b: str):
     init = F.struct(
         F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
     )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.size(sym) - 1),
-        init,
-        step,
-        lambda st: st.getField("out"),
+    # sequence(0, -1) is a DESCENDING 2-element sequence, not empty: an
+    # empty symbol array must short-circuit past the fold
+    return F.when(F.size(sym) == 0, F.array().cast("array<string>")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), F.size(sym) - 1),
+            init,
+            step,
+            lambda st: st.getField("out"),
+        )
     )
 
 

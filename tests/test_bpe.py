@@ -130,3 +130,27 @@ def test_bpe_apply_handles_null_and_empty(spark):
     assert rows[2] is None
     assert rows[3] == []
     assert "".join(rows[1]).replace(_EOW, " ").strip() == "low low"
+
+
+# ------------------------------------------------------------- properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tok = st.text(alphabet="abcde", min_size=1, max_size=6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_tok, min_size=0, max_size=12), _tok, _tok)
+def test_merge_fold_matches_reference_merge(spark, sym, a, b):
+    """The JVM left-fold rewrite == the scalar greedy merge, including
+    overlap handling (e.g. merging ('a','a') in 'a a a' -> ['aa','a'])."""
+    import pyspark.sql.functions as F
+
+    from pincspark.operators.vocab import _merge_pair_expr
+
+    got = (
+        spark.createDataFrame([(sym,)], "sym array<string>")
+        .select(_merge_pair_expr(F.col("sym"), a, b).alias("m"))
+        .head()["m"]
+    )
+    assert got == _ref_merge(sym, a, b)

@@ -106,3 +106,21 @@ def test_corrupt_png_degrades_not_raises():
 
 def test_jpeg_still_undecodable():
     assert _decode_image_bytes(b"\xff\xd8\xff\xe0JFIF-ish", 4) is None
+
+
+# ------------------------------------------------------------- properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_property(w, h, ft, seed):
+    r = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    out, maxval = _decode_png_raw(png_encode(r, filter_type=ft))
+    assert maxval == 255 and (out == r).all()
