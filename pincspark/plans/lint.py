@@ -1,0 +1,92 @@
+"""Physical-plan linter: the 100-TB scale contract, checkable in one call.
+
+A correct result from a bad plan is a latent outage: a cartesian product or
+nested-loop join that "works" on 60k rows is quadratic at corpus scale, and
+a row-at-a-time Python UDF turns a JVM pipeline into a per-row RPC. The
+linter walks the EXECUTED plan string (what Spark will actually run, after
+AQE planning) and reports the known scale-killers, so tests can assert the
+property instead of grepping ad hoc:
+
+    from pincspark.plans.lint import assert_scalable
+    assert_scalable(df)                       # hard failures only
+    assert_scalable(df, forbid={"single_partition"})  # + strict mode
+
+Severities:
+- HARD (always fail): CartesianProduct, BroadcastNestedLoopJoin,
+  BatchEvalPython (row-at-a-time Python UDF — Arrow-batched
+  ArrowEvalPython / mapInPandas stages are fine).
+- SOFT (reported, fail only when listed in ``forbid``):
+  ``single_partition`` — an ``Exchange SinglePartition`` funnels the whole
+  dataset through one task. Legitimate in a FINAL stage over a bounded
+  result (a global sort of a top-k, a rollup total); fatal mid-pipeline.
+  ``no_codegen`` — no WholeStageCodegen span anywhere: every operator is
+  running interpreted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+HARD_PATTERNS = {
+    "cartesian": "CartesianProduct",
+    "nested_loop_join": "BroadcastNestedLoopJoin",
+    "python_udf_row_at_a_time": "BatchEvalPython",
+}
+
+SOFT_PATTERNS = {
+    "single_partition": "Exchange SinglePartition",
+}
+
+
+@dataclass
+class Finding:
+    code: str
+    severity: str  # "hard" | "soft"
+    detail: str
+
+
+def plan_string(df: DataFrame) -> str:
+    """The executed (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def lint_plan(df: DataFrame) -> list[Finding]:
+    plan = plan_string(df)
+    findings: list[Finding] = []
+    for code, pat in HARD_PATTERNS.items():
+        n = plan.count(pat)
+        if n:
+            findings.append(Finding(code, "hard", f"{pat} x{n}"))
+    for code, pat in SOFT_PATTERNS.items():
+        n = plan.count(pat)
+        if n:
+            findings.append(Finding(code, "soft", f"{pat} x{n}"))
+    if "WholeStageCodegen" not in plan:
+        findings.append(Finding("no_codegen", "soft", "no WholeStageCodegen span"))
+    return findings
+
+
+def assert_scalable(
+    df: DataFrame,
+    forbid: set[str] = frozenset(),
+    allow: set[str] = frozenset(),
+) -> None:
+    """Raise AssertionError when the plan contains a scale-killer.
+
+    Hard findings fail unless their code is in ``allow`` (an explicit,
+    per-call-site acknowledgment — e.g. a nested-loop join whose broadcast
+    side is BOUNDED by construction, like a k-item query batch scored
+    against the corpus, is all-pairs by definition and linear in the
+    corpus); soft findings fail only when their code is in ``forbid``."""
+    bad = [
+        f
+        for f in lint_plan(df)
+        if (f.severity == "hard" and f.code not in allow) or f.code in forbid
+    ]
+    if bad:
+        raise AssertionError(
+            "plan is not scale-safe: "
+            + "; ".join(f"{f.code} ({f.detail})" for f in bad)
+        )

@@ -210,3 +210,35 @@ def test_pq_encode_is_one_arrow_pass(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("ArrowEvalPython") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_entire_catalog_is_scale_safe(spark):
+    """Sweep EVERY registered query through the plan linter: no cartesian
+    product, no broadcast-nested-loop join, no row-at-a-time Python UDF
+    anywhere in the 57-query catalog. (Soft findings — final-stage single
+    partitions for bounded results, e.g. a global top-k sort — are
+    allowed; the hard three are the quadratic/per-row scale killers.)
+
+    Exception, acknowledged per query: the ANN scorers cross a BOUNDED
+    query batch (k literal vectors / a LIMITed frame — the broadcast side)
+    with the corpus. That nested-loop is all-pairs by definition and
+    LINEAR in the corpus; the linter cannot see the bound, so it is
+    allowed explicitly here and the boundedness is what the recall/plan
+    tests in test_scale.py pin."""
+    from pincspark.plans.lint import assert_scalable
+    from pincspark.plans.queries import QUERIES
+
+    BOUNDED_QUERY_BATCH = {
+        "q18_knn_cosine",
+        "q22_ivf_topk",
+        "q41_quantized_knn",
+        "q48_bm25_scores",  # 1-row corpus-stats aggregate crossed on
+        "q51_pq_topk",
+        "q52_ivfpq_topk",
+        "q55_hybrid_retrieval",
+    }
+    for name, (fn, _) in QUERIES.items():
+        allow = (
+            {"nested_loop_join"} if name in BOUNDED_QUERY_BATCH else frozenset()
+        )
+        assert_scalable(fn(spark, SF_DIR), allow=allow)
