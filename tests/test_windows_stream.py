@@ -162,3 +162,60 @@ def test_exact_gap_boundary(spark):
 
     native = session_counts(df, "ts", "60 seconds", keys=("k",))
     assert sorted(r["n_events"] for r in native.collect()) == [1, 2]
+
+
+def test_streaming_corpus_curation_matches_batch(spark, tmp_path):
+    """The LLM-pipeline ingest ops are streaming-safe: documents dripped
+    through readStream -> quality score + token stats (narrow expressions)
+    -> exact-dup drop within the watermark horizon produce exactly the
+    batch composition's rows. (The operators are DataFrame-in/out, so the
+    same functions run under both engines — the §2 streaming contract
+    extended to the curation tier.)"""
+    import pandas as pd
+
+    from pincspark.functions.text import quality_score, token_count
+    from pincspark.operators.dedup import fingerprint
+    from pincspark.streaming.windows import dedupe_stream
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]
+    ].head(120)
+    # plant exact duplicates across the two arrival files
+    dup = docs.head(10).assign(doc_id=lambda d: d.doc_id + 100000)
+    pd.concat([docs.head(60), dup]).to_parquet(src / "a.parquet")
+    docs.tail(60).to_parquet(src / "b.parquet")
+
+    def curate(df):
+        scored = df.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            F.round(quality_score(F.col("text")), 6).alias("q"),
+            token_count(F.col("text")).alias("n_tok"),
+            F.lit("2023-01-01 00:00:00").cast("timestamp").alias("ts"),
+        ).filter(F.col("q") >= 0.4)
+        return dedupe_stream(scored, keys=["fp"], ts_col="ts").select(
+            "fp", "q", "n_tok"
+        )
+
+    schema = "doc_id BIGINT, text STRING"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("cur_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.fp, r.q, r.n_tok) for r in spark.sql("SELECT * FROM cur_stream").collect()
+    }
+    batch = curate(spark.read.schema(schema).parquet(str(src)))
+    want = {(r.fp, r.q, r.n_tok) for r in batch.collect()}
+    assert got == want and len(want) > 0
+    # the 10 planted duplicates were actually dropped from the 130 inputs
+    assert len(got) <= 120
