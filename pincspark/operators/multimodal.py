@@ -280,6 +280,187 @@ def _decode_png_raw(data: bytes) -> tuple[np.ndarray, int]:
     return rgb, maxval
 
 
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (greedy longest-match, LSB-first packing,
+    CLEAR emitted when the table reaches 4096). Exists so the decoder can
+    be proven by lossless round-trip through real dictionary growth."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset() -> tuple[dict, int, int]:
+        return (
+            {(i,): i for i in range(clear)},
+            end + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:
+                out_bits.append((clear, 12))
+                table, next_code, width = reset()
+        buf = (px,)
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+    # pack LSB-first
+    acc = n = 0
+    payload = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        payload.append(acc & 0xFF)
+    return bytes(payload)
+
+
+def _lzw_decode(payload: bytes, min_code_size: int, n_px: int) -> list[int]:
+    """GIF-variant LZW decode of a de-blocked payload -> pixel indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    out: list[int] = []
+    acc = n = pos = 0
+    prev: list[int] | None = None
+
+    def reset_table() -> None:
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = None
+
+    reset_table()
+    while len(out) < n_px:
+        while n < width:
+            if pos >= len(payload):
+                raise ValueError("LZW stream truncated")
+            acc |= payload[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            reset_table()
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+        prev = entry
+        # width sync: the encoder widens when ITS next_code reaches
+        # 2^w + 1; the decoder's table is one entry behind at read time,
+        # so the matching moment here is len(table) == 2^w
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_px:
+        raise ValueError("LZW output short")
+    return out[:n_px]
+
+
+def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF87a encoder: one frame, global color table, real LZW."""
+    h, w = indices.shape
+    pal = palette.astype(np.uint8)
+    assert pal.shape == (256, 3)
+    screen = (
+        w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0])  # GCT present, 256 entries
+    )
+    img_desc = b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(
+        2, "little"
+    ) + b"\x00"
+    payload = _lzw_encode([int(v) for v in indices.ravel()], 8)
+    blocks = bytearray([8])  # LZW min code size
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return b"GIF87a" + screen + pal.tobytes() + img_desc + bytes(blocks) + b"\x3b"
+
+
+def _decode_gif_raw(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib GIF decode (first frame) -> ((h, w, 3) int64 raster,
+    255): real LZW decompression with dictionary growth and CLEAR-code
+    resets, global/local color tables. Interlaced frames raise
+    (undecodable -> fallback), matching the PNG Adam7 policy."""
+    if not (data.startswith(b"GIF87a") or data.startswith(b"GIF89a")):
+        raise ValueError("not a GIF")
+    gct_flag = data[10] & 0x80
+    gct_n = 2 << (data[10] & 0x07)
+    i = 13
+    gct = None
+    if gct_flag:
+        gct = np.frombuffer(data[i : i + 3 * gct_n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * gct_n
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(data[i + 5 : i + 7], "little")
+            h = int.from_bytes(data[i + 7 : i + 9], "little")
+            packed = data[i + 9]
+            i += 10
+            if packed & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            pal = gct
+            if packed & 0x80:
+                lct_n = 2 << (packed & 0x07)
+                pal = np.frombuffer(data[i : i + 3 * lct_n], dtype=np.uint8).reshape(
+                    -1, 3
+                )
+                i += 3 * lct_n
+            if pal is None:
+                raise ValueError("no color table")
+            min_code = data[i]
+            i += 1
+            payload = bytearray()
+            while data[i] != 0:
+                ln = data[i]
+                payload.extend(data[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            idx = np.array(
+                _lzw_decode(bytes(payload), min_code, w * h), dtype=np.int64
+            ).reshape(h, w)
+            return pal.astype(np.int64)[idx], 255
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("no image frame")
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """stdlib PCM WAV decode -> (mono float samples in [-1, 1], rate)."""
     with wave.open(io.BytesIO(data), "rb") as wf:
@@ -366,6 +547,8 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
         decode = _decode_ppm_raw
     elif data.startswith(_PNG_SIG):
         decode = _decode_png_raw
+    elif data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        decode = _decode_gif_raw
     else:
         return None
     try:

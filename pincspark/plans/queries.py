@@ -2761,6 +2761,83 @@ FROM b
 ORACLE_Q57 = _q57_oracle()
 
 
+def q58_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL LZW codec under the oracle gate: the md5 raster renders as
+    an 8x24 palette-indexed GIF87a (grayscale identity palette, genuine
+    LZW compression with dictionary growth), decoded back by the
+    pure-stdlib codec in STRICT mode. GIF is lossless, so the analytic
+    oracle sees through the LZW container to the raw index arithmetic —
+    any decompressor bug (width sync, CLEAR resets, the KwKwK case)
+    breaks parity. Pixel luminance is 3*index/3, so features triple the
+    byte values and divide in the shared fixed IEEE sequence."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.multimodal import decode_image_features, gif_encode
+
+    pal = np.arange(256, dtype=np.uint8)[:, None].repeat(3, axis=1)
+
+    def _mint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+                idx = np.frombuffer(
+                    (hexd * 6).encode("ascii"), dtype=np.uint8
+                ).astype(np.int64).reshape(8, 24)
+                rows.append((int(row.doc_id), gif_encode(idx, pal)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(
+        _mint, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("image"))
+    feats = decode_image_features(media, dim=4, strict=True)
+    return feats.select(
+        "media_id",
+        "mean_intensity",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def _q58_oracle() -> str:
+    # 8x24 pixel grid, 2x2 feature cells of 4x12 pixels; pixel (y, x) is
+    # palette entry bv[y*24 + x + 1] replicated to RGB, so the codec's
+    # r+g+b sum is 3 * index — exact integers until the fixed division
+    # sequence / 3.0 / count / 255.0 shared with the codec
+    cells = []
+    for by in range(2):
+        for bx in range(2):
+            terms = []
+            for y in range(by * 4, by * 4 + 4):
+                for x in range(bx * 12, bx * 12 + 12):
+                    terms.append(f"bv[{y * 24 + x + 1}]")
+            cells.append(
+                f"ROUND(3 * ({' + '.join(terms)}) / 3.0 / 48.0 / 255.0, 9) AS f{by * 2 + bx}"
+            )
+    cell_sql = ",\n       ".join(cells)
+    return f"""
+WITH r AS (
+  SELECT doc_id AS media_id, repeat(md5(text), 6) AS ras FROM documents
+), b AS (
+  SELECT media_id,
+         list_transform(generate_series(1, 192),
+                        i -> CAST(ascii(substring(ras, i, 1)) AS DOUBLE)) AS bv
+  FROM r
+)
+SELECT media_id,
+       ROUND(3 * list_sum(bv) / 3.0 / 192.0 / 255.0, 9) AS mean_intensity,
+       {cell_sql}
+FROM b
+"""
+
+
+ORACLE_Q58 = _q58_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -3164,6 +3241,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q21_simhash": (q21_simhash, ORACLE_Q21),
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q57_png_decode": (q57_png_decode, ORACLE_Q57),
+    "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
 }
 
 
