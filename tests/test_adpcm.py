@@ -22,7 +22,9 @@ from pincspark.operators.multimodal import (
 
 with warnings.catch_warnings():
     warnings.simplefilter("ignore", DeprecationWarning)
-    import audioop  # removed in 3.13; this container ships 3.11
+    audioop = pytest.importorskip("audioop")  # stdlib in 3.11, gone in 3.13;
+    # only the TESTS use it (as the independent reference) — the decoder
+    # itself is self-contained
 
 
 def test_core_matches_audioop_decode():
