@@ -24,3 +24,8 @@ from pincspark.operators.scale import (  # noqa: F401
     write_bucketed,
 )
 from pincspark.operators.similarity import cosine_topk, ivf_topk  # noqa: F401
+from pincspark.operators.vocab import (  # noqa: F401
+    bpe_apply,
+    bpe_train,
+    vocab_topk,
+)
