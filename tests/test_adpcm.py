@@ -138,3 +138,19 @@ def test_stereo_blocks():
     want = (l.astype(np.float64) + r.astype(np.float64)) / 2 / 32768.0
     # lossy: mono mix tracks the source within quantization error
     assert np.abs(x[:1000] - want).mean() < 0.05
+
+
+def test_core_matches_audioop_from_random_states():
+    """The state machine agrees with audioop from ARBITRARY (pred, index)
+    starting points, not just (0, 0) — the per-block header path."""
+    rng = np.random.default_rng(14)
+    for _ in range(25):
+        pred = int(rng.integers(-32768, 32768))
+        index = int(rng.integers(0, 89))
+        raw = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+        nibs = [n for b in raw for n in (b >> 4, b & 0x0F)]
+        got, gp, gi = _ima_decode_core(nibs, pred, index)
+        want_bytes, (wp, wi) = audioop.adpcm2lin(raw, 2, (pred, index))
+        want = struct.unpack(f"<{len(nibs)}h", want_bytes)
+        assert got == list(want)
+        assert (gp, gi) == (wp, wi)
