@@ -895,3 +895,42 @@ def dedup_clusters(
             stacklevel=2,
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring-duplication census (the signal behind substring-level
+    dedup a la Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): for each document, how many of its distinct n-token
+    spans also occur in ANOTHER document -> (id, n_spans, dup_spans,
+    dup_frac). High dup_frac = boilerplate/mirror content that whole-doc
+    Jaccard (q20) misses when the surrounding text differs.
+
+    Shape: the Arrow shingle kernel emits 60-bit span hashes (strings never
+    cross Arrow or the shuffle), ONE hash-partitioned window counts each
+    span's document frequency (distinct-per-doc input makes count == doc
+    count), and one keyed agg folds the flags per document. No joins, no
+    posting lists, no pair expansion — linear in total spans at any corpus
+    size."""
+    sp = _spread(df, id_col).select(
+        F.col(id_col), F.explode(shingle_hash_array_py(text_col, n, 15)).alias("h")
+    )
+    w = Window.partitionBy("h")
+    flagged = sp.select(
+        F.col(id_col), (F.count(F.lit(1)).over(w) > 1).cast("int").alias("dup")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("dup").cast("bigint").alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_spans").cast("double") / F.col("n_spans").cast("double"), 6),
+        )
+    )

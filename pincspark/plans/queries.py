@@ -2838,6 +2838,47 @@ FROM b
 ORACLE_Q58 = _q58_oracle()
 
 
+def q59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication census (Lee et al. 2022 substring-dedup
+    signal): per document, the fraction of its distinct 8-token spans that
+    also occur in another document — the boilerplate/mirror-content signal
+    whole-doc Jaccard misses. One window on the span hash + one keyed agg;
+    no joins or pair expansion."""
+    from pincspark.operators.dedup import duplicate_span_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, "doc_id", "text", n=8)
+
+
+def _q59_oracle() -> str:
+    span = (
+        "CASE WHEN len(toks) >= 8 THEN "
+        "list_transform(generate_series(1, len(toks) - 7), i -> array_to_string(toks[i:i+7], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({span})) AS s FROM toks_t
+), hh AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh
+), c AS (
+  SELECT h, COUNT(*) AS dc FROM hh GROUP BY h
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS dup_spans,
+       ROUND(CAST(SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM hh JOIN c USING (h)
+GROUP BY doc_id
+"""
+
+
+ORACLE_Q59 = _q59_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -3242,6 +3283,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q57_png_decode": (q57_png_decode, ORACLE_Q57),
     "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
+    "q59_dup_spans": (q59_dup_spans, ORACLE_Q59),
 }
 
 
