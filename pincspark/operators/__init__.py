@@ -1,5 +1,6 @@
 from pincspark.operators.asof import asof_join, asof_join_grouped  # noqa: F401
 from pincspark.operators.dedup import (  # noqa: F401
+    duplicate_span_stats,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
