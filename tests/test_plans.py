@@ -242,3 +242,30 @@ def test_entire_catalog_is_scale_safe(spark):
             {"nested_loop_join"} if name in BOUNDED_QUERY_BATCH else frozenset()
         )
         assert_scalable(fn(spark, SF_DIR), allow=allow)
+
+
+def test_harness_window_composition_is_pinned():
+    """The external harness evaluates the FIRST 50 registered queries. The
+    registry deliberately orders unique-coverage queries first and the six
+    subsumed standalones (q10/q12/q19/q20/q21/q44) + the round-5 additions
+    (q57/q58/q59) after the window. An accidental mid-registry insertion
+    would silently eject flagship compositions (q51-q56) from the
+    correctness gate — pin the boundary."""
+    from pincspark.plans.queries import QUERIES
+
+    names = list(QUERIES)
+    window, after = set(names[:50]), set(names[50:])
+    for flagship in (
+        "q51_pq_topk",
+        "q52_ivfpq_topk",
+        "q53_lsh_verify",
+        "q54_curation_pipeline",
+        "q55_hybrid_retrieval",
+        "q56_media_decode",
+    ):
+        assert flagship in window, f"{flagship} fell out of the harness window"
+    assert after == {
+        "q19_minhash_lsh", "q10_distinct_users", "q12_top_spenders",
+        "q20_ngram_jaccard", "q21_simhash", "q44_deterministic_shards",
+        "q57_png_decode", "q58_gif_decode", "q59_dup_spans",
+    }
