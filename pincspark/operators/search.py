@@ -45,22 +45,32 @@ def bm25_scores(
     the DuckDB oracle side; the per-doc sum spans at most len(terms)
     doubles, so 6-dp rounding absorbs any addition-order difference.
     """
-    toks = df.select(
+    # Filter the token ARRAY down to query terms BEFORE exploding: the old
+    # form generated every token row (~dl per doc) and discarded non-query
+    # terms after the Generate; the matched array is at most a handful of
+    # entries, so the Generate's input shrinks by ~dl per doc. At sf0.1
+    # both forms time the same (the corpus fits cache and the agg
+    # dominates) — the shrink matters when dl x N is the 100-TB token
+    # stream. Corpus stats aggregate the SAME projection's dl instead of
+    # re-tokenizing the corpus, removing one full normalize+split pass.
+    tok = df.select(
         F.col(id_col),
         ws_tokens(normalize_text(F.col(text_col))).alias("__toks"),
     ).select(
         F.col(id_col),
         F.size("__toks").alias("dl"),
-        F.explode("__toks").alias("term"),
+        F.filter("__toks", lambda t: t.isin(*terms)).alias("__m"),
     )
-    matched = toks.filter(F.col("term").isin(*terms))
+    matched = tok.select(
+        F.col(id_col), "dl", F.explode("__m").alias("term")
+    )
     tf = matched.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = df.select(
+    stats = tok.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(ws_tokens(normalize_text(F.col(text_col))))).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     idf = F.log(
         F.lit(1.0)
