@@ -78,3 +78,20 @@ def test_gif_roundtrip_property(w, h, nsym, seed):
     img = np.random.default_rng(seed).integers(0, nsym, size=(h, w), dtype=np.int64)
     raster, maxval = _decode_gif_raw(gif_encode(img, GRAY_PAL))
     assert maxval == 255 and (raster == GRAY_PAL.astype(np.int64)[img]).all()
+
+
+def test_local_color_table_overrides_global():
+    """A frame-local palette (LCT) must be used instead of the global one."""
+    import zlib as _  # noqa: F401  (parity with module deps)
+
+    img = np.arange(16, dtype=np.int64).reshape(4, 4) % 8
+    data = gif_encode(img, GRAY_PAL)
+    at = 13 + 768  # start of the image descriptor
+    desc = bytearray(data[at : at + 10])
+    assert desc[0] == 0x2C
+    lct = np.zeros((8, 3), dtype=np.uint8)
+    lct[:, 0] = np.arange(8) * 30  # red-channel ramp, distinct from GCT
+    desc[9] |= 0x80 | 0x02  # LCT present, 2^(2+1)=8 entries
+    spliced = data[:at] + bytes(desc) + lct.tobytes() + data[at + 10 :]
+    raster, _mv = _decode_gif_raw(spliced)
+    assert (raster == lct.astype(np.int64)[img]).all()
