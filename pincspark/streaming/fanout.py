@@ -183,3 +183,73 @@ def ivef_pong(pings: DataFrame, ref_id_col: str = "msg_ref_id") -> DataFrame:
             F.lit('" /></Body></MSG_IVEF>'),
         ).alias("pong_xml"),
     )
+
+
+class FailoverRelay:
+    """S4 — multi-host failover + reconnect as a transport adapter.
+
+    The reference's ingress rotates its upstream target on timeout/error
+    with a retry sleep (``ais_ingressServer.py:50-66,113-144``). Spark's
+    socket source cannot do that itself (one fixed host per query), so the
+    relay reproduces the reference's architecture: a connector thread
+    dials the FIRST REACHABLE of ``hosts`` (rotating on connect failure,
+    EOF, error, or ``idle_timeout`` seconds of silence, sleeping
+    ``retry_sleep`` between attempts) and forwards complete lines to one
+    STABLE local listening socket that ``read_socket_stream`` consumes —
+    upstream churn is invisible to the streaming query. ``connects``
+    counts upstream (re)connections. Production note: at cluster scale
+    the feed belongs behind Kafka; this adapter is protocol parity for
+    the reference's direct-TCP deployments."""
+
+    def __init__(
+        self,
+        hosts: list[tuple[str, int]],
+        retry_sleep: float = 0.2,
+        idle_timeout: float = 30.0,
+    ):
+        self._hosts = list(hosts)
+        self._retry_sleep = retry_sleep
+        self._idle_timeout = idle_timeout
+        self._stop = threading.Event()
+        self._fan = TcpFanoutServer()
+        self.connects = 0
+        self.port: int | None = None
+
+    def start(self) -> int:
+        self.port = self._fan.start()
+        threading.Thread(target=self._connector_loop, daemon=True).start()
+        return self.port
+
+    def _connector_loop(self) -> None:
+        import time as _time
+
+        i = 0
+        while not self._stop.is_set():
+            host, port = self._hosts[i % len(self._hosts)]
+            i += 1
+            try:
+                up = socket.create_connection((host, port), timeout=2.0)
+            except OSError:
+                _time.sleep(self._retry_sleep)
+                continue
+            self.connects += 1
+            up.settimeout(self._idle_timeout)
+            buf = b""
+            try:
+                while not self._stop.is_set():
+                    chunk = up.recv(4096)
+                    if not chunk:
+                        break  # upstream EOF -> rotate
+                    buf += chunk
+                    while b"\n" in buf:
+                        line, buf = buf.split(b"\n", 1)
+                        self._fan.broadcast([line + b"\n"])
+            except OSError:
+                pass  # timeout/reset -> rotate
+            finally:
+                up.close()
+            _time.sleep(self._retry_sleep)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._fan.stop()

@@ -140,3 +140,74 @@ def test_ivef_pong_reply(spark):
         assert pong.get("ResponseOn") == r.response_on
         assert "T" in pong.get("TimeStamp")
     assert len(refids) == 2  # fresh uuid per reply
+
+
+def _serve_lines(lines: list[str], stop_after: int | None = None):
+    """One-shot upstream feed: sends `lines`, then (optionally) dies."""
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def _run():
+        try:
+            conn, _ = srv.accept()
+            time.sleep(0.5)  # let the test's downstream client register with
+            # the relay's fan server before lines flow (fan-out reaches only
+            # already-connected subscribers)
+            for i, ln in enumerate(lines):
+                if stop_after is not None and i >= stop_after:
+                    break
+                conn.sendall((ln + "\n").encode())
+                time.sleep(0.01)
+            conn.close()
+        except OSError:
+            pass
+        finally:
+            srv.close()
+
+    import threading
+
+    threading.Thread(target=_run, daemon=True).start()
+    return port
+
+
+def test_failover_relay_rotates_hosts():
+    """S4: the relay drains host A until it dies mid-stream, rotates to
+    host B, and the DOWNSTREAM socket (what Spark consumes) sees one
+    uninterrupted line stream across the failover."""
+    from pincspark.streaming.fanout import FailoverRelay
+
+    a_lines = [f"a-{i}" for i in range(10)]
+    b_lines = [f"b-{i}" for i in range(10)]
+    port_a = _serve_lines(a_lines, stop_after=10)  # dies after its 10
+    port_b = _serve_lines(b_lines)
+    relay = FailoverRelay(
+        [("127.0.0.1", port_a), ("127.0.0.1", port_b)], retry_sleep=0.05
+    )
+    down_port = relay.start()
+    c = socket.create_connection(("127.0.0.1", down_port))
+    got = _recv_lines(c, 20, timeout=15.0)
+    assert got[:10] == a_lines  # host A's stream, in order
+    assert [l for l in got if l.startswith("b-")] == b_lines  # B after failover
+    assert relay.connects >= 2  # a real reconnect happened
+    c.close()
+    relay.stop()
+
+
+def test_failover_relay_skips_dead_first_host():
+    """Connect failure on the first host rotates immediately (retry sleep,
+    no stall) to the live one."""
+    from pincspark.streaming.fanout import FailoverRelay
+
+    dead = socket.create_server(("127.0.0.1", 0))
+    dead_port = dead.getsockname()[1]
+    dead.close()  # nothing listens here anymore
+    live = _serve_lines([f"m-{i}" for i in range(5)])
+    relay = FailoverRelay(
+        [("127.0.0.1", dead_port), ("127.0.0.1", live)], retry_sleep=0.05
+    )
+    down = relay.start()
+    c = socket.create_connection(("127.0.0.1", down))
+    got = _recv_lines(c, 5, timeout=15.0)
+    assert got == [f"m-{i}" for i in range(5)]
+    c.close()
+    relay.stop()
