@@ -211,3 +211,42 @@ def test_failover_relay_skips_dead_first_host():
     assert got == [f"m-{i}" for i in range(5)]
     c.close()
     relay.stop()
+
+
+def test_failover_relay_rotates_on_idle_timeout():
+    """The reference rotates after 30s of upstream silence; the relay
+    reproduces it: a feed that stalls (without closing) is abandoned for
+    the next host after idle_timeout."""
+    import threading
+
+    from pincspark.streaming.fanout import FailoverRelay
+
+    stall_srv = socket.create_server(("127.0.0.1", 0))
+    stall_port = stall_srv.getsockname()[1]
+
+    def _stall():
+        try:
+            conn, _ = stall_srv.accept()
+            time.sleep(0.5)
+            conn.sendall(b"s-0\n")
+            time.sleep(30)  # then silence, connection left OPEN
+            conn.close()
+        except OSError:
+            pass
+
+    threading.Thread(target=_stall, daemon=True).start()
+    live = _serve_lines([f"l-{i}" for i in range(5)])
+    relay = FailoverRelay(
+        [("127.0.0.1", stall_port), ("127.0.0.1", live)],
+        retry_sleep=0.05,
+        idle_timeout=0.8,
+    )
+    down = relay.start()
+    c = socket.create_connection(("127.0.0.1", down))
+    got = _recv_lines(c, 6, timeout=20.0)
+    assert got[0] == "s-0"
+    assert got[1:] == [f"l-{i}" for i in range(5)]  # rotated off the stall
+    assert relay.connects >= 2
+    c.close()
+    relay.stop()
+    stall_srv.close()
