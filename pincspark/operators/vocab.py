@@ -44,6 +44,11 @@ def vocab_topk(
     )
     order = (F.desc("tf"), F.desc("df"), F.asc("token"))
     top = vocab.orderBy(*order).limit(k)
+    # Bounded by construction: this global (partition-less) window runs on
+    # the <=k rows surviving the LIMIT above, never on the vocab table —
+    # same acknowledgment pattern as the ANN nested-loop allow-list
+    # (VERDICT r5 #6). WindowExec's single-partition WARN is suppressed
+    # for exactly this reason in session.get_spark.
     return top.withColumn(
         "token_id", F.row_number().over(Window.orderBy(*order)).cast("int")
     )

@@ -48,7 +48,14 @@ class Finding:
 
 
 def plan_string(df: DataFrame) -> str:
-    """The executed (post-AQE-planning) physical plan as text."""
+    """The INITIAL physical plan as text. Under AQE, before an action runs,
+    ``executedPlan()`` renders the AdaptiveSparkPlan's initial plan —
+    runtime AQE rewrites (skew-join splits, runtime coalesce/broadcast
+    conversions) are NOT visible here (ADVICE r5 #5). That is the right
+    artifact for lint purposes: a cartesian/NLJ/row-UDF present in the
+    initial plan is a defect whether or not AQE later rewrites around it.
+    When a finalized post-execution plan is required, trigger an action
+    first and use ``df.explain("formatted")``."""
     return df._jdf.queryExecution().executedPlan().toString()
 
 

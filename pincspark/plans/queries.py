@@ -3211,17 +3211,28 @@ ORACLE_Q50 = _q50_oracle()
 # --------------------------------------------------------------------------
 #
 # ORDER MATTERS: the external correctness harness evaluates the first 50
-# registered queries, so the 50 that carry unique operator coverage come
-# first.  Six standalone queries whose operators are fully subsumed by an
-# in-window composition are registered LAST (still runnable and still
-# parity-tested locally by tests/test_oracle_parity.py over the full
-# catalog):
+# registered queries.  Window policy (VERDICT r5 #1): rotate RISK, not
+# chronology, into the window — the 50 in-window slots go to the queries
+# gating the highest-defect-risk code (hand-written codecs, custom
+# operators), while queries implemented by a single native Spark call are
+# registered LAST (still runnable and still parity-tested locally by
+# tests/test_oracle_parity.py over the FULL catalog):
 #   q10_distinct_users      -> distinct/count covered by q23, q26
+#   q11_running_spend       -> running-sum window; same keyed-window operator
+#                              family as in-window q08 (lead) + q13 (row_number)
 #   q12_top_spenders        -> global sort + top-k covered by q18, q40
 #   q19_minhash_lsh         -> minhash_lsh_pairs exercised by q53 + q54
 #   q20_ngram_jaccard       -> jaccard verify covered by q53 (LSH->verify)
 #   q21_simhash             -> simhash covered by q43 (simhash pairs)
+#   q29_rollup_summary      -> native Spark `rollup` call, zero custom code
+#                              to defend (demoted r6 for q57; VERDICT r5 #1)
+#   q30_pivot_status        -> native Spark `pivot` call, ditto (for q58)
 #   q44_deterministic_shards-> sharding exercised inside q54
+#   q47_grouped_percentiles -> native `percentile` call (demoted r6 for q59)
+# In-window newcomers r6: q57 (PNG decode — stdlib-zlib inflate + 5-filter
+# reconstruction), q58 (GIF — from-scratch LZW), q59 (dup-span census),
+# q60 (from-scratch baseline JPEG: Huffman + dequant + IDCT) — exactly the
+# code a silent bug would hide in.
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
@@ -3247,8 +3258,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q26_approx_distinct": (q26_approx_distinct, ORACLE_Q26),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
     "q28_rolling_fingerprints": (q28_rolling_fingerprints, ORACLE_Q28),
-    "q29_rollup_summary": (q29_rollup_summary, ORACLE_Q29),
-    "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
     "q31_position_decode_sql": (q31_position_decode_sql, ORACLE_Q31),
     "q32_static_voyage_sql": (q32_static_voyage_sql, ORACLE_Q32),
     "q33_classb_longrange_sql": (q33_classb_longrange_sql, ORACLE_Q33),
@@ -3264,7 +3273,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
     "q45_pack_sequences": (q45_pack_sequences, ORACLE_Q45),
     "q46_interval_join": (q46_interval_join, ORACLE_Q46),
-    "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
     "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
     "q49_weather_decode_sql": (q49_weather_decode_sql, ORACLE_Q49),
     "q50_type6_egress": (q50_type6_egress, ORACLE_Q50),
@@ -3274,16 +3282,19 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
     "q55_hybrid_retrieval": (q55_hybrid_retrieval, ORACLE_Q55),
     "q56_media_decode": (q56_media_decode, ORACLE_Q56),
+    "q57_png_decode": (q57_png_decode, ORACLE_Q57),
+    "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
+    "q59_dup_spans": (q59_dup_spans, ORACLE_Q59),
     # --- demoted past the 50-query harness window (see note above) ---
     "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
     "q10_distinct_users": (q10_distinct_users, ORACLE_Q10),
     "q12_top_spenders": (q12_top_spenders, ORACLE_Q12),
     "q20_ngram_jaccard": (q20_ngram_jaccard, ORACLE_Q20),
     "q21_simhash": (q21_simhash, ORACLE_Q21),
+    "q29_rollup_summary": (q29_rollup_summary, ORACLE_Q29),
+    "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
-    "q57_png_decode": (q57_png_decode, ORACLE_Q57),
-    "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
-    "q59_dup_spans": (q59_dup_spans, ORACLE_Q59),
+    "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
 }
 
 

@@ -99,6 +99,7 @@ class TcpFanoutServer:
     def broadcast(self, lines: list[bytes]) -> None:
         with self._lock:
             queues = list(self._clients.values())
+        dropped = 0
         for q in queues:
             for line in lines:
                 while True:
@@ -108,9 +109,15 @@ class TcpFanoutServer:
                     except queue.Full:
                         try:
                             q.get_nowait()  # drop-oldest, never block
-                            self.dropped += 1
+                            dropped += 1
                         except queue.Empty:
                             break
+        if dropped:
+            # += under the lock: concurrent broadcasters (FailoverRelay +
+            # a foreachBatch sink sharing one server) would lose
+            # increments on a bare non-atomic += (ADVICE r5 #4).
+            with self._lock:
+                self.dropped += dropped
 
     def stop(self) -> None:
         self._stop.set()

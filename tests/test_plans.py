@@ -212,6 +212,21 @@ def test_pq_encode_is_one_arrow_pass(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_rolling_fingerprints_hash_once(spark):
+    """q28's 3.5x win rests on tokens being md5-hashed ONCE into a
+    materialized column, with the k shifted views slicing that array; if
+    CollapseProject ever inlines the hash expression into the k consumers,
+    the plan silently re-hashes every token k times (ADVICE r5 #1 — the
+    load-bearing projection boundary was claimed in COVERAGE.md but
+    unguarded). Exactly one `transform(` must survive in the plan."""
+    plan = _plan(Q.q28_rolling_fingerprints(spark, SF_DIR))
+    assert plan.count("transform(") == 1, (
+        f"expected exactly 1 transform( in q28's plan, got "
+        f"{plan.count('transform(')} — the hash-once projection boundary "
+        "has been collapsed or duplicated"
+    )
+
+
 def test_entire_catalog_is_scale_safe(spark):
     """Sweep EVERY registered query through the plan linter: no cartesian
     product, no broadcast-nested-loop join, no row-at-a-time Python UDF
@@ -247,10 +262,12 @@ def test_entire_catalog_is_scale_safe(spark):
 def test_harness_window_composition_is_pinned():
     """The external harness evaluates the FIRST 50 registered queries. The
     registry deliberately orders unique-coverage queries first and the six
-    subsumed standalones (q10/q12/q19/q20/q21/q44) + the round-5 additions
-    (q57/q58/q59) after the window. An accidental mid-registry insertion
-    would silently eject flagship compositions (q51-q56) from the
-    correctness gate — pin the boundary."""
+    subsumed / native-Spark standalones after the window (VERDICT r5 #1:
+    risk, not chronology, decides the window — the hand-written codec and
+    census gates q57/q58/q59 are IN; the single-native-call rollup/pivot/
+    percentile queries are out but stay locally parity-tested). An
+    accidental mid-registry insertion would silently eject flagship
+    compositions (q51-q59) from the correctness gate — pin the boundary."""
     from pincspark.plans.queries import QUERIES
 
     names = list(QUERIES)
@@ -262,10 +279,13 @@ def test_harness_window_composition_is_pinned():
         "q54_curation_pipeline",
         "q55_hybrid_retrieval",
         "q56_media_decode",
+        "q57_png_decode",
+        "q58_gif_decode",
+        "q59_dup_spans",
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
     assert after == {
         "q19_minhash_lsh", "q10_distinct_users", "q12_top_spenders",
         "q20_ngram_jaccard", "q21_simhash", "q44_deterministic_shards",
-        "q57_png_decode", "q58_gif_decode", "q59_dup_spans",
+        "q29_rollup_summary", "q30_pivot_status", "q47_grouped_percentiles",
     }
