@@ -79,3 +79,34 @@ def test_union_find_path_matches_propagation_path(spark):
     }
     assert fast == slow
     assert (5, 1) in fast and (13, 10) in fast and (31, 30) in fast
+
+
+def test_byte_gate_rejects_wide_string_ids_near_edge_count_gate(spark):
+    """VERDICT r5 #7: the driver union-find gate must consider BYTES, not
+    just edge count — 64-char doc ids near the count gate should fall
+    back to distributed propagation when they exceed driver_max_bytes,
+    and both paths must still agree on the labels."""
+    from pincspark.operators.dedup import dedup_clusters
+
+    wide = lambda i: f"{i:04d}" + "x" * 60  # 64-char string ids
+    edges = [(wide(i), wide(i + 1)) for i in range(0, 40, 2)] + [
+        (wide(100), wide(101)), (wide(101), wide(102))
+    ]
+    pairs = spark.createDataFrame(edges, "id_a STRING, id_b STRING")
+    # Count passes (44 directed edges <= 100) but bytes fail:
+    # 44 * (128 + 16) ~ 6.3 KB > 1 KB budget -> distributed path. Identity
+    # vs the driver path (byte budget ample) proves the fallback is safe.
+    tight = {
+        (r["node"], r["cluster_id"])
+        for r in dedup_clusters(
+            pairs, driver_threshold=100, driver_max_bytes=1024
+        ).collect()
+    }
+    roomy = {
+        (r["node"], r["cluster_id"])
+        for r in dedup_clusters(
+            pairs, driver_threshold=100, driver_max_bytes=64 << 20
+        ).collect()
+    }
+    assert tight == roomy
+    assert (wide(102), wide(100)) in tight

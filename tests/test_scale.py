@@ -345,3 +345,67 @@ def test_zorder_box_query_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "zbucket" in plan.split("PartitionFilters")[1][:200]
     # the z key itself stays a pure column expression (codegen-able)
     assert "__z" not in zt.columns and zorder_key(F.lit(1.0), F.lit(1.0)) is not None
+
+
+def test_asof_join_under_adversarial_skew(spark):
+    """VERDICT r5 #5: the flagship's one wide exchange is the as-of key
+    shuffle, and its docstring waved at skew handling without a test.
+
+    What actually protects the window path under a pathological key is
+    NOT AQE skew-join splitting (that rewrite applies to joins, not to
+    window sorts — see the COVERAGE.md note): the union+carry-forward
+    window costs one hash shuffle plus one per-partition SPILLABLE sort
+    with a running frame, so a hot key degrades to a single-task external
+    sort of its rows — slower, never wrong and never OOM. Pin (a) result
+    identity with the cogrouped pandas merge_asof twin on the skewed
+    input, and (b) that skewed runtime stays within ~3x of uniform at
+    equal row counts (generous to absorb CI noise; the honest claim is
+    "degrades linearly", not "free")."""
+    import time
+
+    from pincspark.operators.asof import asof_join, asof_join_grouped
+
+    n, n_keys = 400_000, 1_000
+
+    def positions(skewed: bool):
+        base = spark.range(n).select(
+            F.col("id").alias("seq"),
+            (
+                # skewed: even ids (50% of rows) all collapse onto key 7
+                F.when((F.col("id") % 2 == 0) & F.lit(skewed), F.lit(7))
+                .otherwise(F.col("id") % n_keys)
+            ).cast("long").alias("mmsi"),
+            (F.col("id") * 3 % 86_400).cast("long").alias("ts"),
+        )
+        return base
+
+    statics = spark.range(n_keys * 10).select(
+        (F.col("id") % n_keys).cast("long").alias("mmsi"),
+        (F.col("id") / n_keys).cast("long").alias("ts"),
+        F.concat(F.lit("v"), F.col("id")).alias("voyage"),
+    )
+
+    def run(skewed: bool) -> float:
+        t0 = time.time()
+        asof_join(positions(skewed), statics, on="ts", by="mmsi").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return time.time() - t0
+
+    run(False)  # warm codegen + shuffle service so both timed runs are steady
+    t_uniform = min(run(False), run(False))
+    t_skewed = min(run(True), run(True))
+    assert t_skewed <= max(3.0 * t_uniform, t_uniform + 2.0), (
+        f"skewed as-of {t_skewed:.2f}s vs uniform {t_uniform:.2f}s — "
+        "a 50%-hot key should degrade bounded-linearly, not explode"
+    )
+
+    # Result identity vs the cogrouped merge_asof twin on a skewed slice
+    # (subset keeps the single-group pandas merge in test-time budget).
+    sl = positions(True).filter(F.col("seq") < 20_000)
+    a = asof_join(sl, statics, on="ts", by="mmsi")
+    b = asof_join_grouped(sl, statics, on="ts", by="mmsi")
+    cols = sorted(a.columns)
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )
