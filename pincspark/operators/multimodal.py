@@ -10,16 +10,19 @@ Design for 100 TB of media:
 - partitioning: media tables should be written bucketed/partitioned by
   content-hash prefix so downstream dedup joins co-locate.
 
-Codecs: five formats decode FOR REAL with numpy + the stdlib — P6 PPM
+Codecs: six formats decode FOR REAL with numpy + the stdlib — P6 PPM
 (pure-numpy header/raster parse), PNG (stdlib zlib DEFLATE + full
 five-filter scanline reconstruction, color types 0/2/3/4/6, 8- and
 16-bit), GIF (from-scratch LZW decompressor: dictionary growth, width
-sync, CLEAR resets, global/local color tables), PCM WAV (stdlib
-``wave``), and IMA-ADPCM WAV (format tag 0x11 — real 4-bit decompression,
-state machine pinned bit-for-bit against the stdlib ``audioop`` C
-implementation) — no PIL/libsndfile needed.
+sync, CLEAR resets, global/local color tables), baseline JPEG
+(from-scratch: DHT canonical-Huffman entropy decode, dequant, float
+IDCT, YCbCr->RGB, restart markers — ``operators/jpeg.py``; progressive
+raises -> fallback), PCM WAV (stdlib ``wave``), and IMA-ADPCM WAV
+(format tag 0x11 — real 4-bit decompression, state machine pinned
+bit-for-bit against the stdlib ``audioop`` C implementation) — no
+PIL/libsndfile needed.
 Formats whose codecs genuinely need external libraries this container
-ships without (JPEG/FLAC/...): ``strict=True`` raises
+ships without (FLAC/WebP/video/...): ``strict=True`` raises
 NotImplementedError, and the default produces a DETERMINISTIC FAKE decode
 (content-hash-seeded stats) so the Spark-side plumbing (schemas, UDF
 signatures, batch shapes, explode logic) stays fully real and testable
@@ -721,16 +724,22 @@ def _raster_features(
 
 def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | None:
     """(mean_intensity, grid feature) for formats decodable WITHOUT codec
-    libraries — P6 PPM (pure numpy) and PNG (stdlib zlib + unfilter);
-    None when a real codec (PIL/torchvision) would be needed (JPEG, ...).
-    Feature = luminance block-averaged onto a fixed (gh, gw) grid — the
-    deterministic resize step — flattened row-major."""
+    libraries — P6 PPM (pure numpy), PNG (stdlib zlib + unfilter), GIF
+    (from-scratch LZW), and baseline JPEG (from-scratch Huffman + IDCT,
+    `operators/jpeg.py`); None when a real codec library would be needed
+    (progressive JPEG, WebP, ...). Feature = luminance block-averaged
+    onto a fixed (gh, gw) grid — the deterministic resize step —
+    flattened row-major."""
     if data.startswith(b"P6"):
         decode = _decode_ppm_raw
     elif data.startswith(_PNG_SIG):
         decode = _decode_png_raw
     elif data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
         decode = _decode_gif_raw
+    elif data.startswith(b"\xff\xd8"):
+        from pincspark.operators.jpeg import decode_jpeg_raw
+
+        decode = decode_jpeg_raw
     else:
         return None
     try:

@@ -2838,6 +2838,79 @@ FROM b
 ORACLE_Q58 = _q58_oracle()
 
 
+def q60_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch baseline JPEG codec (operators/jpeg.py: canonical
+    Huffman entropy decode, dequant, float IDCT, YCbCr->RGB) under the
+    oracle gate. Each document renders as a 16x16 gray-valued RGB image of
+    four 8x8-CONSTANT blocks, block (by, bx) = ascii(md5(text)[2*by+bx]);
+    with all-ones quant tables that construction is BIT-EXACT through the
+    whole lossy pipeline (a constant block has only the DC coefficient
+    8*(v-128), an exact integer, and gray survives YCbCr both ways), so
+    the analytic oracle sees straight through the entropy-coded container:
+    any Huffman/zigzag/IDCT/color bug breaks parity. Decoded in STRICT
+    mode — no fake fallback allowed. n_bytes (compressed size) excluded,
+    as in q57/q58."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.jpeg import jpeg_encode
+    from pincspark.operators.multimodal import decode_image_features
+
+    def _mint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+                vals = np.frombuffer(hexd[:4].encode("ascii"), dtype=np.uint8)
+                img = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0), 8, 1)
+                rgb = np.repeat(img[:, :, None], 3, 2).astype(np.int64)
+                rows.append((int(row.doc_id), jpeg_encode(rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(
+        _mint, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("image"))
+    feats = decode_image_features(media, dim=4, strict=True)
+    return feats.select(
+        "media_id",
+        "mean_intensity",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def _q60_oracle() -> str:
+    # 16x16 raster of four 8x8-constant gray blocks; feature cell
+    # (by, bx) == block (by, bx), so f_k is block value v_k = ascii of
+    # md5-hex char k+1. Codec arithmetic: cell sum = 64 px * 3*v (exact
+    # ints in float64), then the fixed division sequence
+    # / 3.0 / count / 255.0 — mirrored op-for-op here (same contract as
+    # q56/q57/q58).
+    cells = ",\n       ".join(
+        f"ROUND(3 * 64 * bv[{k + 1}] / 3.0 / 64.0 / 255.0, 9) AS f{k}"
+        for k in range(4)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(generate_series(1, 4),
+                        i -> CAST(ascii(substring(md5(text), i, 1)) AS DOUBLE)) AS bv
+  FROM documents
+)
+SELECT media_id,
+       ROUND(3 * 64 * (bv[1] + bv[2] + bv[3] + bv[4]) / 3.0 / 256.0 / 255.0, 9)
+         AS mean_intensity,
+       {cells}
+FROM b
+"""
+
+
+ORACLE_Q60 = _q60_oracle()
+
+
 def q59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication census (Lee et al. 2022 substring-dedup
     signal): per document, the fraction of its distinct 8-token spans that
@@ -3219,7 +3292,8 @@ ORACLE_Q50 = _q50_oracle()
 # tests/test_oracle_parity.py over the FULL catalog):
 #   q10_distinct_users      -> distinct/count covered by q23, q26
 #   q11_running_spend       -> running-sum window; same keyed-window operator
-#                              family as in-window q08 (lead) + q13 (row_number)
+#                              family as in-window q08 (lead) + q13
+#                              (row_number); demoted r6 for q60 (JPEG)
 #   q12_top_spenders        -> global sort + top-k covered by q18, q40
 #   q19_minhash_lsh         -> minhash_lsh_pairs exercised by q53 + q54
 #   q20_ngram_jaccard       -> jaccard verify covered by q53 (LSH->verify)
@@ -3231,8 +3305,8 @@ ORACLE_Q50 = _q50_oracle()
 #   q47_grouped_percentiles -> native `percentile` call (demoted r6 for q59)
 # In-window newcomers r6: q57 (PNG decode — stdlib-zlib inflate + 5-filter
 # reconstruction), q58 (GIF — from-scratch LZW), q59 (dup-span census),
-# q60 (from-scratch baseline JPEG: Huffman + dequant + IDCT) — exactly the
-# code a silent bug would hide in.
+# q60 (from-scratch baseline JPEG: Huffman + dequant + IDCT, replacing
+# the demoted q11) — exactly the code a silent bug would hide in.
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
@@ -3244,7 +3318,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q07_latest_state": (q07_latest_state, ORACLE_Q07),
     "q08_validity_intervals": (q08_validity_intervals, ORACLE_Q08),
     "q09_union_normalize": (q09_union_normalize, ORACLE_Q09),
-    "q11_running_spend": (q11_running_spend, ORACLE_Q11),
     "q13_sessionize": (q13_sessionize, ORACLE_Q13),
     "q14_dedup_exact": (q14_dedup_exact, ORACLE_Q14),
     "q15_text_quality": (q15_text_quality, ORACLE_Q15),
@@ -3285,9 +3358,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q57_png_decode": (q57_png_decode, ORACLE_Q57),
     "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
     "q59_dup_spans": (q59_dup_spans, ORACLE_Q59),
+    "q60_jpeg_decode": (q60_jpeg_decode, ORACLE_Q60),
     # --- demoted past the 50-query harness window (see note above) ---
     "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
     "q10_distinct_users": (q10_distinct_users, ORACLE_Q10),
+    "q11_running_spend": (q11_running_spend, ORACLE_Q11),
     "q12_top_spenders": (q12_top_spenders, ORACLE_Q12),
     "q20_ngram_jaccard": (q20_ngram_jaccard, ORACLE_Q20),
     "q21_simhash": (q21_simhash, ORACLE_Q21),

@@ -104,7 +104,10 @@ def test_corrupt_png_degrades_not_raises():
     assert _decode_image_bytes(good, 4) is not None
 
 
-def test_jpeg_still_undecodable():
+def test_corrupt_jpeg_degrades():
+    # JPEG decodes for real as of round 6 (operators/jpeg.py, full suite
+    # in test_jpeg.py) — a truncated/garbage JPEG blob must still take the
+    # undecodable fallback, not kill the task
     assert _decode_image_bytes(b"\xff\xd8\xff\xe0JFIF-ish", 4) is None
 
 
