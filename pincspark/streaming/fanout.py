@@ -58,6 +58,24 @@ class TcpFanoutServer:
         threading.Thread(target=self._accept_loop, daemon=True).start()
         return self.port
 
+    def _on_connect(self, conn: socket.socket) -> bool:
+        """Per-connection setup hook (e.g. a protocol handshake). Return
+        False to reject the client. Default: plain TCP, accept as-is."""
+        return True
+
+    def _frame(self, line: bytes) -> bytes:
+        """Wire-format hook applied per line in the writer (e.g. RFC 6455
+        framing in :class:`websocket.WebSocketFanoutServer`)."""
+        return line
+
+    def _on_client_registered(
+        self, cid: int, conn: socket.socket, q: queue.Queue
+    ) -> None:
+        """Post-registration hook: the client's queue exists and its writer
+        is running. Protocol layers start their per-client reader here (it
+        needs ``q`` to signal the writer — a ``None`` put tears the client
+        down through the writer's normal exit path)."""
+
     def _accept_loop(self) -> None:
         while not self._stop.is_set():
             try:
@@ -66,6 +84,13 @@ class TcpFanoutServer:
                 continue
             except OSError:
                 break
+            try:
+                if not self._on_connect(conn):
+                    conn.close()
+                    continue
+            except OSError:
+                conn.close()
+                continue
             q: queue.Queue = queue.Queue(maxsize=self._max_queue)
             with self._lock:
                 cid = self._next_id
@@ -74,6 +99,7 @@ class TcpFanoutServer:
             threading.Thread(
                 target=self._writer_loop, args=(cid, conn, q), daemon=True
             ).start()
+            self._on_client_registered(cid, conn, q)
 
     def _writer_loop(self, cid: int, conn: socket.socket, q: queue.Queue) -> None:
         try:
@@ -84,7 +110,7 @@ class TcpFanoutServer:
                     continue
                 if line is None:
                     break
-                conn.sendall(line)
+                conn.sendall(self._frame(line))
         except OSError:
             pass
         finally:
