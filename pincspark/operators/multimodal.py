@@ -19,10 +19,12 @@ sync, CLEAR resets, global/local color tables), baseline JPEG
 IDCT, YCbCr->RGB, restart markers — ``operators/jpeg.py``; progressive
 raises -> fallback), PCM WAV (stdlib ``wave``), and IMA-ADPCM WAV
 (format tag 0x11 — real 4-bit decompression, state machine pinned
-bit-for-bit against the stdlib ``audioop`` C implementation) — no
+bit-for-bit against the stdlib ``audioop`` C implementation), and FLAC
+(from-scratch bitstream decoder, ``operators/flac.py``: Rice residuals,
+FIXED/LPC prediction, stereo decorrelation, CRC verification) — no
 PIL/libsndfile needed.
 Formats whose codecs genuinely need external libraries this container
-ships without (FLAC/WebP/video/...): ``strict=True`` raises
+ships without (WebP/mp3/ogg/video/...): ``strict=True`` raises
 NotImplementedError, and the default produces a DETERMINISTIC FAKE decode
 (content-hash-seeded stats) so the Spark-side plumbing (schemas, UDF
 signatures, batch shapes, explode logic) stays fully real and testable
@@ -754,16 +756,26 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
 
 def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[float]] | None:
     """(rms, sample_rate, duration_ms, band-RMS feature) for PCM WAV
-    ('RIFF' magic, stdlib wave); None for formats needing codec libs."""
-    if not data.startswith(b"RIFF"):
-        return None
-    try:
-        x, rate = _decode_wav(data)
-    except Exception:
+    ('RIFF' magic, stdlib wave), IMA-ADPCM WAV, and FLAC ('fLaC' magic,
+    from-scratch decoder in `operators/flac.py`); None for formats
+    needing codec libs (mp3/ogg/...)."""
+    if data.startswith(b"fLaC"):
+        from pincspark.operators.flac import decode_flac_audio
+
         try:
-            x, rate = _decode_wav_ima(data)  # compressed: IMA ADPCM (0x11)
+            x, rate = decode_flac_audio(data)
         except Exception:
-            return None  # corrupt container: same must-not-kill-the-job policy
+            return None  # corrupt stream: must-not-kill-the-job policy
+    elif not data.startswith(b"RIFF"):
+        return None
+    else:
+        try:
+            x, rate = _decode_wav(data)
+        except Exception:
+            try:
+                x, rate = _decode_wav_ima(data)  # compressed: IMA ADPCM (0x11)
+            except Exception:
+                return None  # corrupt container: same policy
     if rate <= 0:
         # a corrupt header can declare framerate 0 while carrying frames;
         # dividing by it below would kill the mapInPandas task (ADVICE r4)

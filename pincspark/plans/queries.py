@@ -2911,6 +2911,91 @@ FROM b
 ORACLE_Q60 = _q60_oracle()
 
 
+def q61_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch FLAC decoder (operators/flac.py: Rice residuals,
+    FIXED prediction, CRC-verified frames) under the oracle gate. Each
+    document renders as a 1024-sample mono FLAC (rate 8000, fixed2
+    subframe — real Rice-coded residual decode in the hot path) of eight
+    128-sample CONSTANT segments whose values are POWERS OF TWO derived
+    from md5 hex: k_i = 1 << (6 + ascii(md5(text)[i]) % 9). FLAC is
+    lossless, and with power-of-two samples every feature intermediate is
+    EXACT in float64 (squares are powers of 4; their sums/divisions by
+    powers of two stay exact; IEEE sqrt is correctly rounded), so the
+    analytic oracle sees straight through the Rice/UTF-8/CRC container:
+    any bitstream bug breaks parity. The exponent range [6, 14] keeps
+    every band RMS 2^(e-15) at <= 9 DECIMAL digits, so the final
+    round(x, 9) is exact — smaller exponents land on exact .5 decimal
+    ties where Python (banker's) and SQL (half-away-from-zero) rounding
+    legitimately disagree. Decoded in STRICT mode; n_bytes (compressed
+    size) excluded as in q57/q58/q60, and so is the overall rms: with
+    equal-size constant bands it is fully derivable from the 8 band
+    values (zero extra decode signal), and when sum(4^e)/8 happens to be
+    a perfect square it lands on 10-digit binary rationals (e.g.
+    13/1024) that hit the same 9-dp rounding tie — measured live at
+    sf0.01."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.flac import flac_encode
+    from pincspark.operators.multimodal import decode_audio_features
+
+    def _mint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+                vals = np.array(
+                    [1 << (6 + ord(c) % 9) for c in hexd[:8]], dtype=np.int64
+                )
+                sig = np.repeat(vals, 128)
+                rows.append(
+                    (int(row.doc_id), flac_encode(sig, rate=8000, mode="fixed2"))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(
+        _mint, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("audio"))
+    feats = decode_audio_features(media, dim=8, strict=True)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "duration_ms",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(8)],
+    )
+
+
+def _q61_oracle() -> str:
+    # Band i holds 128 identical samples k = 2^e_i, so its RMS is exactly
+    # 2^e_i / 32768; the overall mean of squares is 128 * sum(4^e_i) /
+    # 1024 / 2^30 — every term a power of two, every op exact, computed
+    # with integer shifts (not POW) so no libm rounding can differ.
+    feats = ",\n       ".join(
+        f"ROUND(CAST(1 << e[{i + 1}] AS DOUBLE) / 32768.0, 9) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(generate_series(1, 8),
+                        i -> 6 + ascii(substring(md5(text), i, 1)) % 9) AS e
+  FROM documents
+)
+SELECT media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(128 AS INTEGER) AS duration_ms,
+       {feats}
+FROM b
+"""
+
+
+ORACLE_Q61 = _q61_oracle()
+
+
 def q59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication census (Lee et al. 2022 substring-dedup
     signal): per document, the fraction of its distinct 8-token spans that
@@ -3298,6 +3383,9 @@ ORACLE_Q50 = _q50_oracle()
 #   q19_minhash_lsh         -> minhash_lsh_pairs exercised by q53 + q54
 #   q20_ngram_jaccard       -> jaccard verify covered by q53 (LSH->verify)
 #   q21_simhash             -> simhash covered by q43 (simhash pairs)
+#   q26_approx_distinct     -> native countDistinct + approx_count_distinct
+#                              calls; A1 stays in-window via q23 (demoted
+#                              r6 for q61 FLAC)
 #   q29_rollup_summary      -> native Spark `rollup` call, zero custom code
 #                              to defend (demoted r6 for q57; VERDICT r5 #1)
 #   q30_pivot_status        -> native Spark `pivot` call, ditto (for q58)
@@ -3306,7 +3394,9 @@ ORACLE_Q50 = _q50_oracle()
 # In-window newcomers r6: q57 (PNG decode — stdlib-zlib inflate + 5-filter
 # reconstruction), q58 (GIF — from-scratch LZW), q59 (dup-span census),
 # q60 (from-scratch baseline JPEG: Huffman + dequant + IDCT, replacing
-# the demoted q11) — exactly the code a silent bug would hide in.
+# the demoted q11), q61 (from-scratch FLAC: Rice residuals + FIXED
+# prediction + CRCs, replacing the demoted q26) — exactly the code a
+# silent bug would hide in.
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
@@ -3328,7 +3418,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
     "q25_hourly_windows": (q25_hourly_windows, ORACLE_Q25),
-    "q26_approx_distinct": (q26_approx_distinct, ORACLE_Q26),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
     "q28_rolling_fingerprints": (q28_rolling_fingerprints, ORACLE_Q28),
     "q31_position_decode_sql": (q31_position_decode_sql, ORACLE_Q31),
@@ -3359,8 +3448,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
     "q59_dup_spans": (q59_dup_spans, ORACLE_Q59),
     "q60_jpeg_decode": (q60_jpeg_decode, ORACLE_Q60),
+    "q61_flac_decode": (q61_flac_decode, ORACLE_Q61),
     # --- demoted past the 50-query harness window (see note above) ---
     "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
+    "q26_approx_distinct": (q26_approx_distinct, ORACLE_Q26),
     "q10_distinct_users": (q10_distinct_users, ORACLE_Q10),
     "q11_running_spend": (q11_running_spend, ORACLE_Q11),
     "q12_top_spenders": (q12_top_spenders, ORACLE_Q12),

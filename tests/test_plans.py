@@ -283,11 +283,12 @@ def test_harness_window_composition_is_pinned():
         "q58_gif_decode",
         "q59_dup_spans",
         "q60_jpeg_decode",
+        "q61_flac_decode",
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
     assert after == {
         "q19_minhash_lsh", "q10_distinct_users", "q11_running_spend",
         "q12_top_spenders", "q20_ngram_jaccard", "q21_simhash",
-        "q44_deterministic_shards", "q29_rollup_summary", "q30_pivot_status",
-        "q47_grouped_percentiles",
+        "q26_approx_distinct", "q44_deterministic_shards",
+        "q29_rollup_summary", "q30_pivot_status", "q47_grouped_percentiles",
     }
