@@ -2715,7 +2715,15 @@ def q57_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pincspark.operators.dedup import _spread
+
+    # mint+decode are CPU-heavy Python per doc; a compact docs table often
+    # arrives as ONE parquet split, which would serialize the whole stage
+    # (31 s measured for q61 at sf0.1 vs ~1 s spread). _spread is
+    # conditional: an already-well-split 100-TB table is left alone.
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     media = docs.mapInPandas(
         _mint, "media_id BIGINT, content BINARY"
     ).withColumn("kind", F.lit("image"))
@@ -2791,7 +2799,15 @@ def q58_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(row.doc_id), gif_encode(idx, pal)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pincspark.operators.dedup import _spread
+
+    # mint+decode are CPU-heavy Python per doc; a compact docs table often
+    # arrives as ONE parquet split, which would serialize the whole stage
+    # (31 s measured for q61 at sf0.1 vs ~1 s spread). _spread is
+    # conditional: an already-well-split 100-TB table is left alone.
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     media = docs.mapInPandas(
         _mint, "media_id BIGINT, content BINARY"
     ).withColumn("kind", F.lit("image"))
@@ -2870,7 +2886,15 @@ def q60_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(row.doc_id), jpeg_encode(rgb)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pincspark.operators.dedup import _spread
+
+    # mint+decode are CPU-heavy Python per doc; a compact docs table often
+    # arrives as ONE parquet split, which would serialize the whole stage
+    # (31 s measured for q61 at sf0.1 vs ~1 s spread). _spread is
+    # conditional: an already-well-split 100-TB table is left alone.
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     media = docs.mapInPandas(
         _mint, "media_id BIGINT, content BINARY"
     ).withColumn("kind", F.lit("image"))
@@ -2956,7 +2980,15 @@ def q61_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pincspark.operators.dedup import _spread
+
+    # mint+decode are CPU-heavy Python per doc; a compact docs table often
+    # arrives as ONE parquet split, which would serialize the whole stage
+    # (31 s measured for q61 at sf0.1 vs ~1 s spread). _spread is
+    # conditional: an already-well-split 100-TB table is left alone.
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     media = docs.mapInPandas(
         _mint, "media_id BIGINT, content BINARY"
     ).withColumn("kind", F.lit("audio"))
