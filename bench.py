@@ -151,15 +151,23 @@ def _load_guard() -> tuple[float, bool]:
     explicit marker the driver (and the judge) can see instead of a
     silently-polluted number."""
     thresh = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "4.0"))
-    load = os.getloadavg()[0]
+
+    def _load() -> float:
+        # max of 1- and 5-min: a 3.2/7.1 split (measured r6) means load
+        # just dipped but is coming back — the 1-min alone waved that
+        # run through and it recorded 14 uniform ~1.7x "regressions"
+        l1, l5, _ = os.getloadavg()
+        return max(l1, l5)
+
+    load = _load()
     if load <= thresh:
         return load, False
     print(
-        f"WARN pre-run 1-min loadavg {load:.1f} > {thresh}; backing off 60s",
+        f"WARN pre-run loadavg {load:.1f} > {thresh}; backing off 60s",
         file=sys.stderr,
     )
     time.sleep(60)
-    load = os.getloadavg()[0]
+    load = _load()
     return load, load > thresh
 
 

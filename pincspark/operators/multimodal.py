@@ -798,11 +798,12 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode + resize + feature extraction as a mapInPandas stage.
 
-    Uncompressed PPM (P6) decodes FOR REAL (pure numpy: raster parse,
-    luminance, block-average resize onto a fixed grid). Compressed formats
-    need codec libraries this container ships without: strict=True raises
-    NotImplementedError for them; the default produces deterministic fake
-    features so the pipeline shape stays real either way.
+    PPM, PNG, GIF, and baseline JPEG decode FOR REAL (pure numpy/stdlib
+    codecs — see the module docstring); luminance is block-average
+    resized onto a fixed grid. Formats still needing external codec
+    libraries (WebP, progressive JPEG, ...): strict=True raises
+    NotImplementedError; the default produces deterministic fake features
+    so the pipeline shape stays real either way.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -845,11 +846,13 @@ def decode_audio_features(
     dim: int = 16,
     strict: bool = False,
 ) -> DataFrame:
-    """Audio decode + feature extraction as a mapInPandas stage: PCM WAV
-    decodes FOR REAL via the stdlib ``wave`` module (mono-mixed float
-    samples -> overall RMS + per-band RMS over ``dim`` equal time slices).
-    Other formats: NotImplementedError under strict, deterministic fake
-    otherwise — same contract as decode_image_features."""
+    """Audio decode + feature extraction as a mapInPandas stage: PCM WAV,
+    IMA-ADPCM WAV, and FLAC decode FOR REAL (stdlib ``wave``, the
+    audioop-pinned ADPCM state machine, and the from-scratch FLAC
+    bitstream decoder; mono-mixed float samples -> overall RMS + per-band
+    RMS over ``dim`` equal time slices). Other formats (mp3/ogg/...):
+    NotImplementedError under strict, deterministic fake otherwise — same
+    contract as decode_image_features."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

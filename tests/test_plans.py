@@ -230,7 +230,7 @@ def test_rolling_fingerprints_hash_once(spark):
 def test_entire_catalog_is_scale_safe(spark):
     """Sweep EVERY registered query through the plan linter: no cartesian
     product, no broadcast-nested-loop join, no row-at-a-time Python UDF
-    anywhere in the 57-query catalog. (Soft findings — final-stage single
+    anywhere in the full registered catalog. (Soft findings — final-stage single
     partitions for bounded results, e.g. a global top-k sort — are
     allowed; the hard three are the quadratic/per-row scale killers.)
 
