@@ -39,21 +39,34 @@ from __future__ import annotations
 import numpy as np
 
 
+def _make_crc_tables() -> tuple[list[int], list[int]]:
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+_CRC8_TABLE, _CRC16_TABLE = _make_crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = _CRC8_TABLE[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[(crc >> 8) ^ b]
     return crc
 
 
@@ -403,9 +416,23 @@ def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> list[int]:
         order = stype & 0x07
         x = [s(rd.read(eff)) for _ in range(order)]
         resid = _decode_residual(rd, order, bs)
-        coefs = _FIXED_COEFS[order]
-        for r in resid:
-            x.append(r + sum(c * x[-1 - j] for j, c in enumerate(coefs)))
+        if order == 0:
+            x = resid
+        else:
+            # A FIXED-order-k predictor is exactly the k-th finite
+            # difference, so reconstruction is k nested cumulative sums
+            # seeded with the finite-difference state at the warmup
+            # boundary — one numpy pass per level instead of a
+            # per-sample Python loop.
+            w = np.array(x, dtype=np.int64)
+            diffs = []
+            for _ in range(order):
+                diffs.append(int(w[-1]))
+                w = np.diff(w)
+            arr = np.asarray(resid, dtype=np.int64)
+            for j in range(order - 1, -1, -1):
+                arr = diffs[j] + np.cumsum(arr)
+            x = x + arr.tolist()
     elif stype & 0b100000:  # LPC
         order = (stype & 0x1F) + 1
         x = [s(rd.read(eff)) for _ in range(order)]
