@@ -180,3 +180,44 @@ def test_e2e_server_ping_interval():
         assert all(op == OP_PING for op, _ in frames) and len(frames) >= 2
     finally:
         srv.stop()
+
+
+def test_stream_fans_out_json_over_websocket(spark, tmp_path):
+    """The reference's serving tier e2e (ais_webSocketNmeaServer.py:
+    decoded JSON pushed to every WebSocket subscriber): a file stream
+    dripped through foreachBatch + to_json reaches every connected
+    WebSocket client as one TEXT FRAME per record, through the real
+    upgrade handshake and RFC 6455 framing."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pincspark.streaming.fanout import fanout_sink
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(f"m{i}" for i in range(10)) + "\n")
+
+    srv = WebSocketFanoutServer()
+    port = srv.start()
+    c1, c2 = _RawClient(port), _RawClient(port)
+    assert _wait(lambda: srv.n_clients() == 2)
+
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(F.to_json(F.struct(F.col("value").alias("msg"))).alias("line"))
+    )
+    q = stream.writeStream.foreachBatch(fanout_sink(srv)).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    for c in (c1, c2):
+        frames = c.recv_frames(10)
+        assert len(frames) == 10
+        assert all(op == OP_TEXT for op, _ in frames)
+        msgs = sorted(json.loads(p.decode().strip())["msg"] for _, p in frames)
+        assert msgs == sorted(f"m{i}" for i in range(10))
+    srv.stop()
