@@ -237,10 +237,27 @@ def main() -> None:
     # 8.9x flagged with no code change touching them. Interleaving
     # decorrelates a transient machine spike from any one query; the median
     # discards the polluted sample).
+    # Session-residue control: a full catalog pass leaves localCheckpoint
+    # blocks, broadcasts, and shuffle state behind; Spark's ContextCleaner
+    # frees executor blocks only after the corresponding driver objects
+    # are GC'd, so by pass 3 a checkpoint-heavy query can read 3.4x its
+    # pass-1 time (q54 measured [3.8, 8.3, 12.9] across passes r6). A
+    # driver gc + JVM System.gc between passes lets the cleaner actually
+    # run, so later passes measure the query, not the residue.
+    import gc
+
+    def _session_gc() -> None:
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {"ais_flagship": round(flagship, 3)}
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
     failed: dict[str, str] = {}
     for _ in range(3):
+        _session_gc()
         for name, (fn, _) in QUERIES.items():
             if name in failed:
                 continue
@@ -259,6 +276,7 @@ def main() -> None:
     # spread is extreme (max > 3x min), take up to 2 extra samples so the
     # median sits on uncontended runs; queries with stable samples are
     # never re-run, so the added wall cost is a few seconds.
+    _session_gc()  # resamples must not inherit 3 passes of residue
     for name, runs in samples.items():
         if name in failed or not runs:
             continue

@@ -13,8 +13,10 @@ Scope (documented, enforced):
   mapInPandas stage treats the blob as undecodable (strict raises,
   default falls back), the same policy as PNG Adam7 / interlaced GIF.
 - 1-component (grayscale) and 3-component (YCbCr) scans with sampling
-  factors all 1x1 (4:4:4). Subsampled chroma raises; the 100-TB scale
-  story is unchanged (decode is per-row inside mapInPandas either way).
+  factors 1 and 2 in each axis — 4:4:4, 4:2:2, and 4:2:0 chroma
+  subsampling (nearest-neighbor chroma reconstruction), interleaved
+  MCUs per T.81 A.2.3. Factors above 2 raise; the 100-TB scale story
+  is unchanged (decode is per-row inside mapInPandas either way).
 
 The matching minimal encoder exists so the decoder can be proven without
 any codec library: with all-ones quantization tables the transform chain
@@ -174,32 +176,32 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
     return np.einsum("ux,nuv,vy->nxy", _C, coefs, _C)
 
 
-def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad a 2D plane to 8x8 multiples (edge replication, per the usual
-    encoder practice) and cut into the (by*bx, 8, 8) block stack."""
-    h, w = plane.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-    by, bx = ph // 8, pw // 8
-    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return blocks, by, bx
+_SUBSAMPLE = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
 def jpeg_encode(
-    raster: np.ndarray, quant: int = 1, restart_interval: int = 0
+    raster: np.ndarray,
+    quant: int = 1,
+    restart_interval: int = 0,
+    subsample: str = "444",
 ) -> bytes:
-    """Minimal baseline JFIF encoder: 8-bit, sampling factors all 1x1,
-    flat quantization tables of value ``quant`` (1 = near-lossless: the
-    only loss is coefficient rounding, and NONE on block-constant gray
-    inputs — the exactness contract q60's oracle uses), standard Annex K
-    Huffman tables. Accepts (h, w) or (h, w, 1) grayscale and (h, w, 3)
-    RGB; RGB is converted to YCbCr (BT.601, rounded to int) like every
-    baseline encoder."""
+    """Minimal baseline JFIF encoder: 8-bit, flat quantization tables of
+    value ``quant`` (1 = near-lossless: the only loss is coefficient
+    rounding, and NONE on block-constant gray inputs — the exactness
+    contract q60's oracle uses), standard Annex K Huffman tables.
+    Accepts (h, w) or (h, w, 1) grayscale and (h, w, 3) RGB; RGB is
+    converted to YCbCr (BT.601, rounded to int). ``subsample`` picks the
+    chroma layout: "444" (1x1 everywhere), "422" (Y 2x1), or "420"
+    (Y 2x2) — chroma is box-mean downsampled, which is LOSSLESS on
+    gray-valued input (constant Cb=Cr=128), so the q60 exactness
+    contract survives subsampling too."""
     if raster.ndim == 2:
         raster = raster[:, :, None]
     h, w, nch = raster.shape
     if nch not in (1, 3):
         raise ValueError("raster must be grayscale or RGB")
+    if subsample not in _SUBSAMPLE:
+        raise ValueError(f"subsample must be one of {sorted(_SUBSAMPLE)}")
     px = raster.astype(np.float64)
     if nch == 3:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
@@ -209,8 +211,15 @@ def jpeg_encode(
             np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
         ]
         planes = [np.clip(p, 0, 255) for p in planes]
+        sh, sv = _SUBSAMPLE[subsample]
+        samplings = [(sh, sv), (1, 1), (1, 1)]
     else:
         planes = [px[:, :, 0]]
+        samplings = [(1, 1)]
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     qtab = np.full(64, quant, dtype=np.int64)
     tables = [(_DC_LUMA, _AC_LUMA)] + ([(_DC_CHROMA, _AC_CHROMA)] if nch == 3 else [])
@@ -226,7 +235,9 @@ def jpeg_encode(
     if nch == 3:
         out += seg(0xDB, bytes([0x01]) + bytes(qtab[ZIGZAG].tolist()))  # DQT 1
     comp_spec = b"".join(
-        bytes([cid + 1, 0x11, 0 if cid == 0 else 1]) for cid in range(nch)
+        bytes([ci + 1, (samplings[ci][0] << 4) | samplings[ci][1],
+               0 if ci == 0 else 1])
+        for ci in range(nch)
     )
     out += seg(
         0xC0,
@@ -245,55 +256,77 @@ def jpeg_encode(
         + bytes([0, 63, 0]),
     )  # SOS
 
-    # entropy-coded data (interleaved MCU = one block per component at
-    # 1x1 sampling, so all planes share one block grid) -------------------
+    # entropy-coded data: interleaved MCUs, v_i x h_i blocks per
+    # component per MCU (T.81 A.2.3) -------------------------------------
     blk_stacks = []
-    nby = nbx = 0
-    for p in planes:
-        blocks, nby, nbx = _to_blocks(p - 128.0)
+    for ci, p in enumerate(planes):
+        ch_, cv = samplings[ci]
+        ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
+        padded = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        fy, fx = vmax // cv, hmax // ch_
+        if fy > 1 or fx > 1:  # box-mean chroma downsample
+            padded = np.round(
+                padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            )
+        bh, bwid = mcuy * cv, mcux * ch_
+        blocks = (
+            (padded - 128.0)
+            .reshape(bh, 8, bwid, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
         coefs = np.round(_fdct_blocks(blocks) / qtab.reshape(8, 8)).astype(np.int64)
         blk_stacks.append(coefs.reshape(-1, 64)[:, ZIGZAG])  # zigzag order
+
+    def _emit_block(zz: np.ndarray, ti: int, pred: list[int], ci: int) -> None:
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, raw = _mag_bits(diff)
+        code, ln = enc_dc[ti][size]
+        bw.write(code, ln)
+        if size:
+            bw.write(raw, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[ti][0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            size, raw = _mag_bits(v)
+            code, ln = enc_ac[ti][(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(raw, size)
+            run = 0
+            if k == last_nz:
+                break
+        if last_nz < 63:
+            code, ln = enc_ac[ti][0x00]  # EOB
+            bw.write(code, ln)
+
     bw = _BitWriter()
     pred = [0] * nch
-    n_mcu = nby * nbx
     rst = 0
-    for bi in range(n_mcu):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mcu in range(mcuy * mcux):
+        if restart_interval and mcu and mcu % restart_interval == 0:
             bw.flush()
             bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
             rst += 1
             pred = [0] * nch
+        my, mx = divmod(mcu, mcux)
         for ci in range(nch):
-            ti = 0 if ci == 0 else 1
-            zz = blk_stacks[ci][bi]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size, raw = _mag_bits(diff)
-            code, ln = enc_dc[ti][size]
-            bw.write(code, ln)
-            if size:
-                bw.write(raw, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = enc_ac[ti][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, raw = _mag_bits(v)
-                code, ln = enc_ac[ti][(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(raw, size)
-                run = 0
-                if k == last_nz:
-                    break
-            if last_nz < 63:
-                code, ln = enc_ac[ti][0x00]  # EOB
-                bw.write(code, ln)
+            ch_, cv = samplings[ci]
+            bwid = mcux * ch_
+            for by in range(cv):
+                for bx in range(ch_):
+                    bi = (my * cv + by) * bwid + (mx * ch_ + bx)
+                    _emit_block(blk_stacks[ci][bi], 0 if ci == 0 else 1, pred, ci)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -366,14 +399,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JPEG -> (h, w, 3) int64 RGB raster (gray replicated).
 
     Raises ValueError on anything outside the documented scope
-    (progressive, 12-bit, subsampled chroma, 4-component CMYK, truncated
-    streams) — callers route that to the undecodable policy."""
+    (progressive, 12-bit, sampling factors above 2, 4-component CMYK,
+    truncated streams) — callers route that to the undecodable policy."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (comp id, h_i, v_i, quant id)
     restart_interval = 0
     i = 2
     while i + 4 <= len(data):
@@ -417,9 +450,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported component count {nch}")
             for c in range(nch):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("subsampled chroma unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"sampling factors {hi}x{vi} unsupported")
+                comps.append((cid, hi, vi, tq))
+            if nch == 1:
+                # single-component scans are non-interleaved: data is one
+                # block per MCU regardless of the declared factors
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            else:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if any(hmax % c[1] or vmax % c[2] for c in comps):
+                    raise ValueError("non-dividing sampling factors")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0x{marker:02x} unsupported")
@@ -432,7 +475,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             scan: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
             for s in range(ns):
                 cs, tt = payload[1 + 2 * s], payload[2 + 2 * s]
-                idx = next(k for k, (cid, _) in enumerate(comps) if cid == cs)
+                idx = next(k for k, c in enumerate(comps) if c[0] == cs)
                 scan.append((idx, tt >> 4, tt & 0x0F))
             i = i + 2 + ln
             return _decode_scan(
@@ -448,45 +491,62 @@ def _decode_scan(
     pos: int,
     h: int,
     w: int,
-    comps: list[tuple[int, int]],
+    comps: list[tuple[int, int, int, int]],
     scan: list[tuple[int, int, int]],
     qtabs: dict[int, np.ndarray],
     huff: dict[tuple[int, int], dict[tuple[int, int], int]],
     restart_interval: int,
 ) -> np.ndarray:
     nch = len(comps)
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    n_mcu = nby * nbx
-    coefs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(nch)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcuy * mcux
+    # per-component block-grid geometry (T.81 A.2.3: v_i x h_i blocks per
+    # MCU, raster order within the MCU)
+    bws = [mcux * c[1] for c in comps]
+    coefs = [
+        np.zeros((mcuy * c[2] * bws[ci], 64), dtype=np.int64)
+        for ci, c in enumerate(comps)
+    ]
     rd = _BitReader(data, pos)
     pred = [0] * nch
     mcu = 0
+
+    def _read_block(zz: np.ndarray, dct, act, ci: int) -> None:
+        size = rd.huffman(dct)
+        diff = _extend(rd.bits(size), size) if size else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            sym = rd.huffman(act)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(rd.bits(size), size)
+            k += 1
+
     while mcu < n_mcu:
         try:
+            my, mx = divmod(mcu, mcux)
             for ci, dc_id, ac_id in scan:
                 dct = huff.get((0, dc_id))
                 act = huff.get((1, ac_id))
                 if dct is None or act is None:
                     raise ValueError("missing Huffman table")
-                zz = coefs[ci][mcu]
-                size = rd.huffman(dct)
-                diff = _extend(rd.bits(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = rd.huffman(act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(rd.bits(size), size)
-                    k += 1
+                _, hi, vi, _ = comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * bws[ci] + (mx * hi + bx)
+                        _read_block(coefs[ci][bi], dct, act, ci)
             mcu += 1
             if restart_interval and mcu % restart_interval == 0 and mcu < n_mcu:
                 rd.byte_align()
@@ -511,17 +571,26 @@ def _decode_scan(
 
     planes = []
     for ci in range(nch):
-        q = qtabs.get(comps[ci][1])
+        _, hi, vi, tq = comps[ci]
+        q = qtabs.get(tq)
         if q is None:
             raise ValueError("missing quant table")
-        deq = np.zeros((n_mcu, 64), dtype=np.float64)
+        deq = np.zeros_like(coefs[ci], dtype=np.float64)
         deq[:, ZIGZAG] = coefs[ci] * q[ZIGZAG]  # de-zigzag + dequant
         spatial = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
+        bh = mcuy * vi
         full = (
-            spatial.reshape(nby, nbx, 8, 8)
+            spatial.reshape(bh, bws[ci], 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(nby * 8, nbx * 8)
+            .reshape(bh * 8, bws[ci] * 8)
         )
+        # nearest-neighbor upsample back to full resolution (the usual
+        # baseline-decoder chroma reconstruction), then crop
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1:
+            full = np.repeat(full, fy, axis=0)
+        if fx > 1:
+            full = np.repeat(full, fx, axis=1)
         planes.append(full[:h, :w])
     if nch == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.int64)

@@ -2863,9 +2863,12 @@ def q60_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole lossy pipeline (a constant block has only the DC coefficient
     8*(v-128), an exact integer, and gray survives YCbCr both ways), so
     the analytic oracle sees straight through the entropy-coded container:
-    any Huffman/zigzag/IDCT/color bug breaks parity. Decoded in STRICT
-    mode — no fake fallback allowed. n_bytes (compressed size) excluded,
-    as in q57/q58."""
+    any Huffman/zigzag/IDCT/color bug breaks parity. Half the corpus
+    (doc_id % 2) is minted 4:2:0 — gray chroma is constant 128, so
+    subsampling is also lossless here and the subsampled MCU-interleave
+    decode path sits under the same hard gate as 4:4:4. Decoded in
+    STRICT mode — no fake fallback allowed. n_bytes (compressed size)
+    excluded, as in q57/q58."""
     import hashlib
     from collections.abc import Iterator
 
@@ -2883,7 +2886,8 @@ def q60_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vals = np.frombuffer(hexd[:4].encode("ascii"), dtype=np.uint8)
                 img = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0), 8, 1)
                 rgb = np.repeat(img[:, :, None], 3, 2).astype(np.int64)
-                rows.append((int(row.doc_id), jpeg_encode(rgb)))
+                ss = "420" if int(row.doc_id) % 2 else "444"
+                rows.append((int(row.doc_id), jpeg_encode(rgb, subsample=ss)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     from pincspark.operators.dedup import _spread

@@ -95,10 +95,11 @@ def test_scope_rejections():
         jpeg_decode(b"not a jpeg")
     with pytest.raises(ValueError):  # progressive SOF2
         jpeg_decode(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x00")
-    # subsampled chroma: patch the SOF0 sampling byte of a real blob
+    # sampling factors above 2 (the documented scope edge; 1x1..2x2 all
+    # decode for real as of the 4:2:0/4:2:2 support)
     blob = bytearray(jpeg_encode(_block_constant_rgb(np.array([[7]]))))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 11] = 0x22  # Y sampling 2x2
+    blob[sof + 11] = 0x41  # Y sampling 4x1
     with pytest.raises(ValueError):
         jpeg_decode(bytes(blob))
 
@@ -165,3 +166,39 @@ def test_grayscale_tolerance_property(w, h, seed):
     out = jpeg_decode(jpeg_encode(g))
     assert out.shape == (h, w, 3)
     assert np.abs(out[:, :, 0] - g).max() <= 2
+
+
+@pytest.mark.parametrize("ss", ["444", "422", "420"])
+def test_block_constant_exact_under_subsampling(ss):
+    """4:2:2/4:2:0 MCU interleave + chroma downsample/upsample: gray
+    block-constant images stay BIT-EXACT (chroma is constant 128, so the
+    box-mean downsample and nearest-neighbor reconstruction are both
+    lossless) — the q60 contract survives every subsampling mode."""
+    vals = RNG.integers(0, 256, size=(2, 4))
+    rgb = _block_constant_rgb(vals)
+    assert np.array_equal(jpeg_decode(jpeg_encode(rgb, subsample=ss)), rgb)
+
+
+@pytest.mark.parametrize("ss", ["422", "420"])
+def test_gray_valued_subsampled_within_1(ss):
+    """Arbitrary gray-valued (not block-aligned) images: chroma stays 128
+    so subsampling costs nothing; only DCT rounding remains."""
+    g = RNG.integers(0, 256, size=(19, 21))
+    rgb = np.repeat(g[:, :, None], 3, 2).astype(np.int64)
+    out = jpeg_decode(jpeg_encode(rgb, subsample=ss))
+    assert np.abs(out - rgb).max() <= 1
+
+
+def test_subsampled_restart_markers():
+    g = RNG.integers(0, 256, size=(24, 40, 3)).astype(np.int64)
+    plain = jpeg_decode(jpeg_encode(g, subsample="420"))
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(g, subsample="420", restart_interval=2)), plain
+    )
+
+
+def test_chroma_subsampling_is_really_happening():
+    """A 4:2:0 encode of a color image must be smaller than 4:4:4 (half
+    the chroma blocks are actually gone)."""
+    c = RNG.integers(0, 256, size=(32, 32, 3)).astype(np.int64)
+    assert len(jpeg_encode(c, subsample="420")) < len(jpeg_encode(c, subsample="444"))
