@@ -226,3 +226,65 @@ def test_upsert_latest(spark, tmp_path):
     upsert_latest(spark, b2, path, "Id", "UpdateTime")
     got = {r["Id"]: (r["Lat"], r["UpdateTime"]) for r in spark.read.parquet(path).collect()}
     assert got == {"t1": (9.0, 200), "t2": (2.0, 100), "t3": (3.0, 150)}
+
+
+def test_dedupe_stream_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (dedupe_stream -> dropDuplicatesWithinWatermark,
+    the training-pipeline ingest dedup): a parquet-file stream with
+    duplicate fingerprints across micro-batches keeps exactly one row per
+    key, matching the batch dropDuplicates result on the same frames —
+    and the duplicate arriving in a LATER micro-batch is still caught
+    (cross-batch state, not per-batch dedup)."""
+    import pandas as pd
+
+    from pincspark.streaming.windows import dedupe_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows1 = pd.DataFrame(
+        {
+            "fp": ["a", "b", "a", "c"],
+            "doc_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2023-01-01 10:00", "2023-01-01 10:01",
+                 "2023-01-01 10:02", "2023-01-01 10:03"]
+            ),
+        }
+    )
+    rows2 = pd.DataFrame(
+        {
+            "fp": ["b", "d", "c"],  # b and c are cross-batch duplicates
+            "doc_id": [5, 6, 7],
+            "ts": pd.to_datetime(
+                ["2023-01-01 10:04", "2023-01-01 10:05", "2023-01-01 10:06"]
+            ),
+        }
+    )
+    batch1 = spark.createDataFrame(rows1)
+    batch1.write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(batch1.schema).parquet(str(src / "*"))
+    q = (
+        dedupe_stream(stream, ["fp"], "ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = {
+            (r["fp"], r["doc_id"])
+            for r in spark.sql("SELECT fp, doc_id FROM dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    # one survivor per fingerprint, and it is the FIRST arrival
+    assert got == {("a", 1), ("b", 2), ("c", 4), ("d", 6)}
+
+    # batch degradation path keeps one row per key on the union frame
+    union = spark.createDataFrame(pd.concat([rows1, rows2]))
+    batch = dedupe_stream(union, ["fp"], "ts")
+    assert batch.select("fp").distinct().count() == batch.count() == 4
