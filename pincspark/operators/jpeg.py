@@ -11,7 +11,7 @@ Scope (documented, enforced):
 - baseline DCT (SOF0) and extended sequential (SOF1), 8-bit precision;
   progressive (SOF2) / arithmetic coding raise ValueError -> the
   mapInPandas stage treats the blob as undecodable (strict raises,
-  default falls back), the same policy as PNG Adam7 / interlaced GIF.
+  default falls back), the same undecodable policy every codec here shares.
 - 1-component (grayscale) and 3-component (YCbCr) scans with sampling
   factors 1 and 2 in each axis — 4:4:4, 4:2:2, and 4:2:0 chroma
   subsampling (nearest-neighbor chroma reconstruction), interleaved

@@ -13,8 +13,9 @@ Design for 100 TB of media:
 Codecs: six formats decode FOR REAL with numpy + the stdlib — P6 PPM
 (pure-numpy header/raster parse), PNG (stdlib zlib DEFLATE + full
 five-filter scanline reconstruction, color types 0/2/3/4/6, 8- and
-16-bit), GIF (from-scratch LZW decompressor: dictionary growth, width
-sync, CLEAR resets, global/local color tables), baseline JPEG
+16-bit, Adam7 interlace), GIF (from-scratch LZW decompressor: dictionary
+growth, width sync, CLEAR resets, global/local color tables, 4-pass
+interlace), baseline JPEG
 (from-scratch: DHT canonical-Huffman entropy decode, dequant, float
 IDCT, YCbCr->RGB, restart markers — ``operators/jpeg.py``; progressive
 raises -> fallback), PCM WAV (stdlib ``wave``), and IMA-ADPCM WAV
@@ -145,21 +146,25 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(raster: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal 8-bit RGB PNG encoder (stdlib zlib): one filter type for all
-    scanlines. Exists so the decoder can be proven by lossless round-trip
-    without PIL — and so q57 can mint real DEFLATE-compressed blobs."""
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    h, w, _ = raster.shape
-    px = raster.astype(np.int64)
-    bpp = 3
+
+def _png_filter_lines(px: np.ndarray, filter_type: int, bpp: int) -> bytearray:
+    """Filter an (h, w, ch) sub-image into PNG scanlines (one filter byte
+    + filtered samples per line). The prior row resets per sub-image, as
+    Adam7 requires per pass."""
+    h = px.shape[0]
+    w_samples = px.shape[1] * bpp
     out = bytearray()
-    prior = [0] * (w * bpp)
+    prior = [0] * w_samples
     for y in range(h):
         raw = [int(v) for v in px[y].ravel()]
         out.append(filter_type)
-        for x in range(w * bpp):
+        for x in range(w_samples):
             a = raw[x - bpp] if x >= bpp else 0
             b = prior[x]
             c = prior[x - bpp] if x >= bpp else 0
@@ -177,64 +182,44 @@ def png_encode(raster: np.ndarray, filter_type: int = 0) -> bytes:
                 raise ValueError(f"bad filter {filter_type}")
             out.append(v & 0xFF)
         prior = raw
+    return out
+
+
+def png_encode(
+    raster: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (stdlib zlib): one filter type for all
+    scanlines, optional Adam7 interlacing (seven sub-images in pass order,
+    filtering restarted per pass). Exists so the decoder can be proven by
+    lossless round-trip without PIL — and so q57 can mint real
+    DEFLATE-compressed blobs."""
+    import zlib
+
+    h, w, _ = raster.shape
+    px = raster.astype(np.int64)
+    if interlace:
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size:
+                body += _png_filter_lines(sub, filter_type, 3)
+    else:
+        body = _png_filter_lines(px, filter_type, 3)
     ihdr = (
-        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 1 if interlace else 0])
     )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def _decode_png_raw(data: bytes) -> tuple[np.ndarray, int]:
-    """Pure-stdlib PNG decode -> ((h, w, 3) int64 raster, maxval).
-
-    Real DEFLATE decode (zlib) + full scanline unfiltering (all five PNG
-    filter types), supporting non-interlaced color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8, and
-    16-bit for the non-palette types. Alpha is dropped and gray is
-    replicated so every decode lands on the same (h, w, 3) integer-raster
-    contract as the PPM codec — the exact-arithmetic feature path is
-    shared verbatim. Adam7 interlace raises (undecodable -> fallback)."""
-    import zlib
-
-    if not data.startswith(_PNG_SIG):
-        raise ValueError("not a PNG")
-    i, n = len(_PNG_SIG), len(data)
-    width = height = None
-    depth = ctype = interlace = 0
-    plte: np.ndarray | None = None
-    idat = bytearray()
-    while i + 8 <= n:
-        clen = int.from_bytes(data[i : i + 4], "big")
-        cname = data[i + 4 : i + 8]
-        payload = data[i + 8 : i + 8 + clen]
-        if len(payload) < clen:
-            raise ValueError("truncated chunk")
-        if cname == b"IHDR":
-            width = int.from_bytes(payload[0:4], "big")
-            height = int.from_bytes(payload[4:8], "big")
-            depth, ctype, _, _, interlace = payload[8:13]
-        elif cname == b"PLTE":
-            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
-        elif cname == b"IDAT":
-            idat.extend(payload)
-        elif cname == b"IEND":
-            break
-        i += 12 + clen
-    if not width or not height or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    if interlace:
-        raise ValueError("Adam7 interlace unsupported")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if nch is None or depth not in (8, 16) or (ctype == 3 and depth != 8):
-        raise ValueError(f"unsupported color type {ctype}/depth {depth}")
-    sample_bytes = depth // 8
-    bpp = nch * sample_bytes
-    stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Undo PNG scanline filtering for one (sub-)image: ``raw`` holds
+    ``height`` lines of 1 filter byte + ``stride`` filtered bytes."""
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated raster")
     recon = bytearray(height * stride)
@@ -267,6 +252,77 @@ def _decode_png_raw(data: bytes) -> tuple[np.ndarray, int]:
                 else:
                     raise ValueError(f"bad filter {ft}")
                 recon[ro + x] = v & 0xFF
+    return recon
+
+
+def _decode_png_raw(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib PNG decode -> ((h, w, 3) int64 raster, maxval).
+
+    Real DEFLATE decode (zlib) + full scanline unfiltering (all five PNG
+    filter types), supporting color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA) at bit depth 8, and 16-bit for the
+    non-palette types — both non-interlaced and Adam7-interlaced (seven
+    per-pass unfilters scattered onto the output grid by numpy strided
+    assignment). Alpha is dropped and gray is replicated so every decode
+    lands on the same (h, w, 3) integer-raster contract as the PPM codec
+    — the exact-arithmetic feature path is shared verbatim."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    i, n = len(_PNG_SIG), len(data)
+    width = height = None
+    depth = ctype = interlace = 0
+    plte: np.ndarray | None = None
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = int.from_bytes(data[i : i + 4], "big")
+        cname = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + clen]
+        if len(payload) < clen:
+            raise ValueError("truncated chunk")
+        if cname == b"IHDR":
+            width = int.from_bytes(payload[0:4], "big")
+            height = int.from_bytes(payload[4:8], "big")
+            depth, ctype, _, _, interlace = payload[8:13]
+        elif cname == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif cname == b"IDAT":
+            idat.extend(payload)
+        elif cname == b"IEND":
+            break
+        i += 12 + clen
+    if not width or not height or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None or depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise ValueError(f"unsupported color type {ctype}/depth {depth}")
+    sample_bytes = depth // 8
+    bpp = nch * sample_bytes
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # Adam7: seven sequential sub-images, each filtered independently;
+        # unfilter each and scatter its pixels onto the (h, w) grid
+        target = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub_stride = pw * bpp
+            need = ph * (sub_stride + 1)
+            sub = _png_unfilter(raw[off : off + need], ph, sub_stride, bpp)
+            off += need
+            target[y0::dy, x0::dx] = np.frombuffer(
+                bytes(sub), dtype=np.uint8
+            ).reshape(ph, pw, bpp)
+        recon = target.tobytes()
+    else:
+        recon = _png_unfilter(raw, height, stride, bpp)
     if depth == 16:
         samples = np.frombuffer(bytes(recon), dtype=">u2").astype(np.int64)
         maxval = 65535
@@ -392,8 +448,20 @@ def _lzw_decode(payload: bytes, min_code_size: int, n_px: int) -> list[int]:
     return out[:n_px]
 
 
-def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """Minimal GIF87a encoder: one frame, global color table, real LZW."""
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF 4-pass interlace: the stream's row order (every 8th from 0,
+    every 8th from 4, every 4th from 2, every 2nd from 1)."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+
+
+def gif_encode(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Minimal GIF87a encoder: one frame, global color table, real LZW,
+    optional 4-pass interlacing (rows emitted in pass order)."""
     h, w = indices.shape
     pal = palette.astype(np.uint8)
     assert pal.shape == (256, 3)
@@ -404,8 +472,9 @@ def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
     )
     img_desc = b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(
         2, "little"
-    ) + b"\x00"
-    payload = _lzw_encode([int(v) for v in indices.ravel()], 8)
+    ) + (b"\x40" if interlace else b"\x00")
+    rows = indices[_gif_interlace_order(h)] if interlace else indices
+    payload = _lzw_encode([int(v) for v in rows.ravel()], 8)
     blocks = bytearray([8])  # LZW min code size
     for i in range(0, len(payload), 255):
         chunk = payload[i : i + 255]
@@ -418,8 +487,9 @@ def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
 def _decode_gif_raw(data: bytes) -> tuple[np.ndarray, int]:
     """Pure-stdlib GIF decode (first frame) -> ((h, w, 3) int64 raster,
     255): real LZW decompression with dictionary growth and CLEAR-code
-    resets, global/local color tables. Interlaced frames raise
-    (undecodable -> fallback), matching the PNG Adam7 policy."""
+    resets, global/local color tables. Interlaced frames
+    are un-permuted via the 4-pass row order (round 6: interlace decodes
+    for real, like PNG Adam7)."""
     if not (data.startswith(b"GIF87a") or data.startswith(b"GIF89a")):
         raise ValueError("not a GIF")
     gct_flag = data[10] & 0x80
@@ -441,8 +511,6 @@ def _decode_gif_raw(data: bytes) -> tuple[np.ndarray, int]:
             h = int.from_bytes(data[i + 7 : i + 9], "little")
             packed = data[i + 9]
             i += 10
-            if packed & 0x40:
-                raise ValueError("interlaced GIF unsupported")
             pal = gct
             if packed & 0x80:
                 lct_n = 2 << (packed & 0x07)
@@ -462,6 +530,10 @@ def _decode_gif_raw(data: bytes) -> tuple[np.ndarray, int]:
             idx = np.array(
                 _lzw_decode(bytes(payload), min_code, w * h), dtype=np.int64
             ).reshape(h, w)
+            if packed & 0x40:  # 4-pass interlace: un-permute stream rows
+                out = np.empty_like(idx)
+                out[_gif_interlace_order(h)] = idx
+                idx = out
             return pal.astype(np.int64)[idx], 255
         elif b == 0x3B:
             break

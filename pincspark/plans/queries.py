@@ -2710,9 +2710,17 @@ def q57_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raster = np.frombuffer(
                     (hexd * 6).encode("ascii"), dtype=np.uint8
                 ).reshape(8, 8, 3)
-                rows.append(
-                    (int(row.doc_id), png_encode(raster, int(row.doc_id) % 5))
-                )
+                rows.append((
+                    int(row.doc_id),
+                    png_encode(
+                        raster,
+                        int(row.doc_id) % 5,
+                        # odd docs mint Adam7 (lossless, so the analytic
+                        # oracle is unchanged): the 7-pass scatter decode
+                        # path shares the hard gate with the linear path
+                        interlace=bool(int(row.doc_id) % 2),
+                    ),
+                ))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     from pincspark.operators.dedup import _spread
@@ -2796,7 +2804,13 @@ def q58_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx = np.frombuffer(
                     (hexd * 6).encode("ascii"), dtype=np.uint8
                 ).astype(np.int64).reshape(8, 24)
-                rows.append((int(row.doc_id), gif_encode(idx, pal)))
+                rows.append((
+                    int(row.doc_id),
+                    # odd docs mint 4-pass interlaced frames (lossless;
+                    # oracle unchanged) — the row-un-permute decode path
+                    # shares the hard gate
+                    gif_encode(idx, pal, interlace=bool(int(row.doc_id) % 2)),
+                ))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     from pincspark.operators.dedup import _spread

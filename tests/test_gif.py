@@ -54,14 +54,12 @@ def test_gif89a_extension_blocks_skipped():
     assert (raster == GRAY_PAL.astype(np.int64)[img]).all()
 
 
-def test_interlaced_rejected_and_corrupt_degrades():
-    img = np.zeros((4, 4), dtype=np.int64)
-    data = bytearray(gif_encode(img, GRAY_PAL))
-    at = 13 + 768
-    data[at + 9] |= 0x40  # set interlace flag in the image descriptor
-    with pytest.raises(ValueError):
-        _decode_gif_raw(bytes(data))
-    assert _decode_image_bytes(bytes(data), 4) is None  # falls back
+def test_interlaced_roundtrip_and_corrupt_degrades():
+    """4-pass interlaced GIFs decode for real (round 6): the encoder
+    emits rows in pass order, the decoder un-permutes them."""
+    img = np.random.default_rng(11).integers(0, 256, size=(13, 7), dtype=np.int64)
+    raster, mv = _decode_gif_raw(gif_encode(img, GRAY_PAL, interlace=True))
+    assert mv == 255 and (raster == GRAY_PAL.astype(np.int64)[img]).all()
     good = gif_encode(img, GRAY_PAL)
     assert _decode_image_bytes(good[: len(good) // 2], 4) is None
     assert _decode_image_bytes(good, 4) is not None

@@ -94,14 +94,23 @@ def test_png_features_equal_ppm_features():
 def test_corrupt_png_degrades_not_raises():
     r = RNG.integers(0, 256, size=(5, 5, 3), dtype=np.int64)
     good = png_encode(r, 4)
-    # truncated IDAT, garbage after signature, interlaced header
+    # truncated IDAT, garbage after signature, reserved interlace method
     assert _decode_image_bytes(good[: len(good) // 2], 4) is None
     assert _decode_image_bytes(_PNG_SIG + b"junkjunkjunk", 4) is None
-    ihdr = (5).to_bytes(4, "big") * 2 + bytes([8, 2, 0, 0, 1])  # Adam7
+    ihdr = (5).to_bytes(4, "big") * 2 + bytes([8, 2, 0, 0, 2])  # method 2
     bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 80)) + _png_chunk(b"IEND", b"")
     assert _decode_image_bytes(bad, 4) is None
     # the intact blob still decodes
     assert _decode_image_bytes(good, 4) is not None
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_adam7_interlaced_roundtrip(ft):
+    """Adam7 decodes for real (round 6): seven per-pass unfilters
+    scattered onto the output grid — lossless for every filter type."""
+    r = RNG.integers(0, 256, size=(13, 22, 3), dtype=np.int64)
+    out, maxval = _decode_png_raw(png_encode(r, filter_type=ft, interlace=True))
+    assert maxval == 255 and (out == r).all()
 
 
 def test_corrupt_jpeg_degrades():
@@ -127,3 +136,11 @@ def test_roundtrip_property(w, h, ft, seed):
     r = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.int64)
     out, maxval = _decode_png_raw(png_encode(r, filter_type=ft))
     assert maxval == 255 and (out == r).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(w=st.integers(1, 24), h=st.integers(1, 24), seed=st.integers(0, 2**31 - 1))
+def test_adam7_roundtrip_property(w, h, seed):
+    r = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    out, _mv = _decode_png_raw(png_encode(r, filter_type=4, interlace=True))
+    assert (out == r).all()
