@@ -445,6 +445,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit precision supported")
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
+            from pincspark.operators.multimodal import _MAX_PIXELS
+
+            if h * w > _MAX_PIXELS:
+                # shared dimension sanity cap: the coefficient arrays are
+                # sized from the header before any entropy data is read
+                raise ValueError(f"image dimensions {w}x{h} exceed sanity cap")
             nch = payload[5]
             if nch not in (1, 3):
                 raise ValueError(f"unsupported component count {nch}")

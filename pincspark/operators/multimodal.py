@@ -146,6 +146,13 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
+# Dimension sanity cap shared by the image codecs (64M pixels = a 8192^2
+# frame): a crafted header declaring absurd dimensions must reject to the
+# undecodable fallback BEFORE any allocation sized by it — a MemoryError
+# inside a mapInPandas batch destabilizes the whole Python worker, not
+# just the one blob.
+_MAX_PIXELS = 1 << 26
+
 # Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
 _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -299,10 +306,27 @@ def _decode_png_raw(data: bytes) -> tuple[np.ndarray, int]:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None or depth not in (8, 16) or (ctype == 3 and depth != 8):
         raise ValueError(f"unsupported color type {ctype}/depth {depth}")
+    if width * height > _MAX_PIXELS:
+        # dimension sanity: a crafted IHDR can declare 4G x 4G and the
+        # raster allocation would take the executor down before any
+        # pixel is read — reject (-> fallback) instead
+        raise ValueError(f"image dimensions {width}x{height} exceed sanity cap")
     sample_bytes = depth // 8
     bpp = nch * sample_bytes
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    # decompression-bomb guard: DEFLATE expands ~1000x, so inflate at
+    # most the exact raster size the header promises (computed per pass
+    # for Adam7) instead of whatever the stream holds
+    if interlace:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (pw * bpp + 1)
+    else:
+        expected = height * (stride + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
     if interlace:
         # Adam7: seven sequential sub-images, each filtered independently;
         # unfilter each and scatter its pixels onto the (h, w) grid
@@ -509,6 +533,8 @@ def _decode_gif_raw(data: bytes) -> tuple[np.ndarray, int]:
         elif b == 0x2C:  # image descriptor
             w = int.from_bytes(data[i + 5 : i + 7], "little")
             h = int.from_bytes(data[i + 7 : i + 9], "little")
+            if w * h > _MAX_PIXELS:
+                raise ValueError(f"frame dimensions {w}x{h} exceed sanity cap")
             packed = data[i + 9]
             i += 10
             pal = gct
