@@ -281,8 +281,15 @@ def test_dedupe_stream_matches_batch(spark, tmp_path):
         }
     finally:
         q.stop()
-    # one survivor per fingerprint, and it is the FIRST arrival
-    assert got == {("a", 1), ("b", 2), ("c", 4), ("d", 6)}
+    # exactly one survivor per fingerprint; which of two duplicates in
+    # the SAME micro-batch survives is not guaranteed (partition order),
+    # but a duplicate arriving in a LATER batch must always lose to the
+    # already-seen state
+    assert {fp for fp, _ in got} == {"a", "b", "c", "d"}
+    assert len(got) == 4
+    assert ("b", 5) not in got and ("c", 7) not in got  # cross-batch drops
+    assert ("d", 6) in got
+    assert next(d for fp, d in got if fp == "a") in (1, 3)  # same-batch pair
 
     # batch degradation path keeps one row per key on the union frame
     union = spark.createDataFrame(pd.concat([rows1, rows2]))
