@@ -10,15 +10,16 @@ Design for 100 TB of media:
 - partitioning: media tables should be written bucketed/partitioned by
   content-hash prefix so downstream dedup joins co-locate.
 
-Codecs: six formats decode FOR REAL with numpy + the stdlib — P6 PPM
+Codecs: seven formats decode FOR REAL with numpy + the stdlib — P6 PPM
 (pure-numpy header/raster parse), PNG (stdlib zlib DEFLATE + full
 five-filter scanline reconstruction, color types 0/2/3/4/6, 8- and
 16-bit, Adam7 interlace), GIF (from-scratch LZW decompressor: dictionary
 growth, width sync, CLEAR resets, global/local color tables, 4-pass
-interlace), baseline JPEG
+interlace), JPEG
 (from-scratch: DHT canonical-Huffman entropy decode, dequant, float
-IDCT, YCbCr->RGB, restart markers — ``operators/jpeg.py``; progressive
-raises -> fallback), PCM WAV (stdlib ``wave``), and IMA-ADPCM WAV
+IDCT, YCbCr->RGB, restart markers, baseline AND progressive SOF2 with
+successive approximation — ``operators/jpeg.py``), PCM WAV (stdlib
+``wave``), IMA-ADPCM WAV
 (format tag 0x11 — real 4-bit decompression, state machine pinned
 bit-for-bit against the stdlib ``audioop`` C implementation), and FLAC
 (from-scratch bitstream decoder, ``operators/flac.py``: Rice residuals,
@@ -896,10 +897,10 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode + resize + feature extraction as a mapInPandas stage.
 
-    PPM, PNG, GIF, and baseline JPEG decode FOR REAL (pure numpy/stdlib
-    codecs — see the module docstring); luminance is block-average
-    resized onto a fixed grid. Formats still needing external codec
-    libraries (WebP, progressive JPEG, ...): strict=True raises
+    PPM, PNG, GIF, and JPEG (baseline + progressive) decode FOR REAL
+    (pure numpy/stdlib codecs — see the module docstring); luminance is
+    block-average resized onto a fixed grid. Formats still needing
+    external codec libraries (WebP, AVIF, ...): strict=True raises
     NotImplementedError; the default produces deterministic fake features
     so the pipeline shape stays real either way.
     """

@@ -2877,12 +2877,15 @@ def q60_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole lossy pipeline (a constant block has only the DC coefficient
     8*(v-128), an exact integer, and gray survives YCbCr both ways), so
     the analytic oracle sees straight through the entropy-coded container:
-    any Huffman/zigzag/IDCT/color bug breaks parity. Half the corpus
-    (doc_id % 2) is minted 4:2:0 — gray chroma is constant 128, so
-    subsampling is also lossless here and the subsampled MCU-interleave
-    decode path sits under the same hard gate as 4:4:4. Decoded in
-    STRICT mode — no fake fallback allowed. n_bytes (compressed size)
-    excluded, as in q57/q58."""
+    any Huffman/zigzag/IDCT/color bug breaks parity. The corpus rotates
+    three container forms by doc_id % 3 — baseline 4:4:4, baseline 4:2:0
+    (gray chroma is constant 128, so subsampling is lossless here), and
+    PROGRESSIVE 4:2:0 with two-level successive approximation (a
+    lossless re-layout of the same coefficients) — so the subsampled
+    MCU interleave, the multi-scan accumulation, the EOBn runs, and the
+    G.1.2.3 refinement decode all sit under the same hard gate. Decoded
+    in STRICT mode — no fake fallback allowed. n_bytes (compressed
+    size) excluded, as in q57/q58."""
     import hashlib
     from collections.abc import Iterator
 
@@ -2900,8 +2903,20 @@ def q60_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vals = np.frombuffer(hexd[:4].encode("ascii"), dtype=np.uint8)
                 img = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0), 8, 1)
                 rgb = np.repeat(img[:, :, None], 3, 2).astype(np.int64)
-                ss = "420" if int(row.doc_id) % 2 else "444"
-                rows.append((int(row.doc_id), jpeg_encode(rgb, subsample=ss)))
+                # doc_id % 3 rotates the container form — all lossless
+                # on this construction, so ONE analytic oracle gates the
+                # baseline-4:4:4, baseline-4:2:0, and progressive-with-
+                # successive-approximation decode paths alike
+                variant = int(row.doc_id) % 3
+                if variant == 0:
+                    blob = jpeg_encode(rgb)
+                elif variant == 1:
+                    blob = jpeg_encode(rgb, subsample="420")
+                else:
+                    blob = jpeg_encode(
+                        rgb, subsample="420", progressive=True, prog_al=1
+                    )
+                rows.append((int(row.doc_id), blob))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     from pincspark.operators.dedup import _spread

@@ -92,6 +92,8 @@ def _good_blobs() -> list[bytes]:
         gif_encode(g, pal, interlace=True),
         jpeg_encode(r),
         jpeg_encode(r, subsample="420"),
+        jpeg_encode(r, progressive=True),
+        jpeg_encode(r, subsample="420", progressive=True, prog_al=1),
         flac_encode(mono),
         wav_ima_encode(mono, 8000),
     ]

@@ -93,8 +93,10 @@ def test_coarse_quant_still_decodes():
 def test_scope_rejections():
     with pytest.raises(ValueError):
         jpeg_decode(b"not a jpeg")
-    with pytest.raises(ValueError):  # progressive SOF2
+    with pytest.raises(ValueError):  # truncated SOF segment
         jpeg_decode(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x00")
+    with pytest.raises(ValueError):  # arithmetic-coded sequential (SOF9)
+        jpeg_decode(b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00")
     # sampling factors above 2 (the documented scope edge; 1x1..2x2 all
     # decode for real as of the 4:2:0/4:2:2 support)
     blob = bytearray(jpeg_encode(_block_constant_rgb(np.array([[7]]))))
@@ -202,3 +204,85 @@ def test_chroma_subsampling_is_really_happening():
     the chroma blocks are actually gone)."""
     c = RNG.integers(0, 256, size=(32, 32, 3)).astype(np.int64)
     assert len(jpeg_encode(c, subsample="420")) < len(jpeg_encode(c, subsample="444"))
+
+
+# ---------------------------------------------------------- progressive
+
+
+def test_progressive_equals_baseline_decode():
+    """SOF2 spectral selection is a lossless re-layout of the SAME
+    coefficients: progressive decode must equal baseline decode exactly
+    — gray, color, subsampled, odd dims, coarse quant."""
+    cases = [
+        dict(raster=RNG.integers(0, 256, size=(24, 17)).astype(np.int64)),
+        dict(raster=RNG.integers(0, 256, size=(19, 21, 3)).astype(np.int64)),
+        dict(
+            raster=RNG.integers(0, 256, size=(24, 40, 3)).astype(np.int64),
+            subsample="420",
+        ),
+        dict(raster=RNG.integers(0, 256, size=(32, 32)).astype(np.int64), quant=8),
+    ]
+    for kw in cases:
+        r = kw.pop("raster")
+        base = jpeg_decode(jpeg_encode(r, **kw))
+        prog = jpeg_decode(jpeg_encode(r, progressive=True, **kw))
+        assert np.array_equal(prog, base), kw
+
+
+def test_progressive_successive_approximation_equals_baseline():
+    """Two-level successive approximation (Al=1 first scans + Ah=1
+    refinement scans, incl. the G.1.2.3 AC correction-bit procedure and
+    EOBn bit buffering) reconstructs the exact coefficients."""
+    cases = [
+        RNG.integers(0, 256, size=(24, 17)).astype(np.int64),
+        RNG.integers(0, 256, size=(19, 21, 3)).astype(np.int64),
+        RNG.integers(0, 256, size=(64, 64)).astype(np.int64),
+    ]
+    for r in cases:
+        base = jpeg_decode(jpeg_encode(r))
+        sa = jpeg_decode(jpeg_encode(r, progressive=True, prog_al=1))
+        assert np.array_equal(sa, base)
+    # subsampled color through SA
+    c = RNG.integers(0, 256, size=(24, 40, 3)).astype(np.int64)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(c, subsample="420", progressive=True, prog_al=1)),
+        jpeg_decode(jpeg_encode(c, subsample="420")),
+    )
+
+
+def test_progressive_block_constant_gray_is_bit_exact():
+    for prog_al in (0, 1):
+        rgb = _block_constant_rgb(RNG.integers(0, 256, size=(2, 4)))
+        out = jpeg_decode(jpeg_encode(rgb, progressive=True, prog_al=prog_al))
+        assert np.array_equal(out, rgb)
+
+
+def test_progressive_eobn_runs_are_real():
+    """A mostly-flat image makes long EOB runs: the EOBn path (r > 0 with
+    extension bits) must round-trip, and sparse spikes exercise the
+    ZRL-across-history interleave in refinement scans."""
+    flat = np.full((64, 64), 128, dtype=np.int64)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(flat, progressive=True))[:, :, 0], flat
+    )
+    sp = np.full((40, 40), 128, dtype=np.int64)
+    sp[::7, ::11] = 255
+    base = jpeg_decode(jpeg_encode(sp))
+    for al in (0, 1):
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode(sp, progressive=True, prog_al=al)), base
+        )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    al=st.integers(0, 1),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_roundtrip_property(w, h, al, seed):
+    g = np.random.default_rng(seed).integers(0, 256, size=(h, w)).astype(np.int64)
+    base = jpeg_decode(jpeg_encode(g))
+    prog = jpeg_decode(jpeg_encode(g, progressive=True, prog_al=al))
+    assert np.array_equal(prog, base)
