@@ -1,0 +1,73 @@
+"""Unit tests for bench.py's data-driven measurement guards.
+
+No Spark: these exercise the pure-python adjudication logic that decides
+whether a recorded run is trustworthy. The mid-run load-wave detector
+exists because the pre-run loadavg guard cannot see a wave that arrives
+DURING the run, and a post-run loadavg check would self-flag (the
+bench's own 32 threads dominate the trailing 5-min average) — so the
+signal is the shape of the data itself: external load inflates the
+whole catalog roughly uniformly, which a handful of genuine per-query
+regressions cannot do.
+"""
+
+import importlib.util
+import os
+import sys
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+)
+bench = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("bench", bench)
+_spec.loader.exec_module(bench)
+
+
+def _catalog(n=40, base=1.0):
+    return {f"q{i:02d}": base for i in range(n)}
+
+
+def test_clean_run_not_flagged():
+    best = _catalog()
+    # Typical clean jitter: most queries within ~1.2x of best.
+    timings = {q: t * 1.15 for q, t in best.items()}
+    assert bench._uniform_inflation(timings, best) is None
+
+
+def test_cold_cache_first_pass_not_flagged():
+    # Post-reboot cold page cache was measured at a ~1.16 catalog median
+    # (bench_history r6) — must stay below the flag line.
+    best = _catalog()
+    timings = {q: t * 1.2 for q, t in best.items()}
+    assert bench._uniform_inflation(timings, best) is None
+
+
+def test_wave_run_flagged_at_observed_ratio():
+    # The observed r6 wave run replayed at a 1.43 catalog median.
+    best = _catalog()
+    timings = {q: t * 1.43 for q, t in best.items()}
+    assert bench._uniform_inflation(timings, best) == 1.43
+
+
+def test_genuine_regressions_do_not_move_the_median():
+    # Five queries regress 5x while the rest of the catalog sits at its
+    # bests: real regressions, not a wave — the median must not flag,
+    # leaving the per-query regression harness to report them.
+    best = _catalog()
+    timings = dict(best)
+    for q in list(best)[:5]:
+        timings[q] = best[q] * 5.0
+    assert bench._uniform_inflation(timings, best) is None
+
+
+def test_too_few_comparable_queries_returns_none():
+    best = _catalog(n=10)
+    timings = {q: t * 2.0 for q, t in best.items()}
+    assert bench._uniform_inflation(timings, best) is None
+
+
+def test_sub_floor_bests_excluded():
+    # best <= 0.2s queries are noise-dominated and excluded from the
+    # ratio pool (same floor the regression harness uses).
+    best = {f"q{i:02d}": 0.1 for i in range(40)}
+    timings = {q: 1.0 for q in best}
+    assert bench._uniform_inflation(timings, best) is None
