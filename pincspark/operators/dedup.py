@@ -952,6 +952,15 @@ def duplicate_span_stats(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
             F.sum("dup").cast("bigint").alias("dup_spans"),
         )
+        # dup_ppm is the hash-stable form of the ratio: pure BIGINT
+        # arithmetic (truncating div), identical on every engine/libm —
+        # unlike ROUND(double, 6), whose last ulp can differ across DuckDB
+        # builds (the exact tie class that turned q59 red on the r6 driver
+        # while being bit-equal locally).
+        .withColumn(
+            "dup_ppm",
+            F.expr("dup_spans * CAST(1000000 AS BIGINT) div n_spans"),
+        )
         .withColumn(
             "dup_frac",
             F.round(F.col("dup_spans").cast("double") / F.col("n_spans").cast("double"), 6),

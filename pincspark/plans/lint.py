@@ -14,7 +14,10 @@ property instead of grepping ad hoc:
 Severities:
 - HARD (always fail): CartesianProduct, BroadcastNestedLoopJoin,
   BatchEvalPython (row-at-a-time Python UDF — Arrow-batched
-  ArrowEvalPython / mapInPandas stages are fine).
+  ArrowEvalPython / mapInPandas stages are fine), and
+  ``broadcast_fact_table`` — a forced ``F.broadcast`` hint whose side is an
+  unbounded scan of a fact-proportional table (checked on the analyzed
+  logical plan, where the hint is still visible).
 - SOFT (reported, fail only when listed in ``forbid``):
   ``single_partition`` — an ``Exchange SinglePartition`` funnels the whole
   dataset through one task. Legitimate in a FINAL stage over a bounded
@@ -34,6 +37,19 @@ HARD_PATTERNS = {
     "nested_loop_join": "BroadcastNestedLoopJoin",
     "python_udf_row_at_a_time": "BatchEvalPython",
 }
+
+# Tables whose row count grows with the corpus (fact-proportional). A forced
+# broadcast hint on an UNBOUNDED scan of one of these is fine at sf0.1 and an
+# OOM at 100 TB — the r6 q02 defect class (VERDICT r6 "What's wrong" #2).
+FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+
+# Logical nodes that neither bound nor reduce cardinality: a fact relation
+# reached from a broadcast hint through ONLY these is a full-table broadcast.
+# A Filter/Limit/Aggregate/Sample in between bounds or reduces the side (the
+# acknowledged ANN pattern broadcasts a filter-bounded k-row query batch), so
+# traversal stops there — the linter flags the provable class, not every
+# conceivable oversize broadcast.
+_PASS_THROUGH_NODES = frozenset({"Project", "SubqueryAlias", "ResolvedHint", "View"})
 
 SOFT_PATTERNS = {
     "single_partition": "Exchange SinglePartition",
@@ -59,9 +75,64 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _jvm_children(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _unbounded_fact_leaves(node) -> list[str]:
+    """Fact tables whose relation is reachable from ``node`` through
+    pass-through (non-cardinality-reducing) logical nodes only."""
+    name = node.nodeName()
+    if name in ("LogicalRelation", "Relation"):
+        # toString() renders columns only; the scanned table's identity
+        # lives in the file index root paths (HadoopFsRelation.location).
+        try:
+            paths = node.relation().location().rootPaths()
+            s = " ".join(paths.apply(i).toString() for i in range(paths.size()))
+        except Exception:  # non-file relation (in-memory, stream, JDBC)
+            s = node.toString()
+        return sorted(
+            t for t in FACT_TABLES if f"{t}.parquet" in s or s.rstrip("/").endswith(f"/{t}")
+        )
+    if name not in _PASS_THROUGH_NODES:
+        return []
+    hits: list[str] = []
+    for c in _jvm_children(node):
+        hits.extend(_unbounded_fact_leaves(c))
+    return hits
+
+
+def lint_broadcast_hints(df: DataFrame) -> list[Finding]:
+    """Walk the ANALYZED logical plan (where F.broadcast renders as a
+    ResolvedHint node) and flag forced broadcasts whose side is an unbounded
+    fact-table scan. Physical-plan text can't carry this rule: by then the
+    hint is just a BroadcastExchange indistinguishable from a planner-chosen
+    one, and planner-chosen broadcasts are size-gated by
+    autoBroadcastJoinThreshold at the actual data scale."""
+    findings: list[Finding] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        stack.extend(_jvm_children(node))
+        if node.nodeName() != "ResolvedHint":
+            continue
+        if "broadcast" not in node.hints().toString().lower():
+            continue
+        for t in _unbounded_fact_leaves(node):
+            findings.append(
+                Finding(
+                    "broadcast_fact_table",
+                    "hard",
+                    f"forced broadcast of unbounded {t} scan",
+                )
+            )
+    return findings
+
+
 def lint_plan(df: DataFrame) -> list[Finding]:
     plan = plan_string(df)
-    findings: list[Finding] = []
+    findings: list[Finding] = lint_broadcast_hints(df)
     for code, pat in HARD_PATTERNS.items():
         n = plan.count(pat)
         if n:

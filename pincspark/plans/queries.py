@@ -132,7 +132,13 @@ def q02_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums (sum-of-sums at unchanged scale), measured ~1.8x faster
     at sf0.1 — and at 100 TB the win grows: the expanded-fact shuffle is
     the plan's largest exchange, the per-order one is bounded by the
-    orders table."""
+    orders table.
+
+    No broadcast hint on orders: it is fact-proportional (~1/4 of lineitem
+    rows — terabytes at 100 TB), so a forced broadcast OOMs at scale; the
+    planner (with AQE) picks broadcast when it actually fits and falls back
+    to a shuffle join on the already-clustered orderkey otherwise. The hint
+    stays only on customer, a true dimension."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -141,7 +147,7 @@ def q02_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(disc).alias("_r"), F.count(F.lit(1)).alias("_n")
     )
     joined = per_order.join(
-        F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        orders.select("o_orderkey", "o_custkey"),
         per_order.l_orderkey == orders.o_orderkey,
     ).join(
         F.broadcast(cust.select("c_custkey", "c_mktsegment")),
@@ -3078,27 +3084,42 @@ ORACLE_Q61 = _q61_oracle()
 
 def q59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication census (Lee et al. 2022 substring-dedup
-    signal): per document, the fraction of its distinct 8-token spans that
-    also occur in another document — the boilerplate/mirror-content signal
-    whole-doc Jaccard misses. One window on the span hash + one keyed agg;
-    no joins or pair expansion."""
+    signal): per document, how many of its distinct 8-token spans also occur
+    in another document — the boilerplate/mirror-content signal whole-doc
+    Jaccard misses. One window on the span hash + one keyed agg; no joins or
+    pair expansion.
+
+    Hashed projection is the two exact BIGINT counters plus dup_ppm (pure
+    integer arithmetic): the library operator's rounded-double dup_frac is
+    derivable from them but is excluded here because ROUND(double, 6) ulps
+    vary across DuckDB builds/libm (the r6 driver-red class)."""
     from pincspark.operators.dedup import duplicate_span_stats
 
     docs = table(spark, sf_dir, "documents")
-    return duplicate_span_stats(docs, "doc_id", "text", n=8)
+    return duplicate_span_stats(docs, "doc_id", "text", n=8).select(
+        "doc_id", "n_spans", "dup_spans", "dup_ppm"
+    )
 
 
 def _q59_oracle() -> str:
+    # Version-robust forms only: explicit list_slice (not bracket slicing
+    # sugar), list_distinct + plain unnest in its own subquery (not
+    # DISTINCT-over-unnest, whose evaluation order is version-sensitive),
+    # and BIGINT-only output arithmetic (no rounded doubles in the hashed
+    # projection).
     span = (
         "CASE WHEN len(toks) >= 8 THEN "
-        "list_transform(generate_series(1, len(toks) - 7), i -> array_to_string(toks[i:i+7], ' ')) "
+        "list_transform(generate_series(1, len(toks) - 7), "
+        "i -> array_to_string(list_slice(toks, i, i + 7), ' ')) "
         "ELSE [array_to_string(toks, ' ')] END"
     )
     return f"""
 WITH toks_t AS (
   SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), sp AS (
+  SELECT doc_id, list_distinct({span}) AS spans FROM toks_t
 ), sh AS (
-  SELECT DISTINCT doc_id, unnest(list_distinct({span})) AS s FROM toks_t
+  SELECT doc_id, unnest(spans) AS s FROM sp
 ), hh AS (
   SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh
 ), c AS (
@@ -3107,8 +3128,8 @@ WITH toks_t AS (
 SELECT doc_id,
        COUNT(*) AS n_spans,
        SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS dup_spans,
-       ROUND(CAST(SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+       (SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
+         // COUNT(*) AS dup_ppm
 FROM hh JOIN c USING (h)
 GROUP BY doc_id
 """

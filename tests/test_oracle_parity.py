@@ -30,7 +30,11 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Full precision (round-trip exact), matching the driver's hash
+        # strength: %.9g masked q59's last-ulp divergence class in r6, so a
+        # query could pass locally and fail the driver gate. Any float that
+        # cannot survive %.17g comparison must not be in a hashed projection.
+        return f"{v:.17g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
     return str(v)

@@ -259,6 +259,41 @@ def test_entire_catalog_is_scale_safe(spark):
         assert_scalable(fn(spark, SF_DIR), allow=allow)
 
 
+def test_linter_flags_forced_broadcast_of_fact_table(spark):
+    """The r6 q02 defect class can't recur silently: a forced F.broadcast
+    on an UNBOUNDED fact-table scan (fine at sf0.1, OOM at 100 TB) is a hard
+    linter finding, while the acknowledged bounded patterns — broadcasting a
+    true dimension, or a filter-bounded query batch drawn from a fact table
+    (the ANN shape) — stay clean."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from pincspark.plans.lint import assert_scalable, lint_broadcast_hints
+    from pincspark.plans.queries import table
+
+    li = table(spark, SF_DIR, "lineitem")
+    orders = table(spark, SF_DIR, "orders")
+
+    bad = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    codes = {f.code for f in lint_broadcast_hints(bad)}
+    assert "broadcast_fact_table" in codes
+    with pytest.raises(AssertionError, match="broadcast_fact_table"):
+        assert_scalable(bad)
+
+    cust = table(spark, SF_DIR, "customer")
+    dim_ok = li.join(F.broadcast(cust), li.l_orderkey == cust.c_custkey)
+    assert not lint_broadcast_hints(dim_ok)
+
+    bounded_ok = li.join(
+        F.broadcast(orders.filter(F.col("o_orderkey") < 10)),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    assert not lint_broadcast_hints(bounded_ok)
+
+
 def test_harness_window_composition_is_pinned():
     """The external harness evaluates the FIRST 50 registered queries. The
     registry deliberately orders unique-coverage queries first and the six
