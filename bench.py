@@ -197,15 +197,16 @@ def _uniform_inflation(
     )
     if len(ratios) < 20:
         return None
-    med = ratios[len(ratios) // 2]
+    med = _median(ratios)  # true median (ADVICE r6 #1: [n//2] on an even
+    # list is the upper-middle element — biased toward flagging near 1.35)
     return round(med, 2) if med > 1.35 else None
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+def _run_catalog_once(sf_dir: str, cpus: int, sf: float) -> tuple[dict, dict]:
+    """One full bench pass (flagship subprocess + interleaved catalog);
+    returns (stdout_result, history_row) without printing or persisting —
+    the caller decides whether the pass is clean enough to be the round's
+    artifact or needs a retry."""
     loadavg, contended = _load_guard()
 
     # Flagship FIRST, isolated, before the catalog session exists.
@@ -366,7 +367,7 @@ def main() -> None:
     # documented at up to ~2x, so regressions are REPORTED in the JSON and
     # on stderr rather than failing the run; >1.5x vs the best-known time
     # is the flag threshold.
-    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
+    hist_path = _hist_path()
     best: dict[str, float] = {}
     if os.path.exists(hist_path):
         for line in open(hist_path):
@@ -404,10 +405,18 @@ def main() -> None:
     med_ratio = _uniform_inflation(timings, best)
     if med_ratio is not None:
         result["suspect_uniform_inflation"] = med_ratio
+        # ADVICE r6 #2: a catalog-wide CODE regression (session config, a
+        # shared operator) produces this same uniform signature — so the
+        # flag is "consistent with external load", not proof of it. The
+        # retry loop in main() is the corroboration: a load wave drains
+        # and the re-run comes back clean; a real broad regression
+        # reproduces across attempts and ships flagged.
         print(
             f"WARN catalog-wide median ratio vs bests is {med_ratio:.2f} "
-            "(>1.35): uniform inflation — likely an external load wave "
-            "overlapped this run; treat per-query flags above as noise",
+            "(>1.35): uniform inflation — consistent with an external load "
+            "wave, but a catalog-wide code regression has the same "
+            "signature; corroborate with loadavg and the retry re-run "
+            "before dismissing per-query flags",
             file=sys.stderr,
         )
     # The FULL record (raw per-pass samples, flagship runs, failure
@@ -433,14 +442,100 @@ def main() -> None:
     }
     if "suspect_uniform_inflation" in result:
         hist_row["suspect_uniform_inflation"] = result["suspect_uniform_inflation"]
-    with open(hist_path, "a") as f:
-        f.write(json.dumps(hist_row) + "\n")
 
-    # Stop the session BEFORE printing: the result JSON must be the last
-    # stdout line (the driver parses stdout; BENCH_r02 recorded
-    # "parsed": null when it wasn't clean).
+    # Stop the session BEFORE returning: the retry loop may start a fresh
+    # one, and the result JSON must end up the last stdout line (the driver
+    # parses stdout; BENCH_r02 recorded "parsed": null when it wasn't clean).
     spark.stop()
-    print(json.dumps(result))
+    return result, hist_row
+
+
+def _flagged(result: dict) -> bool:
+    return bool(result.get("contended")) or "suspect_uniform_inflation" in result
+
+
+def _hist_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+    )
+
+
+def _best_clean_history(sf: float) -> dict | None:
+    """Most recent-best CLEAN history row at this sf (no contention marker,
+    no uniform-inflation marker), compacted for the stdout line."""
+    best = None
+    try:
+        for line in open(_hist_path()):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("sf") != sf or rec.get("contended"):
+                continue
+            if "suspect_uniform_inflation" in rec:
+                continue
+            if rec.get("failed"):
+                continue
+            if best is None or rec["value"] < best["value"]:
+                best = rec
+    except OSError:
+        return None
+    if best is None:
+        return None
+    return {
+        "value": best["value"],
+        "ais_flagship": best.get("queries", {}).get("ais_flagship"),
+        "n_queries": len(best.get("queries", {})),
+    }
+
+
+def main() -> None:
+    """Run the catalog; when the pass self-flags as contended or uniformly
+    inflated, cool down and re-run (bounded) so the DRIVER-VISIBLE artifact
+    is a clean measurement — two rounds running, the official BENCH_rN.json
+    carried flagged noise while clean numbers lived only in bench_history
+    (VERDICT r6 #4). Every attempt is appended to bench_history (the full
+    forensic record); stdout gets the first clean attempt, or — if all
+    attempts flagged — the best attempt with the best-known clean history
+    row embedded alongside so readers see the steady state, not just the
+    wave."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    max_attempts = 1 + max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
+
+    attempts: list[dict] = []
+    for attempt in range(max_attempts):
+        result, hist_row = _run_catalog_once(sf_dir, cpus, sf)
+        hist_row["attempt"] = attempt + 1
+        with open(_hist_path(), "a") as f:
+            f.write(json.dumps(hist_row) + "\n")
+        attempts.append(result)
+        if not _flagged(result):
+            break
+        if attempt + 1 < max_attempts:
+            print(
+                f"WARN bench attempt {attempt + 1}/{max_attempts} flagged "
+                f"({'contended' if result.get('contended') else ''}"
+                f"{' uniform_inflation' if 'suspect_uniform_inflation' in result else ''}"
+                "); cooling down 120s before a clean re-run",
+                file=sys.stderr,
+            )
+            time.sleep(120)
+
+    clean = [r for r in attempts if not _flagged(r)]
+    if clean:
+        final = clean[0]
+        if len(attempts) > 1:
+            final["retries_before_clean"] = len(attempts) - 1
+    else:
+        final = min(attempts, key=lambda r: r["value"])
+        final["all_attempts_flagged"] = len(attempts)
+        best_hist = _best_clean_history(sf)
+        if best_hist is not None:
+            final["best_clean_history"] = best_hist
+    print(json.dumps(final))
     sys.stdout.flush()
 
 

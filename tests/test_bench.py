@@ -71,3 +71,34 @@ def test_sub_floor_bests_excluded():
     best = {f"q{i:02d}": 0.1 for i in range(40)}
     timings = {q: 1.0 for q in best}
     assert bench._uniform_inflation(timings, best) is None
+
+
+def test_replay_detector_over_recorded_history():
+    """CAUSAL replay of the mid-run wave detector over the committed
+    bench_history.jsonl (ADVICE r6 #3: the synthetic-ratio tests above pin
+    thresholds, but the claim 'the detector classifies the recorded history
+    correctly' needs the actual recorded rows). Bests are min-tracked over
+    PRIOR rows only — exactly what the live harness saw at each round; a
+    global-best replay would misclassify early rounds' slower CODE as
+    waves. The first 31 sf0.1 rows are frozen history: the detector must
+    flag exactly the four adjudicated wave runs (r4-r6 rounds where a
+    drained load wave inflated the catalog uniformly) and wave none of the
+    known-clean rows."""
+    import json
+
+    hist = os.path.join(os.path.dirname(__file__), "..", "bench_history.jsonl")
+    rows = [json.loads(l) for l in open(hist) if l.strip()]
+    sf_rows = [r for r in rows if r.get("sf") == 0.1]
+    assert len(sf_rows) >= 31, "frozen history prefix missing"
+
+    flagged = []
+    best: dict[str, float] = {}
+    for i, r in enumerate(sf_rows):
+        if bench._uniform_inflation(r.get("queries", {}), best) is not None:
+            flagged.append(i)
+        for q, t in r.get("queries", {}).items():
+            if q not in best or t < best[q]:
+                best[q] = t
+
+    frozen = [i for i in flagged if i < 31]
+    assert frozen == [2, 18, 25, 28], frozen
