@@ -246,6 +246,7 @@ def test_entire_catalog_is_scale_safe(spark):
     BOUNDED_QUERY_BATCH = {
         "q18_knn_cosine",
         "q22_ivf_topk",
+        "q62_ivf_index_topk",  # same bounded centroid/query-batch crosses as q22
         "q41_quantized_knn",
         "q48_bm25_scores",  # 1-row corpus-stats aggregate crossed on
         "q51_pq_topk",
@@ -319,9 +320,12 @@ def test_harness_window_composition_is_pinned():
         "q59_dup_spans",
         "q60_jpeg_decode",
         "q61_flac_decode",
+        "q62_ivf_index_topk",
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
     assert after == {
+        "q22_ivf_topk",  # transient IVF, subsumed by served q62 (identity
+        # pinned in test_ann_index.py; same oracle)
         "q19_minhash_lsh", "q10_distinct_users", "q11_running_spend",
         "q12_top_spenders", "q20_ngram_jaccard", "q21_simhash",
         "q26_approx_distinct", "q44_deterministic_shards",
