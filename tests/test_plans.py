@@ -295,6 +295,30 @@ def test_linter_flags_forced_broadcast_of_fact_table(spark):
     assert not lint_broadcast_hints(bounded_ok)
 
 
+def test_q27_steady_plan_shape_is_pinned(spark):
+    """q27 drew >1.7x contention flags in two consecutive official bench
+    artifacts (r5 adjudicated noise, r6 1.81x with quiet-box 0.73s) with no
+    code change either round. Pin the plan shape — ONE equi hash/merge join
+    on the block key, <=2 exchanges (the _spread repartition + the join's
+    build-side exchange), zero cartesian/BNLJ/row-Python — so a future
+    bench flag while this test is green is mechanically adjudicable as
+    machine noise (adjudication rule in COVERAGE.md round-7 notes)."""
+    from pincspark.plans.lint import plan_string
+    from pincspark.plans.queries import QUERIES
+
+    plan = plan_string(QUERIES["q27_embedding_dups"][0](spark, SF_DIR))
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert plan.count("BatchEvalPython") == 0
+    equi_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert equi_joins == 1, f"q27 join shape changed: {equi_joins} equi-joins"
+    assert plan.count("Exchange") <= 2, "q27 grew an extra shuffle stage"
+
+
 def test_harness_window_composition_is_pinned():
     """The external harness evaluates the FIRST 50 registered queries. The
     registry deliberately orders unique-coverage queries first and the six
