@@ -661,6 +661,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     block_col: str | None = None,
+    max_block_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
 
@@ -669,6 +670,21 @@ def embedding_dup_pairs(
     cell id (:func:`pincspark.operators.similarity.ivf_assign`) or a cheap
     cluster/label as the key at scale. ``block_col=None`` is the exact
     all-pairs baseline (small corpora only).
+
+    Blocks larger than ``max_block_size`` are EXCLUDED from pair
+    generation (their pairs are not reported), the same guard class as
+    ngram_jaccard_pairs' ``max_posting_size``: a block's cost is
+    |block|^2, so one degenerate key (a label that covers half the
+    corpus) turns the whole job quadratic — the scale probe measured
+    117x runtime at 16x data on a fixed-label corpus before this cap
+    existed (scripts/scale_probe.py; COVERAGE.md round-7 notes). With
+    the cap, total pair cost is bounded by N * max_block_size, linear in
+    the corpus. Oversized blocks are where blocking has failed as a
+    strategy; route those corpora through the IVF-cell path
+    (ivf_assign / build_ivf_index) instead, which bounds cell sizes by
+    construction. The cap prunes the plan with ONE extra aggregate and
+    a one-sided semi-join (the equi-join condition carries the bound to
+    the other side). Oracles mirror the cap exactly.
     """
     from pincspark.functions.vectors import cosine
 
@@ -682,6 +698,17 @@ def embedding_dup_pairs(
     )
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
+        if max_block_size is not None:
+            ok = (
+                df.groupBy(F.col(block_col).alias("__blk_ok"))
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") <= max_block_size)
+                .select("__blk_ok")
+            )
+            # One side suffices: the pair join requires equal blocks, so
+            # bounding `a`'s block bounds `b`'s. The ok-list is one row
+            # per surviving block — AQE broadcasts it when small.
+            a = a.join(ok, F.col("__blk") == F.col("__blk_ok")).drop("__blk_ok")
         joined = a.join(b, (F.col("__blk") == F.col("__blk_b")) & cond)
     else:
         joined = a.crossJoin(b).filter(cond)

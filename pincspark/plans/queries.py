@@ -1470,7 +1470,10 @@ FROM events GROUP BY 1, 2
 
 def q27_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the dedup blocking
-    pattern; swap in IVF cells for unlabeled corpora)."""
+    pattern; swap in IVF cells for unlabeled corpora). Blocks over the
+    default max_block_size=4096 are excluded (oracle mirrors the cap) —
+    a degenerate block is quadratic and belongs on the IVF path; see
+    embedding_dup_pairs' docstring and the round-7 scale-probe numbers."""
     from pincspark.operators.dedup import embedding_dup_pairs
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1482,11 +1485,15 @@ def q27_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q27 = """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ok AS (
+  -- mirrors embedding_dup_pairs' max_block_size=4096 oversized-block skip
+  SELECT label FROM e GROUP BY label HAVING COUNT(*) <= 4096
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+JOIN ok ON a.label = ok.label
 WHERE ROUND(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
 """

@@ -298,9 +298,10 @@ def test_linter_flags_forced_broadcast_of_fact_table(spark):
 def test_q27_steady_plan_shape_is_pinned(spark):
     """q27 drew >1.7x contention flags in two consecutive official bench
     artifacts (r5 adjudicated noise, r6 1.81x with quiet-box 0.73s) with no
-    code change either round. Pin the plan shape — ONE equi hash/merge join
-    on the block key, <=2 exchanges (the _spread repartition + the join's
-    build-side exchange), zero cartesian/BNLJ/row-Python — so a future
+    code change either round. Pin the plan shape — TWO equi joins (the
+    max_block_size ok-list semi-join + the pair join on the block key),
+    <=4 exchanges (_spread repartition, the ok-list aggregate's, and the
+    joins' build sides), zero cartesian/BNLJ/row-Python — so a future
     bench flag while this test is green is mechanically adjudicable as
     machine noise (adjudication rule in COVERAGE.md round-7 notes)."""
     from pincspark.plans.lint import plan_string
@@ -315,8 +316,8 @@ def test_q27_steady_plan_shape_is_pinned(spark):
         + plan.count("ShuffledHashJoin")
         + plan.count("BroadcastHashJoin")
     )
-    assert equi_joins == 1, f"q27 join shape changed: {equi_joins} equi-joins"
-    assert plan.count("Exchange") <= 2, "q27 grew an extra shuffle stage"
+    assert equi_joins == 2, f"q27 join shape changed: {equi_joins} equi-joins"
+    assert plan.count("Exchange") <= 4, "q27 grew an extra shuffle stage"
 
 
 def test_harness_window_composition_is_pinned():

@@ -113,6 +113,60 @@ def test_embedding_dedup_blocked_by_ivf_cell(spark):
     assert len(blocked & exact) / len(exact) >= 0.9
 
 
+def test_embedding_dedup_oversized_block_cap(spark):
+    """max_block_size excludes degenerate blocks from pair generation —
+    the guard the round-7 scale probe motivated (q27 measured 117x
+    runtime at 16x data when one label covered a constant fraction of a
+    growing corpus; scripts/scale_probe.py). A binding cap must drop
+    exactly the oversized block's pairs, keep every small-block pair
+    bit-identically, and match the DuckDB mirror of the capped oracle."""
+    import duckdb
+
+    from pincspark.operators.dedup import embedding_dup_pairs
+
+    rows = [
+        # block 1: 3 members (oversized under cap=2)
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1), (3, [0.8, 0.2], 1),
+        # block 2: 2 members (within cap)
+        (4, [0.0, 1.0], 2), (5, [0.1, 0.9], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    uncapped = embedding_dup_pairs(
+        df, threshold=0.5, block_col="label", max_block_size=None
+    )
+    capped = embedding_dup_pairs(
+        df, threshold=0.5, block_col="label", max_block_size=2
+    )
+    got_un = {(r["id_a"], r["id_b"]): r["score"] for r in uncapped.collect()}
+    got = {(r["id_a"], r["id_b"]): r["score"] for r in capped.collect()}
+    assert {p for p in got_un if p[0] <= 3} and got_un[(4, 5)]  # both blocks hit
+    assert set(got) == {(4, 5)}  # oversized block 1 fully excluded
+    assert got[(4, 5)] == got_un[(4, 5)]  # surviving pairs untouched
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        "(1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1), (3, [0.8, 0.2], 1), "
+        "(4, [0.0, 1.0], 2), (5, [0.1, 0.9], 2)) t(vec_id, v, label)"
+    )
+    oracle = con.execute(
+        """
+        WITH ok AS (SELECT label FROM e GROUP BY label HAVING COUNT(*) <= 2)
+        SELECT a.vec_id, b.vec_id,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6)
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        JOIN ok ON a.label = ok.label
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.5
+        """
+    ).fetchall()
+    assert {(r[0], r[1]): r[2] for r in oracle} == got
+
+
 def test_pq_adc_recall_on_planted_duplicates(spark):
     """Trained product quantization (per-subspace Lloyd refinement) must
     surface a planted near-duplicate (cosine ~0.97 to its source) in the
