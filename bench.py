@@ -183,6 +183,41 @@ def _load_guard() -> tuple[float, bool]:
     return load, load > thresh
 
 
+# Deliberate plan changes reset a query's regression baseline: history
+# rows OLDER than the epoch here (and all pre-epoch rows, which carry no
+# "ts" field) are excluded from that query's best-known time, so the
+# detector measures the CURRENT plan against itself instead of flagging
+# the cost of an intentional trade forever. Entries cite the change.
+_REBASELINED: dict[str, float] = {
+    # r7: embedding_dup_pairs grew the max_block_size oversized-block
+    # guard (one extra aggregate + ok-list join; see COVERAGE.md round-7
+    # notes) — ~0.3s of fixed toy-scale cost bought a quadratic->linear
+    # scale fix. Pre-cap bests (0.685s) are not comparable.
+    "q27_embedding_dups": 1_786_700_000.0,
+}
+
+
+def _best_per_query(sf: float, hist_path: str) -> dict[str, float]:
+    """Best-known per-query time at this sf from the history file, with
+    rebaselined queries' pre-epoch rows excluded (rows from before the
+    "ts" field existed count as epoch 0 — always pre-change)."""
+    best: dict[str, float] = {}
+    if os.path.exists(hist_path):
+        for line in open(hist_path):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("sf") != sf:
+                continue
+            for q, t in rec.get("queries", {}).items():
+                if rec.get("ts", 0) < _REBASELINED.get(q, 0):
+                    continue  # best predates a deliberate plan change
+                if q not in best or t < best[q]:
+                    best[q] = t
+    return best
+
+
 def _uniform_inflation(
     timings: dict[str, float], best: dict[str, float]
 ) -> float | None:
@@ -367,19 +402,7 @@ def _run_catalog_once(sf_dir: str, cpus: int, sf: float) -> tuple[dict, dict]:
     # documented at up to ~2x, so regressions are REPORTED in the JSON and
     # on stderr rather than failing the run; >1.5x vs the best-known time
     # is the flag threshold.
-    hist_path = _hist_path()
-    best: dict[str, float] = {}
-    if os.path.exists(hist_path):
-        for line in open(hist_path):
-            try:
-                rec = json.loads(line)
-            except ValueError:
-                continue
-            if rec.get("sf") != sf:
-                continue
-            for q, t in rec.get("queries", {}).items():
-                if q not in best or t < best[q]:
-                    best[q] = t
+    best = _best_per_query(sf, _hist_path())
     regressions = {
         q: {"now": t, "best": best[q], "ratio": round(t / best[q], 2)}
         for q, t in timings.items()
@@ -426,6 +449,7 @@ def _run_catalog_once(sf_dir: str, cpus: int, sf: float) -> tuple[dict, dict]:
     # from the median-of-3 harness are tagged; earlier single-sample rows
     # stay (best-tracking takes min, which slow noise can't pollute).
     hist_row = {
+        "ts": round(time.time(), 1),
         "sf": sf,
         "value": total,
         "queries": timings,

@@ -102,3 +102,26 @@ def test_replay_detector_over_recorded_history():
 
     frozen = [i for i in flagged if i < 31]
     assert frozen == [2, 18, 25, 28], frozen
+
+
+def test_rebaselined_query_ignores_pre_epoch_bests(tmp_path):
+    """A deliberate plan change (e.g. q27's r7 oversized-block guard)
+    resets that query's regression baseline: history rows older than the
+    rebaseline epoch — including all rows from before the "ts" field
+    existed — are excluded from its best, while other queries keep their
+    full history."""
+    import json
+
+    hist = tmp_path / "h.jsonl"
+    rows = [
+        {"sf": 0.1, "queries": {"q27_embedding_dups": 0.685, "q01": 0.5}},
+        {"ts": 2e9, "sf": 0.1,
+         "queries": {"q27_embedding_dups": 1.1, "q01": 0.6}},
+        {"ts": 2e9, "sf": 0.001,  # other sf never contributes
+         "queries": {"q27_embedding_dups": 0.1, "q01": 0.1}},
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    assert "q27_embedding_dups" in bench._REBASELINED  # the r7 entry
+    best = bench._best_per_query(0.1, str(hist))
+    assert best["q27_embedding_dups"] == 1.1  # pre-cap 0.685 excluded
+    assert best["q01"] == 0.5  # non-rebaselined query keeps full history
