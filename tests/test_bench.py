@@ -125,3 +125,41 @@ def test_rebaselined_query_ignores_pre_epoch_bests(tmp_path):
     best = bench._best_per_query(0.1, str(hist))
     assert best["q27_embedding_dups"] == 1.1  # pre-cap 0.685 excluded
     assert best["q01"] == 0.5  # non-rebaselined query keeps full history
+
+
+def test_best_clean_history_skips_small_catalog_rows(tmp_path, monkeypatch):
+    """min-by-value across history once surfaced a 32-query row as "best"
+    against a 63-query run — smaller catalogs, not faster code. Rows
+    more than 2 queries short of the current catalog are excluded."""
+    import json
+
+    hist = tmp_path / "h.jsonl"
+    small = {"sf": 0.1, "value": 50.0,
+             "queries": {f"q{i}": 1.0 for i in range(32)}}
+    full = {"sf": 0.1, "value": 63.0,
+            "queries": {f"q{i}": 1.0 for i in range(63)}}
+    hist.write_text(json.dumps(small) + "\n" + json.dumps(full) + "\n")
+    monkeypatch.setattr(bench, "_hist_path", lambda: str(hist))
+    got = bench._best_clean_history(0.1, n_queries=63)
+    assert got is not None and got["value"] == 63.0  # small row excluded
+    legacy = bench._best_clean_history(0.1)  # no size known -> old behavior
+    assert legacy["value"] == 50.0
+
+
+def test_retry_load_guard_ignores_own_5min_residue(monkeypatch):
+    """A retry attempt judges contention on the 1-min loadavg only: the
+    5-min average unavoidably carries the bench's own just-finished
+    attempt, which made every retry self-flag contended (r7 measured
+    attempts 2-3 at l5 6+ with steady timings)."""
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 8.0, 8.0))
+    _, contended_first = bench._load_guard()
+    assert contended_first  # first attempt: l5 8.0 rightly flags
+    _, contended_retry = bench._load_guard(ignore_l5=True)
+    assert not contended_retry  # retry: quiet l1 is the honest signal
+
+
+def test_drain_load_returns_when_l1_quiet(monkeypatch):
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 9.0, 9.0))
+    t0 = __import__("time").time()
+    bench._drain_load(max_wait=5.0)
+    assert __import__("time").time() - t0 < 1.0  # no pointless sleeping
