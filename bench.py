@@ -219,24 +219,37 @@ _REBASELINED: dict[str, float] = {
 }
 
 
+def _iter_history(sf: float, hist_path: str):
+    """All parseable history rows at this sf. The single place that knows
+    how to read bench_history.jsonl — per-caller FILTERS (clean-only,
+    rebaseline epochs, catalog size) stay at the call sites where their
+    rationale lives, but iteration/parse/sf-match semantics can't drift
+    between them (review finding r7: two hand-rolled loops had already
+    diverged on error handling)."""
+    try:
+        with open(hist_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("sf") == sf:
+                    yield rec
+    except OSError:
+        return
+
+
 def _best_per_query(sf: float, hist_path: str) -> dict[str, float]:
     """Best-known per-query time at this sf from the history file, with
     rebaselined queries' pre-epoch rows excluded (rows from before the
     "ts" field existed count as epoch 0 — always pre-change)."""
     best: dict[str, float] = {}
-    if os.path.exists(hist_path):
-        for line in open(hist_path):
-            try:
-                rec = json.loads(line)
-            except ValueError:
-                continue
-            if rec.get("sf") != sf:
-                continue
-            for q, t in rec.get("queries", {}).items():
-                if rec.get("ts", 0) < _REBASELINED.get(q, 0):
-                    continue  # best predates a deliberate plan change
-                if q not in best or t < best[q]:
-                    best[q] = t
+    for rec in _iter_history(sf, hist_path):
+        for q, t in rec.get("queries", {}).items():
+            if rec.get("ts", 0) < _REBASELINED.get(q, 0):
+                continue  # best predates a deliberate plan change
+            if q not in best or t < best[q]:
+                best[q] = t
     return best
 
 
@@ -521,24 +534,15 @@ def _best_clean_history(sf: float, n_queries: int = 0) -> dict | None:
     code. Rows within 2 queries of ``n_queries`` qualify (the round that
     adds a query must still find last round's rows)."""
     best = None
-    try:
-        for line in open(_hist_path()):
-            try:
-                rec = json.loads(line)
-            except ValueError:
-                continue
-            if rec.get("sf") != sf or rec.get("contended"):
-                continue
-            if "suspect_uniform_inflation" in rec:
-                continue
-            if rec.get("failed"):
-                continue
-            if n_queries and len(rec.get("queries", {})) < n_queries - 2:
-                continue
-            if best is None or rec["value"] < best["value"]:
-                best = rec
-    except OSError:
-        return None
+    for rec in _iter_history(sf, _hist_path()):
+        if rec.get("contended") or "suspect_uniform_inflation" in rec:
+            continue
+        if rec.get("failed"):
+            continue
+        if n_queries and len(rec.get("queries", {})) < n_queries - 2:
+            continue
+        if best is None or rec["value"] < best["value"]:
+            best = rec
     if best is None:
         return None
     return {

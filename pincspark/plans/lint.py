@@ -48,8 +48,28 @@ FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embedding
 # A Filter/Limit/Aggregate/Sample in between bounds or reduces the side (the
 # acknowledged ANN pattern broadcasts a filter-bounded k-row query batch), so
 # traversal stops there — the linter flags the provable class, not every
-# conceivable oversize broadcast.
-_PASS_THROUGH_NODES = frozenset({"Project", "SubqueryAlias", "ResolvedHint", "View"})
+# conceivable oversize broadcast. Sort / repartition / distribute-by /
+# deserialization wrappers reorder or reshuffle rows without dropping any —
+# F.broadcast(orders.repartition(16).select(...)) is every bit the r6 q02
+# OOM class, so traversal must see through them; Union keeps all children's
+# rows, so each child is walked.
+_PASS_THROUGH_NODES = frozenset(
+    {
+        "Project",
+        "SubqueryAlias",
+        "ResolvedHint",
+        "View",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Union",
+        "DeserializeToObject",
+        "SerializeFromObject",
+        "WithCTE",
+        "CTERelationDef",
+    }
+)
 
 SOFT_PATTERNS = {
     "single_partition": "Exchange SinglePartition",

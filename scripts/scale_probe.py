@@ -22,10 +22,13 @@ curves measure the operator, not an artifact of cloning):
   cloning would instead plant k-clone groups everywhere and near-dup PAIR
   counts would grow k^2 — measuring the corpus, not the algorithm.
 - ``embeddings.embedding`` is circularly rotated by replica index: a
-  coordinate permutation is orthogonal, so every within-replica inner
-  product / cosine / norm is EXACTLY preserved, while cross-replica
-  cosines decorrelate. The ANN/near-dup workload per replica is
-  bit-comparable to the original.
+  coordinate permutation is orthogonal, so within-replica inner products
+  / cosines / norms are preserved up to float summation order (rotating
+  the coordinates reorders the sum; measured deltas ~1e-7, which can in
+  principle flip a pair sitting exactly on a ROUND(..,6) tie or a
+  threshold), while cross-replica cosines decorrelate. The ANN/near-dup
+  workload per replica is statistically equivalent to the original —
+  close enough for a cost-curve probe, not a bitwise guarantee.
 - Dimensions (region, nation) copy through; customer/part/supplier scale
   with their keys so FK references stay dense and valid.
 

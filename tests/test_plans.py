@@ -294,6 +294,22 @@ def test_linter_flags_forced_broadcast_of_fact_table(spark):
     )
     assert not lint_broadcast_hints(bounded_ok)
 
+    # Reorder/reshuffle wrappers keep every row — hiding the fact scan
+    # behind them must not evade the rule (review finding r7: Sort and
+    # Repartition were absent from the pass-through set, so these exact
+    # shapes walked free).
+    for wrapped in (
+        orders.repartition(16).select("o_orderkey"),
+        orders.orderBy("o_orderkey"),
+        orders.select("o_orderkey").union(orders.select("o_orderkey")),
+    ):
+        evasive = li.join(
+            F.broadcast(wrapped), li.l_orderkey == wrapped.o_orderkey
+        )
+        assert "broadcast_fact_table" in {
+            f.code for f in lint_broadcast_hints(evasive)
+        }, f"evaded via {wrapped}"
+
 
 def test_q27_steady_plan_shape_is_pinned(spark):
     """q27 drew >1.7x contention flags in two consecutive official bench
