@@ -152,6 +152,7 @@ def test_retry_load_guard_ignores_own_5min_residue(monkeypatch):
     attempt, which made every retry self-flag contended (r7 measured
     attempts 2-3 at l5 6+ with steady timings)."""
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 8.0, 8.0))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)  # skip backoff
     _, contended_first = bench._load_guard()
     assert contended_first  # first attempt: l5 8.0 rightly flags
     _, contended_retry = bench._load_guard(ignore_l5=True)
