@@ -164,3 +164,21 @@ def test_drain_load_returns_when_l1_quiet(monkeypatch):
     t0 = __import__("time").time()
     bench._drain_load(max_wait=5.0)
     assert __import__("time").time() - t0 < 1.0  # no pointless sleeping
+
+
+def test_scale_probe_query_list_tracks_catalog():
+    """scripts/scale_probe.py names catalog queries in a plain list; a
+    rename in the catalog would otherwise break the probe only at its
+    next manual run."""
+    import importlib.util as iu
+
+    spec = iu.spec_from_file_location(
+        "scale_probe",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "scale_probe.py"),
+    )
+    probe = iu.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    from pincspark.plans.queries import QUERIES
+
+    missing = [q for q in probe.DEFAULT_QUERIES if q not in QUERIES]
+    assert not missing, f"scale_probe names unknown queries: {missing}"
