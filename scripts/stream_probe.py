@@ -1,0 +1,164 @@
+"""Streaming throughput slope for the ST2 zone state machine.
+
+The batch operators have measured cost curves (scale_probe.py); this
+probe answers the streaming question: does micro-batch throughput
+through `track_zone_transitions` (applyInPandasWithState — per-key
+in/out state, enter/exit event emission) hold as event volume and key
+cardinality grow? It generates synthetic vessel tracks (deterministic
+zig-zag across the TSS zone polygons — every vessel produces real
+enter/exit transitions, so the state machine does real work), runs the
+streaming query with an availableNow-style full drain over 1x and kx
+volumes, and prints events/sec at each scale.
+
+Scaling model: kx = k times the VESSELS, same track length per vessel —
+a bigger fleet, not deeper per-key state — matching how an AIS feed
+actually grows. Per-key state size is constant; the state store grows
+in key count; a flat events/sec curve means the operator is
+shuffle/state-bound, not key-bound.
+
+Usage: python scripts/stream_probe.py [--base 100000] [--scale 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _inside_point(spark) -> tuple[float, float]:
+    """A (lon, lat) that actually sits inside a zone polygon, discovered
+    by flagging candidate points (vertex-pair midpoints + running
+    centroids) through the production point-in-polygon path — no
+    hand-maintained magic coordinates to go stale."""
+    import json
+
+    from pincspark.operators.geo import zones_df
+    from pincspark.streaming.zones import with_zone_flags
+
+    zpath = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pincspark", "data", "tss_zones.json",
+    )
+    coords = json.load(open(zpath))[0]["coordinates"]
+    cands = [
+        ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
+        for a, b in zip(coords, coords[1:])
+    ]
+    k = max(3, len(coords) // 4)
+    cands.append(
+        (sum(c[0] for c in coords[:k]) / k, sum(c[1] for c in coords[:k]) / k)
+    )
+    df = spark.createDataFrame(
+        [(i, 1700000000 + i, lon, lat) for i, (lon, lat) in enumerate(cands)],
+        "mmsi BIGINT, epoch BIGINT, longitude DOUBLE, latitude DOUBLE",
+    ).withColumn("ts", __import__("pyspark").sql.functions.timestamp_seconds("epoch"))
+    flagged = with_zone_flags(df, zones_df(spark))
+    zcol = next(c for c in flagged.columns if c not in df.columns)
+    hit = flagged.filter(f"{zcol} IS NOT NULL").select("longitude", "latitude").first()
+    if hit is None:
+        raise SystemExit("no candidate point landed inside a zone polygon")
+    return hit["longitude"], hit["latitude"]
+
+
+def _tracks(spark, vessels: int, events_per_vessel: int, inside):
+    """Deterministic fleet: every vessel zig-zags across the zone
+    boundary every 4 steps (inside point discovered from the polygons),
+    so the state machine emits enter/exit transitions continuously."""
+    from pyspark.sql import functions as F
+
+    lon_in, lat_in = inside
+    n = vessels * events_per_vessel
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") % vessels + 100000).alias("mmsi"),
+            (F.col("id") / vessels).cast("long").alias("step"),
+        )
+        .select(
+            "mmsi",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("step") * 60).alias("ts"),
+            F.lit(lon_in).alias("longitude"),
+            F.when(
+                (F.col("step") / 4).cast("long") % 2 == 0, F.lit(lat_in)
+            ).otherwise(F.lit(lat_in + 10.0)).alias("latitude"),
+        )
+    )
+
+
+def _drain(q) -> None:
+    while q.isActive:
+        q.processAllAvailable()
+        if not q.status["isDataAvailable"]:
+            break
+    q.stop()
+    q.awaitTermination(60)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=100_000, help="events at 1x")
+    ap.add_argument("--scale", type=int, default=8)
+    ap.add_argument("--events-per-vessel", type=int, default=50)
+    args = ap.parse_args()
+
+    from pincspark.operators.geo import zones_df
+    from pincspark.session import get_spark
+    from pincspark.streaming.zones import track_zone_transitions, with_zone_flags
+
+    spark = get_spark("pincspark-stream-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    inside = _inside_point(spark)
+    print(f"inside point: {inside}", file=sys.stderr)
+    results = {}
+    for tag, n_events in (("1x", args.base), (f"{args.scale}x", args.base * args.scale)):
+        vessels = max(1, n_events // args.events_per_vessel)
+        tmp = tempfile.mkdtemp(prefix="pincspark_stream_probe_")
+        try:
+            src = os.path.join(tmp, "pos")
+            flagged = with_zone_flags(
+                _tracks(spark, vessels, args.events_per_vessel, inside),
+                zones_df(spark),
+            )
+            flagged.write.parquet(src)
+            schema = spark.read.parquet(src).schema
+            stream = spark.readStream.schema(schema).parquet(src)
+            sink = f"probe_{tag.replace('x', '')}"
+            t0 = time.time()
+            q = (
+                track_zone_transitions(stream, timeout_ms=None)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            _drain(q)
+            wall = time.time() - t0
+            transitions = spark.sql(f"SELECT count(*) c FROM {sink}").collect()[0]["c"]
+            results[tag] = {
+                "events": n_events,
+                "vessels": vessels,
+                "wall_s": round(wall, 2),
+                "events_per_sec": int(n_events / wall),
+                "transitions": transitions,
+            }
+            print(f"{tag}: {results[tag]}", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    r1, rk = results["1x"], results[f"{args.scale}x"]
+    print(
+        f"throughput ratio {args.scale}x/1x: "
+        f"{rk['events_per_sec'] / r1['events_per_sec']:.2f} "
+        f"(1.0 = perfectly flat; >{1/args.scale:.2f} required for sublinear wall)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
