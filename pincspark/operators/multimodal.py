@@ -25,8 +25,11 @@ bit-for-bit against the stdlib ``audioop`` C implementation), and FLAC
 (from-scratch bitstream decoder, ``operators/flac.py``: Rice residuals,
 FIXED/LPC prediction, stereo decorrelation, CRC verification) — no
 PIL/libsndfile needed.
+Lossless WebP also decodes for real (from-scratch VP8L codec,
+``operators/webp.py``: both Huffman code classes, color cache, LZ77
+backrefs, meta-Huffman, all four transforms).
 Formats whose codecs genuinely need external libraries this container
-ships without (WebP/mp3/ogg/video/...): ``strict=True`` raises
+ships without (lossy-VP8 WebP/AVIF/mp3/ogg/video/...): ``strict=True`` raises
 NotImplementedError, and the default produces a DETERMINISTIC FAKE decode
 (content-hash-seeded stats) so the Spark-side plumbing (schemas, UDF
 signatures, batch shapes, explode logic) stays fully real and testable
@@ -826,9 +829,10 @@ def _raster_features(
 def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | None:
     """(mean_intensity, grid feature) for formats decodable WITHOUT codec
     libraries — P6 PPM (pure numpy), PNG (stdlib zlib + unfilter), GIF
-    (from-scratch LZW), and baseline JPEG (from-scratch Huffman + IDCT,
-    `operators/jpeg.py`); None when a real codec library would be needed
-    (progressive JPEG, WebP, ...). Feature = luminance block-averaged
+    (from-scratch LZW), JPEG (from-scratch Huffman + IDCT,
+    `operators/jpeg.py`), and lossless WebP (from-scratch VP8L,
+    `operators/webp.py`); None when a real codec library would be needed
+    (lossy VP8/VP8X WebP, AVIF, ...). Feature = luminance block-averaged
     onto a fixed (gh, gw) grid — the deterministic resize step —
     flattened row-major."""
     if data.startswith(b"P6"):
@@ -841,6 +845,10 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
         from pincspark.operators.jpeg import decode_jpeg_raw
 
         decode = decode_jpeg_raw
+    elif data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        from pincspark.operators.webp import decode_webp_raw
+
+        decode = decode_webp_raw
     else:
         return None
     try:
@@ -897,10 +905,11 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode + resize + feature extraction as a mapInPandas stage.
 
-    PPM, PNG, GIF, and JPEG (baseline + progressive) decode FOR REAL
-    (pure numpy/stdlib codecs — see the module docstring); luminance is
-    block-average resized onto a fixed grid. Formats still needing
-    external codec libraries (WebP, AVIF, ...): strict=True raises
+    PPM, PNG, GIF, JPEG (baseline + progressive), and lossless WebP
+    (VP8L) decode FOR REAL (pure numpy/stdlib codecs — see the module
+    docstring); luminance is block-average resized onto a fixed grid.
+    Formats still needing external codec libraries (lossy-VP8 WebP,
+    AVIF, ...): strict=True raises
     NotImplementedError; the default produces deterministic fake features
     so the pipeline shape stays real either way.
     """

@@ -3130,6 +3130,53 @@ FROM b
 ORACLE_Q61 = _q61_oracle()
 
 
+def q63_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch lossless-WebP (VP8L) codec under the oracle gate:
+    the q56 raster (repeat(md5(text), 6) as an 8x8 RGB image) is
+    VP8L-ENCODED in a mapInPandas stage (`operators/webp.py`: LSB-first
+    bitstream, per-channel Huffman codes incl. the max_symbol shortcut
+    and the 19-symbol code-length code) and decoded back by the same
+    module's full decoder in STRICT mode. VP8L is lossless, so the
+    analytic oracle is identical to q57's — it sees straight through the
+    Huffman container to the raw byte arithmetic; any codec bug breaks
+    parity. Registered past the 50-query harness window (the window's
+    codec risk-slots are held by q57/q58/q60/q61); gated locally by
+    tests/test_oracle_parity.py over the full catalog."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.dedup import _spread
+    from pincspark.operators.multimodal import decode_image_features
+    from pincspark.operators.webp import webp_encode
+
+    def _mint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+                raster = np.frombuffer(
+                    (hexd * 6).encode("ascii"), dtype=np.uint8
+                ).reshape(8, 8, 3)
+                rows.append((int(row.doc_id), webp_encode(raster)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    media = docs.mapInPandas(
+        _mint, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("image"))
+    feats = decode_image_features(media, dim=4, strict=True)
+    return feats.select(
+        "media_id",
+        "mean_intensity",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
 def q59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication census (Lee et al. 2022 substring-dedup
     signal): per document, how many of its distinct 8-token spans also occur
@@ -3617,6 +3664,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
+    # new r7, registered out-of-window on purpose (the window's codec
+    # risk-slots are held by q57/q58/q60/q61); oracle = ORACLE_Q57
+    # verbatim because VP8L is lossless over the identical minted raster
+    "q63_webp_decode": (q63_webp_decode, ORACLE_Q57),
 }
 
 

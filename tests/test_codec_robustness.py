@@ -17,6 +17,7 @@ from hypothesis import strategies as st
 
 from pincspark.operators.flac import flac_encode
 from pincspark.operators.jpeg import jpeg_encode
+from pincspark.operators.webp import webp_encode
 from pincspark.operators.multimodal import (
     _MAX_PIXELS,
     _PNG_SIG,
@@ -96,6 +97,7 @@ def _good_blobs() -> list[bytes]:
         jpeg_encode(r, subsample="420", progressive=True, prog_al=1),
         flac_encode(mono),
         wav_ima_encode(mono, 8000),
+        webp_encode(r.astype(np.uint8)),
     ]
 
 
@@ -130,7 +132,10 @@ def test_mutated_blobs_never_crash(blob_i, cut, flips):
 def test_random_bytes_never_crash(seed, n):
     """Pure noise, optionally wearing each format's magic prefix."""
     noise = np.random.default_rng(seed).integers(0, 256, size=n, dtype=np.uint8).tobytes()
-    for prefix in (b"", b"P6", _PNG_SIG, b"GIF89a", b"\xff\xd8", b"fLaC", b"RIFF"):
+    for prefix in (
+        b"", b"P6", _PNG_SIG, b"GIF89a", b"\xff\xd8", b"fLaC", b"RIFF",
+        b"RIFF\x20\x00\x00\x00WEBPVP8L",
+    ):
         data = prefix + noise
         img = _decode_image_bytes(data, 4)
         assert img is None or len(img) == 2

@@ -371,4 +371,7 @@ def test_harness_window_composition_is_pinned():
         "q12_top_spenders", "q20_ngram_jaccard", "q21_simhash",
         "q26_approx_distinct", "q44_deterministic_shards",
         "q29_rollup_summary", "q30_pivot_status", "q47_grouped_percentiles",
+        "q63_webp_decode",  # new r7: the VP8L codec gate — out of window
+        # by design (codec risk-slots held by q57/q58/q60/q61), parity-
+        # gated locally like the rest of the tail
     }
