@@ -38,7 +38,15 @@ import struct
 
 import numpy as np
 
-MAX_PIXELS = 64 << 20  # shared with the PNG/GIF/JPEG hostile-input caps
+# The shared 64M-px cap bounds MEMORY, but this decoder's entropy loop is
+# per-pixel Python (~6 us/px; the predictor inversion more) — a crafted
+# few-KB blob declaring 64M px would tie a worker up for minutes, a CPU
+# bomb the vectorized PNG/GIF paths don't have (review finding r7). The
+# VP8L cap is therefore CPU-sized: 1M px is ~6-15 s worst case, far above
+# any thumbnail/feature-extraction blob this engine decodes. The shared
+# multimodal cap still applies on top (imported at decode time to stay in
+# lockstep if it is ever tuned).
+MAX_PIXELS = 1 << 20
 
 # Order in which the 3-bit lengths of the code-length code are stored.
 _CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -334,7 +342,11 @@ def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
         )
     if mode == 13:  # ClampAddSubtractHalf
         ave = _avg2(L, T).astype(np.int32)
-        return np.clip(ave + ((ave - TL.astype(np.int32)) >> 1), 0, 255)
+        d = ave - TL.astype(np.int32)
+        # C truncation toward zero ((a-b)/2), not Python floor shift:
+        # -3 / 2 is -1 in the spec, -2 under >> (review finding r7)
+        half = np.sign(d) * (np.abs(d) >> 1)
+        return np.clip(ave + half, 0, 255)
     raise ValueError(f"VP8L: bad predictor mode {mode}")
 
 
@@ -356,9 +368,12 @@ def _inv_predictor(px: np.ndarray, sub, bits: int) -> None:
                 L = px[y, x - 1]
                 T = px[y - 1, x]
                 TL = px[y - 1, x - 1]
-                # top-right of the rightmost pixel wraps to the leftmost
-                # pixel of the row above (spec edge rule)
-                TR = px[y - 1, x + 1] if x + 1 < w else px[y - 1, 0]
+                # Top-right of the rightmost pixel: the spec addresses the
+                # pixel AFTER (w-1, y-1) in scanline order, which is the
+                # CURRENT row's leftmost, already reconstructed (libwebp
+                # reads data[pos - width + 1]; review finding r7 — the
+                # first cut wrongly used the row above's leftmost).
+                TR = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
                 pred = _predict(mode, L, T, TL, TR)
             px[y, x] = (px[y, x].astype(np.int32) + pred) & 0xFF
 
@@ -418,7 +433,9 @@ def decode_webp_raw(data: bytes) -> tuple[np.ndarray, int]:
     br.bit()  # alpha hint
     if br.bits(3) != 0:
         raise ValueError("VP8L: unsupported version")
-    if w * h > MAX_PIXELS:
+    from pincspark.operators.multimodal import _MAX_PIXELS
+
+    if w * h > min(MAX_PIXELS, _MAX_PIXELS):
         raise ValueError("VP8L: dimension bomb")
 
     # transforms, recorded in read order
@@ -464,7 +481,13 @@ def decode_webp_raw(data: bytes) -> tuple[np.ndarray, int]:
 
     flat = _decode_entropy_image(br, xsize, h, allow_meta=True)
 
-    # invert transforms in reverse read order
+    # Invert transforms in reverse read order. The image's width at each
+    # inversion step is the width that was CURRENT when that transform
+    # was READ: a predictor/color transform read after COLOR_INDEXING
+    # operates on the still-index-packed reduced-width image, and only
+    # the color-indexing inversion expands back to w (review finding r7
+    # — reshaping to (h, w) unconditionally broke that legal order).
+    cur_w = xsize
     for ttype, bits, aux in reversed(transforms):
         if ttype == 3:  # color indexing: unpack + palette lookup
             pal = aux
@@ -477,8 +500,8 @@ def decode_webp_raw(data: bytes) -> tuple[np.ndarray, int]:
                 idx = []
                 for y in range(h):
                     row = []
-                    for cx in range(xsize):
-                        g = (flat[y * xsize + cx] >> 8) & 0xFF
+                    for cx in range(cur_w):
+                        g = (flat[y * cur_w + cx] >> 8) & 0xFF
                         for k in range(per):
                             row.append((g >> (k * ibits)) & mask)
                     idx.extend(row[:w])
@@ -486,7 +509,7 @@ def decode_webp_raw(data: bytes) -> tuple[np.ndarray, int]:
                 flat = [pal[i] for i in idx]
             except IndexError:
                 raise ValueError("VP8L: palette index out of range") from None
-            xsize = w
+            cur_w = w
         elif ttype == 2:  # add green
             flat = [
                 (p & 0xFF00FF00)
@@ -495,8 +518,8 @@ def decode_webp_raw(data: bytes) -> tuple[np.ndarray, int]:
                 for p in flat
             ]
         else:
-            arr = np.empty((h, w, 4), np.uint8)  # ARGB channel order
-            fa = np.array(flat, np.uint32).reshape(h, w)
+            arr = np.empty((h, cur_w, 4), np.uint8)  # ARGB channel order
+            fa = np.array(flat, np.uint32).reshape(h, cur_w)
             arr[..., 0] = (fa >> 24) & 0xFF
             arr[..., 1] = (fa >> 16) & 0xFF
             arr[..., 2] = (fa >> 8) & 0xFF
@@ -593,7 +616,11 @@ def _write_huffman_code(bw: _BitWriter, freqs: dict[int, int], alphabet: int):
     """Emit one of the five codes; returns {symbol: (code, length)} for
     the pixel loop. Chooses simple for <= 2 distinct symbols."""
     syms = sorted(freqs)
-    if len(syms) <= 2:
+    # Simple codes carry symbols in at most 8 bits — a length/cache
+    # symbol >= 256 CANNOT be simple-coded and silently truncating it
+    # mints a corrupt stream (review finding r7); such alphabets take
+    # the normal-code path even with <= 2 distinct symbols.
+    if len(syms) <= 2 and all(s <= 255 for s in syms):
         bw.write(1, 1)  # simple
         if not syms:
             syms = [0]
@@ -610,7 +637,12 @@ def _write_huffman_code(bw: _BitWriter, freqs: dict[int, int], alphabet: int):
         bw.write(syms[1], 8)
         return {syms[0]: (0, 1), syms[1]: (1, 1)}
     bw.write(0, 1)  # normal
-    lengths = _huffman_lengths(freqs)
+    if len(syms) == 1:
+        # a single >255 symbol: transmit length 1 for it; the decoder's
+        # single-nonzero-length special case makes reads consume 0 bits
+        lengths = {syms[0]: 1}
+    else:
+        lengths = _huffman_lengths(freqs)
     lens = [lengths.get(s, 0) for s in range(alphabet)]
     # trim trailing zeros; RLE-encode the rest with codes 16/17/18
     while lens and lens[-1] == 0:
@@ -676,6 +708,8 @@ def _write_huffman_code(bw: _BitWriter, freqs: dict[int, int], alphabet: int):
         bw.write_code(cl_codes[s], cl_nbits[s])
         if ebits:
             bw.write(extra, ebits)
+    if len(lengths) == 1:
+        return {syms[0]: (0, 0)}  # zero-bit emission, matching the decoder
     codes = _canonical_codes(lengths)
     return {s: (codes[s], lengths[s]) for s in lengths}
 
@@ -687,6 +721,10 @@ def webp_encode(px: np.ndarray) -> bytes:
     h, w, _ = px.shape
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("VP8L encoder: dimensions out of range")
+    if w * h > MAX_PIXELS:
+        # the minting encoder must not produce blobs its own decoder
+        # rejects (review finding r7)
+        raise ValueError("VP8L encoder: exceeds the decoder pixel cap")
     bw = _BitWriter()
     bw.write(0x2F, 8)
     bw.write(w - 1, 14)

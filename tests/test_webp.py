@@ -417,3 +417,144 @@ def test_multimodal_dispatch_decodes_webp():
     lum = px.astype(np.float64).sum() / 3.0 / 64.0 / 255.0
     assert abs(mean - lum) < 1e-9
     assert len(feats) == 4
+
+
+# --------------------------------------------------------------------------
+# review-finding regressions (spec-conformance fixes)
+# --------------------------------------------------------------------------
+
+
+def test_golden_predictor_tr_rightmost_uses_current_row_leftmost():
+    """Mode 3 (top-right) at x = w-1: the spec addresses the pixel AFTER
+    (w-1, y-1) in scanline order — the CURRENT row's leftmost pixel, not
+    the row above's (the original implementation's bug)."""
+    bw = _BitWriter()
+    _header(bw, 2, 2)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(0, 3)  # size_bits = 2 -> one block
+    _literal_image(bw, [(0, 0, 3, 0)])  # mode 3 = TR
+    bw.write(0, 1)  # no more transforms
+    residuals = [
+        (255, 10, 10, 10),  # (0,0): + black -> a=254, rgb=(10,10,10)
+        (0, 1, 1, 1),  # (1,0): + L -> (11,11,11)
+        (0, 5, 5, 5),  # (0,1): + T -> (15,15,15)
+        (0, 2, 2, 2),  # (1,1): mode 3 -> + TR = current row leftmost
+    ]
+    bw.write(0, 1)
+    bw.write(0, 1)
+    g_tab = _write_huffman_code(bw, {g: 1 for _, _, g, _ in residuals}, 280)
+    r_tab = _write_huffman_code(bw, {r: 1 for _, r, _, _ in residuals}, 256)
+    b_tab = _write_huffman_code(bw, {b: 1 for _, _, _, b in residuals}, 256)
+    a_tab = _write_huffman_code(bw, {a: 1 for a, _, _, _ in residuals}, 256)
+    _write_huffman_code(bw, {0: 1}, 40)
+    for a, r, g, b in residuals:
+        _emit(bw, g_tab, g)
+        _emit(bw, r_tab, r)
+        _emit(bw, b_tab, b)
+        _emit(bw, a_tab, a)
+    ras, _ = decode_webp_raw(_container(bw.done()))
+    # (1,1) = 2 + TR where TR = (0,1) = (15,15,15) -> (17,17,17); the old
+    # row-above-leftmost bug would have given 2 + (10,10,10) = (12,12,12)
+    assert ras.tolist() == [
+        [[10, 10, 10], [11, 11, 11]],
+        [[15, 15, 15], [17, 17, 17]],
+    ]
+
+
+def test_golden_predictor_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf: ave + (ave - TL)/2 with C truncation. For
+    ave=100, TL=103 the spec gives 100 + (-1) = 99; a floor shift gives
+    98."""
+    bw = _BitWriter()
+    _header(bw, 2, 2)
+    bw.write(1, 1)
+    bw.write(0, 2)
+    bw.write(0, 3)
+    _literal_image(bw, [(0, 0, 13, 0)])  # mode 13
+    bw.write(0, 1)
+    residuals = [
+        (255, 103, 103, 103),  # (0,0): TL = 103 after +black (a wraps)
+        (0, 253, 253, 253),  # (1,0): + L -> 100
+        (0, 253, 253, 253),  # (0,1): + T -> 100
+        (0, 0, 0, 0),  # (1,1): + pred(13)
+    ]
+    bw.write(0, 1)
+    bw.write(0, 1)
+    g_tab = _write_huffman_code(bw, {g: 1 for _, _, g, _ in residuals}, 280)
+    r_tab = _write_huffman_code(bw, {r: 1 for _, r, _, _ in residuals}, 256)
+    b_tab = _write_huffman_code(bw, {b: 1 for _, _, _, b in residuals}, 256)
+    a_tab = _write_huffman_code(bw, {a: 1 for a, _, _, _ in residuals}, 256)
+    _write_huffman_code(bw, {0: 1}, 40)
+    for a, r, g, b in residuals:
+        _emit(bw, g_tab, g)
+        _emit(bw, r_tab, r)
+        _emit(bw, b_tab, b)
+        _emit(bw, a_tab, a)
+    ras, _ = decode_webp_raw(_container(bw.done()))
+    # L = T = 100 -> ave = 100; TL = 103 -> pred = 100 + trunc(-3/2) = 99
+    assert ras[1, 1].tolist() == [99, 99, 99]
+
+
+def test_golden_predictor_after_color_indexing_runs_at_reduced_width():
+    """COLOR_INDEXING then PREDICTOR (a legal read order): the predictor
+    must invert on the still-index-packed reduced-width image — the
+    original code reshaped to full width and raised on this stream."""
+    palette = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220)]
+    bw = _BitWriter()
+    _header(bw, 5, 1)
+    bw.write(1, 1)
+    bw.write(3, 2)  # COLOR_INDEXING (read first: reduces width 5 -> 2)
+    bw.write(3, 8)
+    pal_px = []
+    prev = (0, 0, 0)
+    for r, g, b in palette:
+        pal_px.append((255 if not pal_px else 0, (r - prev[0]) % 256,
+                       (g - prev[1]) % 256, (b - prev[2]) % 256))
+        prev = (r, g, b)
+    _literal_image(bw, pal_px)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR (read second: operates on width 2)
+    bw.write(0, 3)
+    _literal_image(bw, [(0, 0, 1, 0)])  # mode 1 (L) — unused on a 1-row
+    bw.write(0, 1)  # no more transforms
+    # coded pixels (width 2), residuals relative to the predictor:
+    # (0,0) + black; (1,0) + L. Packed greens must come out [228, 0]
+    # (indices 0 1 2 3 | 0...) -> residual greens 228 and (0-228)%256=28
+    residuals = [(0, 0, 228, 0), (0, 0, 28, 0)]
+    bw.write(0, 1)
+    bw.write(0, 1)
+    g_tab = _write_huffman_code(bw, {228: 1, 28: 1}, 280)
+    r_tab = _write_huffman_code(bw, {0: 1}, 256)
+    b_tab = _write_huffman_code(bw, {0: 1}, 256)
+    a_tab = _write_huffman_code(bw, {0: 1}, 256)
+    _write_huffman_code(bw, {0: 1}, 40)
+    for a, r, g, b in residuals:
+        _emit(bw, g_tab, g)
+        _emit(bw, r_tab, r)
+        _emit(bw, b_tab, b)
+        _emit(bw, a_tab, a)
+    ras, _ = decode_webp_raw(_container(bw.done()))
+    assert ras.tolist() == [[list(palette[i]) for i in (0, 1, 2, 3, 0)]]
+
+
+def test_simple_code_cannot_truncate_length_symbols():
+    """A 2-symbol alphabet containing a length/cache symbol >= 256 must
+    take the normal-code path (simple codes are 8-bit-limited; the
+    original helper silently truncated 257 to 1)."""
+    bw = _BitWriter()
+    tab = _write_huffman_code(bw, {10: 1, 257: 1}, 280)
+    blob = bw.done()
+    from pincspark.operators.webp import _BitReader, _read_huffman_code
+
+    h = _read_huffman_code(_BitReader(blob), 280)
+    for sym in (10, 257):
+        bw2 = _BitWriter()
+        bw2.write_code(*tab[sym])
+        assert h.read(_BitReader(bw2.done())) == sym
+
+
+def test_encoder_rejects_blobs_its_decoder_would_refuse():
+    """Encoder and decoder share the CPU-sized 1M-pixel cap."""
+    with pytest.raises(ValueError, match="pixel cap"):
+        webp_encode(np.zeros((1025, 1025, 3), np.uint8))
