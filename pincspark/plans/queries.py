@@ -3222,9 +3222,9 @@ WITH toks_t AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_spans,
-       SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS dup_spans,
-       (SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
-         // COUNT(*) AS dup_ppm
+       CAST(SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       CAST((SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
+         // COUNT(*) AS BIGINT) AS dup_ppm
 FROM hh JOIN c USING (h)
 GROUP BY doc_id
 """

@@ -55,6 +55,77 @@ def test_approx_distinct_within_rsd(spark):
     assert rows and all(r["approx_within_rsd"] for r in rows)
 
 
+def _spark_type_class(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("string", "varchar"):
+        return "str"
+    if dt == "boolean":
+        return "bool"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt.startswith("array"):
+        return "list"
+    if dt == "binary":
+        return "bin"
+    return dt
+
+
+def _arrow_type_class(t) -> str:
+    import pyarrow.types as pat
+
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "str"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_timestamp(t):
+        return "ts"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return "list"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "bin"
+    return str(t)
+
+
+@pytest.mark.parametrize("name,fn,sql", ORACLED, ids=[n for n, _, _ in ORACLED])
+def test_oracle_type_parity(spark, name, fn, sql):
+    """The driver hashes values through a dtype-sensitive path (arrow/
+    pandas), where DuckDB's HUGEINT (any un-cast SUM of integers) becomes
+    decimal128/float64 and hash-diverges from Spark's bigint even when the
+    numbers are equal — the exact class that kept q59 red through r6 AND r7
+    while fetchall()-based local parity (Python ints both sides) stayed
+    green. Pin: every oracle output column's arrow type class must equal the
+    Spark column's type class."""
+    sdf = fn(spark, SF_DIR)
+    s_class = {f.name: _spark_type_class(f.dataType.simpleString()) for f in sdf.schema.fields}
+
+    con = _duck(SF_DIR)
+    tbl = con.execute(sql).arrow()
+    d_class = {f.name: _arrow_type_class(f.type) for f in tbl.schema}
+
+    assert set(s_class) == set(d_class), f"{name}: column names differ"
+    diffs = {c: (s_class[c], d_class[c]) for c in s_class if s_class[c] != d_class[c]}
+    assert not diffs, (
+        f"{name}: oracle/Spark type-class mismatch (spark, duckdb-arrow): {diffs} — "
+        "cast the oracle output column (HUGEINT SUMs need CAST(... AS BIGINT))"
+    )
+
+
 @pytest.mark.parametrize("name,fn,sql", ORACLED, ids=[n for n, _, _ in ORACLED])
 def test_query_matches_oracle(spark, name, fn, sql):
     sdf = fn(spark, SF_DIR)
