@@ -662,6 +662,7 @@ def embedding_dup_pairs(
     threshold: float = 0.35,
     block_col: str | None = None,
     max_block_size: int | None = 4096,
+    warn_excluded: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
 
@@ -685,6 +686,14 @@ def embedding_dup_pairs(
     construction. The cap prunes the plan with ONE extra aggregate and
     a one-sided semi-join (the equi-join condition carries the bound to
     the other side). Oracles mirror the cap exactly.
+
+    ``warn_excluded=True`` (default) makes the silent pair loss observable:
+    an eager count of oversized blocks runs at plan-build time and emits a
+    RuntimeWarning naming how many blocks (and member rows) were excluded.
+    The extra job is one block-size aggregate — O(n) rows shuffled on
+    ``block_col``, negligible next to the |block|^2 pair join it guards.
+    Pass ``warn_excluded=False`` in fully-lazy pipelines (the oracle-gated
+    catalog queries do, to keep plan construction action-free).
     """
     from pincspark.functions.vectors import cosine
 
@@ -699,12 +708,31 @@ def embedding_dup_pairs(
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         if max_block_size is not None:
-            ok = (
-                df.groupBy(F.col(block_col).alias("__blk_ok"))
-                .agg(F.count(F.lit(1)).alias("__bn"))
-                .filter(F.col("__bn") <= max_block_size)
-                .select("__blk_ok")
+            sizes = df.groupBy(F.col(block_col).alias("__blk_ok")).agg(
+                F.count(F.lit(1)).alias("__bn")
             )
+            if warn_excluded:
+                import warnings
+
+                over = (
+                    sizes.filter(F.col("__bn") > max_block_size)
+                    .agg(
+                        F.count(F.lit(1)).alias("nb"),
+                        F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
+                    )
+                    .collect()[0]
+                )
+                if over["nb"]:
+                    warnings.warn(
+                        f"embedding_dup_pairs: {over['nb']} block(s) covering "
+                        f"{over['nr']} row(s) exceed max_block_size="
+                        f"{max_block_size}; their pairs are EXCLUDED. Route "
+                        "oversized blocks through the IVF-cell path "
+                        "(ivf_assign/build_ivf_index) or raise the cap.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+            ok = sizes.filter(F.col("__bn") <= max_block_size).select("__blk_ok")
             # One side suffices: the pair join requires equal blocks, so
             # bounding `a`'s block bounds `b`'s. The ok-list is one row
             # per surviving block — AQE broadcasts it when small.

@@ -505,10 +505,11 @@ def decode_webp_raw(data: bytes) -> tuple[np.ndarray, int]:
                         for k in range(per):
                             row.append((g >> (k * ibits)) & mask)
                     idx.extend(row[:w])
-            try:
-                flat = [pal[i] for i in idx]
-            except IndexError:
-                raise ValueError("VP8L: palette index out of range") from None
+            # libwebp pads the packed-palette color map with zeros, so an
+            # out-of-range index decodes to transparent black rather than
+            # rejecting the file (ADVICE r7) — match that.
+            npal = len(pal)
+            flat = [pal[i] if i < npal else 0 for i in idx]
             cur_w = w
         elif ttype == 2:  # add green
             flat = [
@@ -577,10 +578,41 @@ class _BitWriter:
         return bytes(self._bytes)
 
 
+def _package_merge_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
+    """Optimal length-limited code lengths via package-merge (Larmore &
+    Hirschberg 1990): coins are (freq, symbol-tuple); max_len rounds of
+    pair-packaging against the original coins, then the first 2(n-1) items
+    of the final pool give each symbol's depth as its occurrence count.
+    Exact Kraft equality, depth <= max_len, minimal weighted length among
+    all such codes."""
+    syms = sorted(freqs.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(syms)
+    if n > (1 << max_len):
+        raise ValueError(
+            f"cannot code {n} symbols within depth {max_len}"
+        )
+    originals = [(f, (s,)) for s, f in syms]
+    pool = sorted(originals)
+    for _ in range(max_len - 1):
+        packages = [
+            (pool[i][0] + pool[i + 1][0], pool[i][1] + pool[i + 1][1])
+            for i in range(0, len(pool) - 1, 2)
+        ]
+        pool = sorted(originals + packages)
+    lengths = dict.fromkeys(freqs, 0)
+    for _, members in pool[: 2 * (n - 1)]:
+        for s in members:
+            lengths[s] += 1
+    return lengths
+
+
 def _huffman_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
     """Code lengths for >= 3 distinct symbols via plain Huffman merging
-    (depths stay tiny at our alphabet/count sizes; raise if the spec cap
-    is ever exceeded rather than silently emitting junk)."""
+    (depths stay tiny at typical alphabet/count sizes). A highly skewed
+    histogram CAN exceed the spec's 15-bit cap well under the pixel caps
+    (Fibonacci-like frequencies need only ~17 distinct symbols), so on
+    overflow fall back to optimal length-limited codes via package-merge
+    instead of raising (ADVICE r7)."""
     import heapq
     import itertools
 
@@ -595,7 +627,7 @@ def _huffman_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]
         heapq.heappush(heap, (f1 + f2, next(counter), merged))
     lengths = heap[0][2]
     if max(lengths.values()) > max_len:
-        raise ValueError("VP8L encoder: Huffman depth exceeds 15")
+        return _package_merge_lengths(freqs, max_len)
     return lengths
 
 

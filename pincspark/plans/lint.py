@@ -100,9 +100,34 @@ def _jvm_children(node):
     return [ch.apply(i) for i in range(ch.size())]
 
 
-def _unbounded_fact_leaves(node) -> list[str]:
+def _fact_tables_in(s: str) -> list[str]:
+    return sorted(
+        t for t in FACT_TABLES if f"{t}.parquet" in s or s.rstrip("/").endswith(f"/{t}")
+    )
+
+
+def _cte_defs(root) -> dict[int, object]:
+    """Map cteId -> the CTERelationDef's child plan, for resolving
+    CTERelationRef leaves (a SQL ``WITH x AS (...)`` referenced more than
+    once stays a ref in the analyzed plan instead of being inlined)."""
+    defs: dict[int, object] = {}
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        stack.extend(_jvm_children(node))
+        if node.nodeName() == "CTERelationDef":
+            try:
+                defs[int(node.id())] = node
+            except Exception:
+                pass
+    return defs
+
+
+def _unbounded_fact_leaves(node, cte_defs: dict[int, object] | None = None) -> list[str]:
     """Fact tables whose relation is reachable from ``node`` through
-    pass-through (non-cardinality-reducing) logical nodes only."""
+    pass-through (non-cardinality-reducing) logical nodes only. Handles V1
+    file relations, DSv2 relations, and CTE references (resolved through
+    ``cte_defs``, built once per lint from the plan root — ADVICE r7)."""
     name = node.nodeName()
     if name in ("LogicalRelation", "Relation"):
         # toString() renders columns only; the scanned table's identity
@@ -112,14 +137,24 @@ def _unbounded_fact_leaves(node) -> list[str]:
             s = " ".join(paths.apply(i).toString() for i in range(paths.size()))
         except Exception:  # non-file relation (in-memory, stream, JDBC)
             s = node.toString()
-        return sorted(
-            t for t in FACT_TABLES if f"{t}.parquet" in s or s.rstrip("/").endswith(f"/{t}")
-        )
+        return _fact_tables_in(s)
+    if name == "DataSourceV2Relation":
+        try:
+            s = node.table().name()
+        except Exception:
+            s = node.toString()
+        return _fact_tables_in(s)
+    if name == "CTERelationRef":
+        try:
+            ref = (cte_defs or {}).get(int(node.cteId()))
+        except Exception:
+            ref = None
+        return _unbounded_fact_leaves(ref, cte_defs) if ref is not None else []
     if name not in _PASS_THROUGH_NODES:
         return []
     hits: list[str] = []
     for c in _jvm_children(node):
-        hits.extend(_unbounded_fact_leaves(c))
+        hits.extend(_unbounded_fact_leaves(c, cte_defs))
     return hits
 
 
@@ -131,7 +166,9 @@ def lint_broadcast_hints(df: DataFrame) -> list[Finding]:
     one, and planner-chosen broadcasts are size-gated by
     autoBroadcastJoinThreshold at the actual data scale."""
     findings: list[Finding] = []
-    stack = [df._jdf.queryExecution().analyzed()]
+    root = df._jdf.queryExecution().analyzed()
+    defs = _cte_defs(root)
+    stack = [root]
     while stack:
         node = stack.pop()
         stack.extend(_jvm_children(node))
@@ -139,7 +176,7 @@ def lint_broadcast_hints(df: DataFrame) -> list[Finding]:
             continue
         if "broadcast" not in node.hints().toString().lower():
             continue
-        for t in _unbounded_fact_leaves(node):
+        for t in _unbounded_fact_leaves(node, defs):
             findings.append(
                 Finding(
                     "broadcast_fact_table",

@@ -1487,7 +1487,8 @@ def q27_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.35, block_col="label"
+        emb, "vec_id", "embedding", threshold=0.35, block_col="label",
+        warn_excluded=False,  # catalog queries stay action-free at build
     )
 
 

@@ -310,6 +310,28 @@ def test_linter_flags_forced_broadcast_of_fact_table(spark):
             f.code for f in lint_broadcast_hints(evasive)
         }, f"evaded via {wrapped}"
 
+    # A SQL CTE is a CTERelationRef leaf in the analyzed plan, not a
+    # relation — the ref must be resolved through its CTERelationDef or a
+    # broadcast-hinted CTE over a fact table walks free (ADVICE r7).
+    orders.createOrReplaceTempView("__lint_orders")
+    li.createOrReplaceTempView("__lint_lineitem")
+    try:
+        via_cte = spark.sql(
+            """
+            WITH o2 AS (SELECT o_orderkey FROM __lint_orders)
+            SELECT /*+ BROADCAST(o2) */ l.l_orderkey
+            FROM __lint_lineitem l
+            JOIN o2 ON l.l_orderkey = o2.o_orderkey
+            JOIN o2 b ON l.l_orderkey = b.o_orderkey
+            """
+        )
+        assert "broadcast_fact_table" in {
+            f.code for f in lint_broadcast_hints(via_cte)
+        }, "evaded via SQL CTE reference"
+    finally:
+        spark.catalog.dropTempView("__lint_orders")
+        spark.catalog.dropTempView("__lint_lineitem")
+
 
 def test_q27_steady_plan_shape_is_pinned(spark):
     """q27 drew >1.7x contention flags in two consecutive official bench

@@ -167,6 +167,35 @@ def test_embedding_dedup_oversized_block_cap(spark):
     assert {(r[0], r[1]): r[2] for r in oracle} == got
 
 
+def test_embedding_dedup_excluded_blocks_warn(spark):
+    """The oversized-block exclusion is a recall change, so it must be
+    observable (ADVICE r7): warn_excluded=True (default) emits a
+    RuntimeWarning naming excluded block and row counts; no oversized
+    blocks (or warn_excluded=False) means no warning and no eager job."""
+    import warnings
+
+    import pytest as _pytest
+
+    from pincspark.operators.dedup import embedding_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1), (3, [0.8, 0.2], 1),
+        (4, [0.0, 1.0], 2), (5, [0.1, 0.9], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    with _pytest.warns(RuntimeWarning, match=r"1 block\(s\) covering 3 row\(s\)"):
+        embedding_dup_pairs(df, threshold=0.5, block_col="label", max_block_size=2)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        embedding_dup_pairs(df, threshold=0.5, block_col="label", max_block_size=4)
+        embedding_dup_pairs(
+            df, threshold=0.5, block_col="label", max_block_size=2,
+            warn_excluded=False,
+        )
+
+
 def test_pq_adc_recall_on_planted_duplicates(spark):
     """Trained product quantization (per-subspace Lloyd refinement) must
     surface a planted near-duplicate (cosine ~0.97 to its source) in the

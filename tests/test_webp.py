@@ -558,3 +558,78 @@ def test_encoder_rejects_blobs_its_decoder_would_refuse():
     """Encoder and decoder share the CPU-sized 1M-pixel cap."""
     with pytest.raises(ValueError, match="pixel cap"):
         webp_encode(np.zeros((1025, 1025, 3), np.uint8))
+
+
+def test_palette_index_beyond_palette_decodes_as_zero():
+    """4x1 COLOR_INDEXING with a 3-entry palette: 2-bit packing makes
+    index 3 representable but out of range. libwebp pads the color map
+    with zeros and decodes such files, so the padded pixel must come back
+    transparent black instead of the file being rejected (ADVICE r7)."""
+    palette = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    bw = _BitWriter()
+    _header(bw, 4, 1)
+    bw.write(1, 1)
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(2, 8)  # palette size - 1 = 2 -> 2-bit packed indices
+    pal_px = []
+    prev = (0, 0, 0)
+    for r, g, b in palette:
+        pal_px.append((255 if not pal_px else 0, (r - prev[0]) % 256,
+                       (g - prev[1]) % 256, (b - prev[2]) % 256))
+        prev = (r, g, b)
+    _literal_image(bw, pal_px)
+    bw.write(0, 1)  # no more transforms
+    # indices 0 1 2 3 packed LSB-first 2-bit -> one coded byte 228
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    g_tab = _write_huffman_code(bw, {228: 1}, 280)
+    r_tab = _write_huffman_code(bw, {0: 1}, 256)
+    b_tab = _write_huffman_code(bw, {0: 1}, 256)
+    a_tab = _write_huffman_code(bw, {255: 1}, 256)
+    _write_huffman_code(bw, {0: 1}, 40)
+    _emit(bw, g_tab, 228)
+    _emit(bw, r_tab, 0)
+    _emit(bw, b_tab, 0)
+    _emit(bw, a_tab, 255)
+    ras, _ = decode_webp_raw(_container(bw.done()))
+    assert ras.tolist() == [[[10, 20, 30], [40, 50, 60], [70, 80, 90], [0, 0, 0]]]
+
+
+def test_huffman_lengths_are_depth_limited_on_skewed_histogram():
+    """Fibonacci-like frequencies drive plain Huffman past the 15-bit spec
+    cap with only ~20 distinct symbols — legal well under the pixel caps.
+    The encoder must fall back to length-limited codes (package-merge)
+    instead of raising (ADVICE r7): depth <= 15, Kraft equality (a full
+    canonical code), and codes still round-trip through the decoder's
+    table reader."""
+    from pincspark.operators.webp import (
+        _BitReader,
+        _huffman_lengths,
+        _package_merge_lengths,
+        _read_huffman_code,
+    )
+
+    fib = [1, 1]
+    while len(fib) < 22:
+        fib.append(fib[-1] + fib[-2])
+    freqs = {s: f for s, f in enumerate(fib)}
+    lengths = _huffman_lengths(freqs)
+    assert max(lengths.values()) <= 15
+    assert sum(2 ** -l for l in lengths.values()) == 1.0
+
+    # package-merge equals unconstrained Huffman cost when the cap is slack
+    easy = {0: 5, 1: 4, 2: 3, 3: 2, 4: 1}
+    plain = _huffman_lengths(easy)
+    limited = _package_merge_lengths(easy, 15)
+    assert sum(easy[s] * l for s, l in plain.items()) == sum(
+        easy[s] * l for s, l in limited.items()
+    )
+
+    # the whole alphabet survives the on-wire code-length coding
+    bw = _BitWriter()
+    tab = _write_huffman_code(bw, freqs, 280)
+    h = _read_huffman_code(_BitReader(bw.done()), 280)
+    for sym in freqs:
+        bw2 = _BitWriter()
+        bw2.write_code(*tab[sym])
+        assert h.read(_BitReader(bw2.done())) == sym
