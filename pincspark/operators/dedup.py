@@ -1021,3 +1021,100 @@ def duplicate_span_stats(
             F.round(F.col("dup_spans").cast("double") / F.col("n_spans").cast("double"), 6),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup REWRITE (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr remover):
+    where :func:`duplicate_span_stats` measures duplicated n-token spans,
+    this operator removes them from the corpus, keeping ONE canonical
+    occurrence of each duplicated span -> (id, clean_text, n_tokens,
+    n_removed).
+
+    Semantics, deterministic by construction:
+    - texts are normalized (lowercase / non-alnum -> space / collapse) and
+      whitespace-tokenized; docs with fewer than ``n`` tokens pass through
+      unchanged (no n-span exists);
+    - every n-token span occurrence (doc, start) is hashed (60-bit md5
+      prefix); a span is duplicated when it occurs >= 2 times corpus-wide
+      (across OR within documents);
+    - the first occurrence in (doc_id, position) order is the keeper;
+      every other occurrence marks its ``n`` token positions for removal
+      (overlapping marks union);
+    - surviving tokens are rejoined with single spaces. ``clean_text`` is
+      the normalized token stream — span removal is defined on tokens, so
+      the rewrite is emitted in token space rather than attempting
+      character-offset surgery on the raw text.
+
+    Scale shape: the text is tokenized in place and NEVER fans out — only
+    (id, start, hash60) span rows ride the one big shuffle (the span-hash
+    window; count + row_number share its partitioning). Removing span
+    STARTS fold back to one tiny int-array per affected document
+    (collect_set keyed on id), and the rewrite itself is a per-row
+    indexed-HOF filter over the original token array — no position
+    explode, no anti-join, no rebuild aggregate, no union branch (short
+    documents simply produce no spans and pass through the left join
+    unchanged). Everything is JVM-side; nothing crosses into Python."""
+    norm = normalize_text(F.col(text_col))
+    toks_df = df.select(
+        F.col(id_col),
+        F.filter(F.split(norm, " +"), lambda t: t != "").alias("toks"),
+    ).withColumn("nt", F.size("toks"))
+
+    occ = _spread(toks_df.filter(F.col("nt") >= n), id_col).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.col("nt") - n)).alias("p"),
+        "toks",
+    ).select(
+        F.col(id_col),
+        "p",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("toks", F.col("p") + 1, n), " ")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    wc = Window.partitionBy("h")
+    wr = Window.partitionBy("h").orderBy(id_col, "p")
+    removing = (
+        occ.select(
+            F.col(id_col),
+            "p",
+            F.count(F.lit(1)).over(wc).alias("c"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter((F.col("c") > 1) & (F.col("rn") > 1))
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("rem_starts"))
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("rem_starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + n - 1),
+            )
+        )
+    )
+    kept = F.filter(
+        "toks", lambda _, i: ~F.array_contains(F.col("__cov"), i)
+    )
+    return (
+        toks_df.join(removing, id_col, "left")
+        .withColumn("__cov", cov)
+        .withColumn("__kept", kept)
+        .select(
+            F.col(id_col),
+            F.array_join("__kept", " ").alias("clean_text"),
+            F.col("nt").cast("bigint").alias("n_tokens"),
+            (F.col("nt") - F.size("__kept")).cast("bigint").alias("n_removed"),
+        )
+    )

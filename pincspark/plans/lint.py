@@ -198,7 +198,11 @@ def lint_plan(df: DataFrame) -> list[Finding]:
         n = plan.count(pat)
         if n:
             findings.append(Finding(code, "soft", f"{pat} x{n}"))
-    if "WholeStageCodegen" not in plan:
+    # Pre-execution AQE plans render operators without codegen markers
+    # (AdaptiveSparkPlan isFinalPlan=false hasn't compiled stages yet), so
+    # the rule would fire on EVERY adaptive plan regardless of reality —
+    # only meaningful on non-adaptive plans or finalized ones.
+    if "AdaptiveSparkPlan" not in plan and "WholeStageCodegen" not in plan:
         findings.append(Finding("no_codegen", "soft", "no WholeStageCodegen span"))
     return findings
 

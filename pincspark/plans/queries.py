@@ -3234,6 +3234,76 @@ GROUP BY doc_id
 ORACLE_Q59 = _q59_oracle()
 
 
+def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
+    the operator that ACTS on q59's census — every duplicated 8-token span
+    is removed corpus-wide except its first (doc_id, position) occurrence,
+    and each document's surviving token stream is re-emitted. One span-hash
+    window + position anti-join; linear in total tokens, fully JVM-side.
+    Output is all-BIGINT + string (hash-stable by construction)."""
+    from pincspark.operators.dedup import remove_duplicate_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", n=8).select(
+        "doc_id", "clean_text", "n_tokens", "n_removed"
+    )
+
+
+def _q64_oracle() -> str:
+    # Version-robust forms throughout (the q59 lesson list): explicit
+    # list_slice / list_extract (no bracket sugar), lateral
+    # unnest(generate_series(...)) (no zipped parallel unnest), DISTINCT in
+    # its own subquery over a plain unnest, ROW_NUMBER ordered by a unique
+    # key, and every output column CAST to BIGINT (COUNT is BIGINT but the
+    # arithmetic columns are cast anyway — no HUGEINT may reach the hashed
+    # projection).
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), short_t AS (
+  SELECT doc_id, array_to_string(toks, ' ') AS clean_text,
+         CAST(len(toks) AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_removed
+  FROM toks_t WHERE len(toks) < 8
+), long_t AS (
+  SELECT doc_id, toks, len(toks) AS nt FROM toks_t WHERE len(toks) >= 8
+), occ AS (
+  SELECT doc_id, i - 1 AS p,
+         CAST(('0x' || substring(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM long_t, unnest(generate_series(1, nt - 7)) AS u(i)
+), marked AS (
+  SELECT doc_id, p,
+         COUNT(*) OVER (PARTITION BY h) AS c,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+  FROM occ
+), cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(p, p + 7)) AS pos
+    FROM marked WHERE c > 1 AND rn > 1
+  ) t
+), tok AS (
+  SELECT doc_id, i - 1 AS pos, list_extract(toks, i) AS tok
+  FROM long_t, unnest(generate_series(1, nt)) AS u(i)
+), kept AS (
+  SELECT t.doc_id AS doc_id, t.pos AS pos, t.tok AS tok
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+), reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id AS doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       CAST(l.nt AS BIGINT) AS n_tokens,
+       CAST(l.nt - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM long_t l LEFT JOIN reb r ON l.doc_id = r.doc_id
+UNION ALL
+SELECT doc_id, clean_text, n_tokens, n_removed FROM short_t
+"""
+
+
+ORACLE_Q64 = _q64_oracle()
+
+
 def q29_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (beyond the reference's flat groupBys): quantity
     and revenue totals at (returnflag, linestatus), (returnflag), and grand
@@ -3600,12 +3670,22 @@ ORACLE_Q50 = _q50_oracle()
 # row-identical in tests/test_ann_index.py and share the same oracle, so
 # the served path gates strictly more code (index build + persistence +
 # pruned load) than the transient one it subsumes.
+# r8 rotation — risk decides the window, and the two highest-risk uncovered
+# rows rotate IN:
+#   q63 (VP8L/WebP — ~900 LoC of from-scratch prefix-code + transform
+#     decode, never yet driver-gated) replaces q56 (PPM — an ASCII header
+#     + raw bytes, the least codec code in the catalog; the mapInPandas
+#     decode plumbing it shared stays gated by q57/q58/q60/q61/q63).
+#   q64 (NEW: exact substring-span REMOVAL, the Lee et al. rewrite acting
+#     on q59's census — new window+anti-join machinery this round)
+#     replaces q04 (pure native filter/route projections; predicate
+#     pushdown and routing stay plan-asserted in test_plans.py and every
+#     other in-window query filters through the same scan path).
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     "q03_region_enrich": (q03_region_enrich, ORACLE_Q03),
-    "q04_event_route": (q04_event_route, ORACLE_Q04),
     "q05_json_props": (q05_json_props, ORACLE_Q05),
     "q06_asof_enrich": (q06_asof_enrich, ORACLE_Q06),
     "q07_latest_state": (q07_latest_state, ORACLE_Q07),
@@ -3646,13 +3726,16 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
     "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
     "q55_hybrid_retrieval": (q55_hybrid_retrieval, ORACLE_Q55),
-    "q56_media_decode": (q56_media_decode, ORACLE_Q56),
     "q57_png_decode": (q57_png_decode, ORACLE_Q57),
     "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
     "q59_dup_spans": (q59_dup_spans, ORACLE_Q59),
     "q60_jpeg_decode": (q60_jpeg_decode, ORACLE_Q60),
     "q61_flac_decode": (q61_flac_decode, ORACLE_Q61),
+    "q63_webp_decode": (q63_webp_decode, ORACLE_Q57),
+    "q64_span_removal": (q64_span_removal, ORACLE_Q64),
     # --- demoted past the 50-query harness window (see note above) ---
+    "q04_event_route": (q04_event_route, ORACLE_Q04),
+    "q56_media_decode": (q56_media_decode, ORACLE_Q56),
     "q22_ivf_topk": (q22_ivf_topk, ORACLE_Q22),
     "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
     "q26_approx_distinct": (q26_approx_distinct, ORACLE_Q26),
@@ -3665,10 +3748,6 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
-    # new r7, registered out-of-window on purpose (the window's codec
-    # risk-slots are held by q57/q58/q60/q61); oracle = ORACLE_Q57
-    # verbatim because VP8L is lossless over the identical minted raster
-    "q63_webp_decode": (q63_webp_decode, ORACLE_Q57),
 }
 
 

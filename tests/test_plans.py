@@ -377,13 +377,15 @@ def test_harness_window_composition_is_pinned():
         "q53_lsh_verify",
         "q54_curation_pipeline",
         "q55_hybrid_retrieval",
-        "q56_media_decode",
         "q57_png_decode",
         "q58_gif_decode",
         "q59_dup_spans",
         "q60_jpeg_decode",
         "q61_flac_decode",
         "q62_ivf_index_topk",
+        "q63_webp_decode",  # rotated IN r8: ~900 LoC from-scratch VP8L,
+        # never yet driver-gated
+        "q64_span_removal",  # NEW r8: exact substring-span removal
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
     assert after == {
@@ -393,7 +395,10 @@ def test_harness_window_composition_is_pinned():
         "q12_top_spenders", "q20_ngram_jaccard", "q21_simhash",
         "q26_approx_distinct", "q44_deterministic_shards",
         "q29_rollup_summary", "q30_pivot_status", "q47_grouped_percentiles",
-        "q63_webp_decode",  # new r7: the VP8L codec gate — out of window
-        # by design (codec risk-slots held by q57/q58/q60/q61), parity-
-        # gated locally like the rest of the tail
+        "q04_event_route",  # rotated out r8 for q64: pure native filter
+        # projections; routing stays plan-asserted in this file and the
+        # scan/filter path is exercised by every in-window query
+        "q56_media_decode",  # rotated out r8 for q63: PPM is an ASCII
+        # header + raw bytes; the shared mapInPandas decode plumbing stays
+        # gated by the five in-window codecs
     }

@@ -131,3 +131,52 @@ def test_minhash_from_shared_60bit_arrays_matches_text_path(spark):
             minhash_signatures(df, "i", "t", shingles=arrs).orderBy("i").collect()
         )
         assert [tuple(r) for r in direct] == [tuple(r) for r in shared]
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Hand-checkable ExactSubstr removal semantics: the FIRST (doc_id,
+    pos) occurrence of a duplicated 8-token span is the keeper; every
+    other occurrence loses its n token positions (overlaps union); short
+    docs (< n tokens) and docs with only unique spans pass through
+    unchanged; a doc that is entirely duplicated material rewrites to
+    the empty string."""
+    from pincspark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        # doc 1: keeper of span "a b c d e f g h" (pos 0); its second
+        # span "b c d e f g h i" is unique -> fully kept
+        (1, "a b c d e f g h i"),
+        # doc 2: same 8-span at pos 1 -> positions 1..8 removed, "x" kept
+        (2, "x a b c d e f g h"),
+        # doc 3: exactly the duplicated span -> everything removed
+        (3, "a b c d e f g h"),
+        # doc 4: short doc, untouched (punctuation normalizes away)
+        (4, "Hello, WORLD!"),
+        # doc 5: all-unique long doc, untouched
+        (5, "p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert got == {
+        1: ("a b c d e f g h i", 9, 0),
+        2: ("x", 9, 8),
+        3: ("", 8, 8),
+        4: ("hello world", 2, 0),
+        5: ("p q r s t u v w x y z", 11, 0),
+    }
+
+
+def test_remove_duplicate_spans_within_doc_overlap(spark):
+    """Within-document repetition counts: 'a'*12 with n=8 has 5 span
+    occurrences of the SAME hash; the pos-0 keeper survives, occurrences
+    1..4 mark positions 1..11 -> only token 0 survives."""
+    from pincspark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(7, " ".join(["a"] * 12))], "doc_id long, text string"
+    )
+    r = remove_duplicate_spans(df, "doc_id", "text", n=8).collect()[0]
+    assert (r["clean_text"], r["n_tokens"], r["n_removed"]) == ("a", 12, 11)
