@@ -830,11 +830,12 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
     """(mean_intensity, grid feature) for formats decodable WITHOUT codec
     libraries — P6 PPM (pure numpy), PNG (stdlib zlib + unfilter), GIF
     (from-scratch LZW), JPEG (from-scratch Huffman + IDCT,
-    `operators/jpeg.py`), and lossless WebP (from-scratch VP8L,
-    `operators/webp.py`); None when a real codec library would be needed
-    (lossy VP8/VP8X WebP, AVIF, ...). Feature = luminance block-averaged
-    onto a fixed (gh, gw) grid — the deterministic resize step —
-    flattened row-major."""
+    `operators/jpeg.py`), lossless WebP (from-scratch VP8L,
+    `operators/webp.py`), and baseline TIFF (from-scratch IFD +
+    PackBits/TIFF-LZW/Deflate, `operators/tiff.py`); None when a real
+    codec library would be needed (lossy VP8/VP8X WebP, AVIF, ...).
+    Feature = luminance block-averaged onto a fixed (gh, gw) grid — the
+    deterministic resize step — flattened row-major."""
     if data.startswith(b"P6"):
         decode = _decode_ppm_raw
     elif data.startswith(_PNG_SIG):
@@ -849,6 +850,10 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
         from pincspark.operators.webp import decode_webp_raw
 
         decode = decode_webp_raw
+    elif data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
+        from pincspark.operators.tiff import decode_tiff_raw
+
+        decode = decode_tiff_raw
     else:
         return None
     try:

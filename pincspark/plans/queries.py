@@ -3178,6 +3178,61 @@ def q63_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch baseline-TIFF codec under the oracle gate: the q56
+    raster (repeat(md5(text), 6) as an 8x8 RGB image) is TIFF-ENCODED in a
+    mapInPandas stage (`operators/tiff.py`) with the container rotating by
+    doc_id % 4 over all four compressions — none, PackBits, TIFF-LZW
+    (early-change), Deflate (+ horizontal predictor on the latter two) —
+    and decoded back by the same module's decoder in STRICT mode. TIFF is
+    lossless, so the analytic oracle is identical to q57's; any
+    IFD/RLE/LZW/predictor bug breaks parity. Unlike the sibling codecs the
+    whole module is ALSO cross-implementation gated against the JDK's
+    independent TIFF plugin (tests/test_tiff.py). Registered past the
+    50-query harness window (the r8 rotation slots went to q63/q64);
+    gated locally by tests/test_oracle_parity.py over the full catalog."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.dedup import _spread
+    from pincspark.operators.multimodal import decode_image_features
+    from pincspark.operators.tiff import tiff_encode
+
+    def _mint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        variants = [
+            dict(compression="none"),
+            dict(compression="packbits"),
+            dict(compression="lzw", predictor=True),
+            dict(compression="deflate", predictor=True),
+        ]
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+                raster = np.frombuffer(
+                    (hexd * 6).encode("ascii"), dtype=np.uint8
+                ).reshape(8, 8, 3)
+                kw = variants[int(row.doc_id) % 4]
+                rows.append((int(row.doc_id), tiff_encode(raster, **kw)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    media = docs.mapInPandas(
+        _mint, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("image"))
+    feats = decode_image_features(media, dim=4, strict=True)
+    return feats.select(
+        "media_id",
+        "mean_intensity",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
 def q59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication census (Lee et al. 2022 substring-dedup
     signal): per document, how many of its distinct 8-token spans also occur
@@ -3748,6 +3803,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
+    # new r8, out-of-window like q63 was in r7 (the r8 rotation slots went
+    # to q63/q64); oracle = ORACLE_Q57 verbatim — TIFF is lossless over
+    # the identical minted raster
+    "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
 }
 
 

@@ -401,4 +401,7 @@ def test_harness_window_composition_is_pinned():
         "q56_media_decode",  # rotated out r8 for q63: PPM is an ASCII
         # header + raw bytes; the shared mapInPandas decode plumbing stays
         # gated by the five in-window codecs
+        "q65_tiff_decode",  # new r8: baseline-TIFF codec gate — out of
+        # window (the r8 rotation slots went to q63/q64), parity-gated
+        # locally + JDK cross-implementation gated in test_tiff.py
     }
