@@ -572,6 +572,169 @@ def _decode_gif_raw(data: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("no image frame")
 
 
+def bmp_encode(px: np.ndarray, rle: bool = False) -> bytes:
+    """Mint a BMP: (h, w, 3) uint8 -> 24-bit BI_RGB; (h, w) uint8 ->
+    8-bit gray-palette BI_RGB, or BI_RLE8 when ``rle``. Bottom-up rows,
+    4-byte padded, BITMAPINFOHEADER."""
+    import struct
+
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if w * h > _MAX_PIXELS:
+        raise ValueError("BMP encoder: exceeds the decoder pixel cap")
+    if gray:
+        pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+        if rle:
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                row = px[y].astype(np.uint8)
+                i = 0
+                while i < w:
+                    j = i
+                    while j + 1 < w and row[j + 1] == row[i] and j - i < 253:
+                        j += 1
+                    body += bytes([j - i + 1, int(row[i])])
+                    i = j + 1
+                body += b"\x00\x00"  # end of line
+            body[-2:] = b"\x00\x01"  # last EOL becomes end of bitmap
+            payload, comp = bytes(body), 1
+        else:
+            pad = (-w) % 4
+            payload = b"".join(
+                px[y].astype(np.uint8).tobytes() + b"\x00" * pad
+                for y in range(h - 1, -1, -1)
+            )
+            comp = 0
+    else:
+        pal = b""
+        pad = (-(w * 3)) % 4
+        payload = b"".join(
+            px[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad  # BGR
+            for y in range(h - 1, -1, -1)
+        )
+        comp = 0
+    bits = 8 if gray else 24
+    data_off = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack(
+        "<IHHI", data_off + len(payload), 0, 0, data_off
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bits, comp, len(payload), 2835, 2835,
+        256 if gray else 0, 0,
+    )
+    return header + dib + pal + payload
+
+
+def _bmp_rle8(src: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 -> (h, w) index array (bottom-up rows, like the raw path).
+    Escapes: 00 00 EOL, 00 01 EOF, 00 02 dx dy delta, 00 n absolute."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # y counts from the BOTTOM row (row h-1-y in image space)
+    i = 0
+    n = len(src)
+    while i + 1 < n:
+        c, v = src[i], src[i + 1]
+        i += 2
+        if c:
+            if y >= h:
+                raise ValueError("BMP: RLE run past last row")
+            run = min(c, w - x)
+            out[h - 1 - y, x : x + run] = v
+            x += run
+        elif v == 0:
+            x, y = 0, y + 1
+        elif v == 1:
+            return out
+        elif v == 2:
+            if i + 2 > n:
+                raise ValueError("BMP: RLE delta truncated")
+            x = min(x + src[i], w)
+            y += src[i + 1]
+            i += 2
+        else:
+            if i + v > n:
+                raise ValueError("BMP: RLE absolute run truncated")
+            if y >= h:
+                raise ValueError("BMP: RLE run past last row")
+            run = min(v, w - x)
+            out[h - 1 - y, x : x + run] = np.frombuffer(src[i : i + run], np.uint8)
+            x += run
+            i += v + (v & 1)  # absolute runs pad to word
+    return out
+
+
+def _decode_bmp_raw(data: bytes) -> tuple[np.ndarray, int]:
+    """Baseline BMP decode -> ((h, w, 3) int64, 255): BITMAPINFOHEADER-
+    family DIBs, 1/4/8-bit palette and 24/32-bit BI_RGB, BI_RLE8,
+    bottom-up and top-down (negative height) rows. Cross-implementation
+    gated against the JDK BMP plugin (tests/test_bmp.py)."""
+    import struct
+
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("BMP: bad magic / truncated header")
+    (data_off,) = struct.unpack("<I", data[10:14])
+    (dib_size,) = struct.unpack("<I", data[14:18])
+    if dib_size < 40 or 14 + dib_size > len(data):
+        raise ValueError("BMP: unsupported/truncated DIB header")
+    w, h_raw, _planes, bits, comp = struct.unpack("<iiHHI", data[18:34])
+    (colors_used,) = struct.unpack("<I", data[46:50])
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError("BMP: implausible dimensions")
+    if data_off > len(data):
+        raise ValueError("BMP: data offset out of range")
+    body = data[data_off:]
+
+    if bits in (1, 4, 8):
+        n_pal = colors_used or (1 << bits)
+        pal_off = 14 + dib_size
+        pal_raw = data[pal_off : pal_off + 4 * n_pal]
+        if len(pal_raw) < 4 * n_pal:
+            raise ValueError("BMP: truncated palette")
+        pal = np.frombuffer(pal_raw, np.uint8).reshape(n_pal, 4)[:, [2, 1, 0]]
+        pal = np.vstack([pal, np.zeros((256 - n_pal, 3), np.uint8)]) if n_pal < 256 else pal
+        if comp == 1:
+            if bits != 8 or top_down:
+                raise ValueError("BMP: RLE8 requires 8-bit bottom-up")
+            idx = _bmp_rle8(body, w, h)
+        elif comp == 0:
+            stride = ((w * bits + 31) // 32) * 4
+            if len(body) < stride * h:
+                raise ValueError("BMP: pixel data truncated")
+            rows = np.frombuffer(body[: stride * h], np.uint8).reshape(h, stride)
+            if bits == 8:
+                idx = rows[:, :w]
+            elif bits == 4:
+                hi, lo = rows >> 4, rows & 0x0F
+                both = np.empty((h, stride * 2), np.uint8)
+                both[:, 0::2], both[:, 1::2] = hi, lo
+                idx = both[:, :w]
+            else:
+                idx = np.unpackbits(rows, axis=1)[:, :w]
+            if not top_down:
+                idx = idx[::-1]
+        else:
+            raise ValueError(f"BMP: unsupported compression {comp}")
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP: palette index out of range")
+        return pal.astype(np.int64)[idx], 255
+
+    if bits in (24, 32):
+        if comp != 0:
+            raise ValueError(f"BMP: unsupported compression {comp} at {bits}bpp")
+        bypp = bits // 8
+        stride = ((w * bits + 31) // 32) * 4
+        if len(body) < stride * h:
+            raise ValueError("BMP: pixel data truncated")
+        rows = np.frombuffer(body[: stride * h], np.uint8).reshape(h, stride)
+        px = rows[:, : w * bypp].reshape(h, w, bypp)[:, :, :3][:, :, ::-1]  # BGR(X)->RGB
+        if not top_down:
+            px = px[::-1]
+        return px.astype(np.int64), 255
+    raise ValueError(f"BMP: unsupported bit depth {bits}")
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """stdlib PCM WAV decode -> (mono float samples in [-1, 1], rate)."""
     with wave.open(io.BytesIO(data), "rb") as wf:
@@ -771,6 +934,119 @@ def _decode_wav_ima(data: bytes) -> tuple[np.ndarray, int]:
     return mono, rate
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """u-law byte -> int16, built from the G.711 expansion formula
+    (sign/exponent/mantissa with the 0x84 bias); bit-identical to the
+    stdlib ``audioop.ulaw2lin`` C tables (asserted in tests — the
+    independent reference)."""
+    out = np.empty(256, dtype=np.int16)
+    for u in range(256):
+        c = ~u & 0xFF
+        exp = (c >> 4) & 7
+        mant = c & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        out[u] = -mag if c & 0x80 else mag
+    return out
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """A-law byte -> int16 (G.711: XOR 0x55, chord/step expansion)."""
+    out = np.empty(256, dtype=np.int16)
+    for a in range(256):
+        c = a ^ 0x55
+        exp = (c >> 4) & 7
+        mant = c & 0x0F
+        if exp == 0:
+            mag = (mant << 4) + 8
+        else:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        # A-law sign bit SET means positive (opposite of u-law)
+        out[a] = mag if c & 0x80 else -mag
+    return out
+
+
+_ULAW = _g711_ulaw_table()
+_ALAW = _g711_alaw_table()
+
+
+def _decode_wav_g711(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV with G.711 payload (format tag 6 = A-law, 7 = u-law) -> mono
+    float samples; the stdlib ``wave`` module only reads PCM, so this
+    walks the RIFF chunks directly like the IMA path."""
+    import struct
+
+    ch = _riff_chunks(data)
+    fmt, raw = ch.get(b"fmt "), ch.get(b"data")
+    if fmt is None or raw is None or len(fmt) < 16:
+        raise ValueError("WAV: missing fmt/data chunk")
+    tag, nch, rate = struct.unpack("<HHI", fmt[:8])
+    if tag == 6:
+        x = _ALAW[np.frombuffer(raw, np.uint8)].astype(np.float64) / 32768.0
+    elif tag == 7:
+        x = _ULAW[np.frombuffer(raw, np.uint8)].astype(np.float64) / 32768.0
+    else:
+        raise ValueError(f"WAV: not a G.711 stream (tag {tag})")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def au_encode(samples: np.ndarray, rate: int, encoding: int = 3) -> bytes:
+    """Mint a Sun AU file: encoding 1 (u-law), 3 (int16 BE), 27 (A-law).
+    G.711 compression uses the inverse of the decode tables (nearest
+    match by table lookup — exact for values that round-trip)."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    if encoding == 3:
+        payload = s.astype(">i2").tobytes()
+    elif encoding in (1, 27):
+        table = _ULAW if encoding == 1 else _ALAW
+        order = np.argsort(table)
+        pos = np.searchsorted(table[order], s)
+        pos = np.clip(pos, 0, 255)
+        left = np.clip(pos - 1, 0, 255)
+        pick = np.where(
+            np.abs(table[order[left]].astype(np.int32) - s)
+            <= np.abs(table[order[pos]].astype(np.int32) - s),
+            left,
+            pos,
+        )
+        payload = order[pick].astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"AU encoder: unsupported encoding {encoding}")
+    hdr = struct.pack(">4sIIIII", b".snd", 24, len(payload), encoding, rate, 1)
+    return hdr + payload
+
+
+def _decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU ('.snd' magic, big-endian header): u-law (1), int8 (2),
+    int16 BE (3), A-law (27) -> mono float samples."""
+    import struct
+
+    if len(data) < 24:
+        raise ValueError("AU: truncated header")
+    magic, off, size, enc, rate, nch = struct.unpack(">4sIIIII", data[:24])
+    if magic != b".snd":
+        raise ValueError("AU: bad magic")
+    if off < 24 or off > len(data) or rate <= 0 or nch < 1:
+        raise ValueError("AU: bad header fields")
+    raw = data[off : off + size] if size != 0xFFFFFFFF else data[off:]
+    if enc == 1:
+        x = _ULAW[np.frombuffer(raw, np.uint8)].astype(np.float64) / 32768.0
+    elif enc == 2:
+        x = np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        x = np.frombuffer(raw[: len(raw) - len(raw) % 2], ">i2").astype(np.float64) / 32768.0
+    elif enc == 27:
+        x = _ALAW[np.frombuffer(raw, np.uint8)].astype(np.float64) / 32768.0
+    else:
+        raise ValueError(f"AU: unsupported encoding {enc}")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
 def _grid_means(plane: np.ndarray, gh: int, gw: int) -> np.ndarray:
     """Block-average a 2D plane onto a (gh, gw) grid (the resize step):
     rows/cols are binned by integer linspace edges, so any input size maps
@@ -854,6 +1130,8 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
         from pincspark.operators.tiff import decode_tiff_raw
 
         decode = decode_tiff_raw
+    elif data.startswith(b"BM"):
+        decode = _decode_bmp_raw
     else:
         return None
     try:
@@ -868,9 +1146,11 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
 
 def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[float]] | None:
     """(rms, sample_rate, duration_ms, band-RMS feature) for PCM WAV
-    ('RIFF' magic, stdlib wave), IMA-ADPCM WAV, and FLAC ('fLaC' magic,
-    from-scratch decoder in `operators/flac.py`); None for formats
-    needing codec libs (mp3/ogg/...)."""
+    ('RIFF' magic, stdlib wave), IMA-ADPCM WAV, G.711 u-law/A-law WAV
+    (format tags 7/6, audioop-pinned tables), Sun AU ('.snd' magic:
+    u-law/A-law/linear), and FLAC ('fLaC' magic, from-scratch decoder in
+    `operators/flac.py`); None for formats needing codec libs
+    (mp3/ogg/...)."""
     if data.startswith(b"fLaC"):
         from pincspark.operators.flac import decode_flac_audio
 
@@ -878,6 +1158,11 @@ def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[fl
             x, rate = decode_flac_audio(data)
         except Exception:
             return None  # corrupt stream: must-not-kill-the-job policy
+    elif data.startswith(b".snd"):
+        try:
+            x, rate = _decode_au(data)  # Sun AU: u-law/A-law/linear PCM
+        except Exception:
+            return None
     elif not data.startswith(b"RIFF"):
         return None
     else:
@@ -887,7 +1172,10 @@ def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[fl
             try:
                 x, rate = _decode_wav_ima(data)  # compressed: IMA ADPCM (0x11)
             except Exception:
-                return None  # corrupt container: same policy
+                try:
+                    x, rate = _decode_wav_g711(data)  # A-law (6) / u-law (7)
+                except Exception:
+                    return None  # corrupt container: same policy
     if rate <= 0:
         # a corrupt header can declare framerate 0 while carrying frames;
         # dividing by it below would kill the mapInPandas task (ADVICE r4)
@@ -960,10 +1248,11 @@ def decode_audio_features(
     strict: bool = False,
 ) -> DataFrame:
     """Audio decode + feature extraction as a mapInPandas stage: PCM WAV,
-    IMA-ADPCM WAV, and FLAC decode FOR REAL (stdlib ``wave``, the
-    audioop-pinned ADPCM state machine, and the from-scratch FLAC
-    bitstream decoder; mono-mixed float samples -> overall RMS + per-band
-    RMS over ``dim`` equal time slices). Other formats (mp3/ogg/...):
+    IMA-ADPCM WAV, G.711 u-law/A-law WAV, Sun AU, and FLAC decode FOR
+    REAL (stdlib ``wave``, the audioop-pinned ADPCM state machine and
+    G.711 tables, and the from-scratch FLAC bitstream decoder;
+    mono-mixed float samples -> overall RMS + per-band RMS over ``dim``
+    equal time slices). Other formats (mp3/ogg/...):
     NotImplementedError under strict, deterministic fake otherwise — same
     contract as decode_image_features."""
 

@@ -17,6 +17,7 @@ from hypothesis import strategies as st
 
 from pincspark.operators.flac import flac_encode
 from pincspark.operators.jpeg import jpeg_encode
+from pincspark.operators.tiff import tiff_encode
 from pincspark.operators.webp import webp_encode
 from pincspark.operators.multimodal import (
     _MAX_PIXELS,
@@ -24,6 +25,8 @@ from pincspark.operators.multimodal import (
     _decode_audio_bytes,
     _decode_image_bytes,
     _png_chunk,
+    au_encode,
+    bmp_encode,
     gif_encode,
     png_encode,
     wav_ima_encode,
@@ -98,6 +101,13 @@ def _good_blobs() -> list[bytes]:
         flac_encode(mono),
         wav_ima_encode(mono, 8000),
         webp_encode(r.astype(np.uint8)),
+        tiff_encode(r.astype(np.uint8), "packbits"),
+        tiff_encode(r.astype(np.uint8), "lzw", predictor=True),
+        tiff_encode(r.astype(np.uint8), "deflate", byte_order="MM"),
+        bmp_encode(r.astype(np.uint8)),
+        bmp_encode(g.astype(np.uint8), rle=True),
+        au_encode(mono.astype(np.int16), 8000, 1),
+        au_encode(mono.astype(np.int16), 8000, 27),
     ]
 
 
@@ -134,7 +144,8 @@ def test_random_bytes_never_crash(seed, n):
     noise = np.random.default_rng(seed).integers(0, 256, size=n, dtype=np.uint8).tobytes()
     for prefix in (
         b"", b"P6", _PNG_SIG, b"GIF89a", b"\xff\xd8", b"fLaC", b"RIFF",
-        b"RIFF\x20\x00\x00\x00WEBPVP8L",
+        b"RIFF\x20\x00\x00\x00WEBPVP8L", b"II*\x00", b"MM\x00*",
+        b"BM", b".snd",
     ):
         data = prefix + noise
         img = _decode_image_bytes(data, 4)
