@@ -1023,6 +1023,127 @@ def duplicate_span_stats(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    num_clusters: int = 16,
+    tau: float = 0.95,
+    max_cluster_size: int | None = 4096,
+    warn_excluded: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, then within each cluster drop members that are
+    near-duplicates (cosine >= ``tau``) of a kept member ->
+    (id, cell, cent_sim, kept).
+
+    Keep rule, deterministic and embarrassingly parallel: order cluster
+    members by (similarity-to-centroid ASC, id ASC) — the paper's
+    "keep the example FURTHEST from the centroid" preference — and drop
+    x exactly when some earlier-ordered y has cos(x, y) >= tau. A
+    pairwise monotone rule (no sequential greedy state), so it
+    distributes as one equi-join; the variant is documented here rather
+    than silently approximating the paper's sequential scan.
+
+    ``centroids`` defaults to the first ``num_clusters`` vectors by id —
+    the deterministic stand-in that keeps the operator SQL-oracle-able
+    (ORACLE_Q22's arrangement); at production scale pass
+    :func:`pincspark.operators.similarity.kmeans_centroids` output
+    instead. Clusters larger than ``max_cluster_size`` skip pruning
+    (all members kept) — the |cluster|^2 pair join is the cost bound,
+    same guard class and warning contract as :func:`embedding_dup_pairs`
+    — at 100 TB you raise ``num_clusters`` so clusters stay small, which
+    is exactly the paper's regime (50k clusters)."""
+    from pincspark.functions.vectors import cosine
+
+    if centroids is None:
+        centroids = (
+            df.orderBy(id_col)
+            .limit(num_clusters)
+            .select(
+                F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+            )
+        )
+    e = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        "__v",
+        "cell",
+        F.round(cosine(F.col("__v"), F.col("cv")), 9).alias("cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "__v", "cell", F.col("cs").alias("cent_sim"))
+    )
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy(F.col("cell").alias("__c")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        if warn_excluded:
+            import warnings
+
+            over = (
+                sizes.filter(F.col("__n") > max_cluster_size)
+                .agg(
+                    F.count(F.lit(1)).alias("nb"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("nr"),
+                )
+                .collect()[0]
+            )
+            if over["nb"]:
+                warnings.warn(
+                    f"semantic_dedup: {over['nb']} cluster(s) covering "
+                    f"{over['nr']} row(s) exceed max_cluster_size="
+                    f"{max_cluster_size}; they are kept UNPRUNED. Raise "
+                    "num_clusters (or pass trained centroids) so clusters "
+                    "stay small.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        prunable = assigned.join(
+            sizes,
+            (F.col("cell") == F.col("__c")) & (F.col("__n") <= max_cluster_size),
+        ).drop("__c", "__n")
+    else:
+        prunable = assigned
+    a = prunable.select(
+        F.col(id_col).alias("__xid"), F.col("__v").alias("__xv"),
+        F.col("cell").alias("__xc"), F.col("cent_sim").alias("__xs"),
+    )
+    b = prunable.select(
+        F.col(id_col).alias("__yid"), F.col("__v").alias("__yv"),
+        F.col("cell").alias("__yc"), F.col("cent_sim").alias("__ys"),
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("__xc") == F.col("__yc"))
+            & (
+                (F.col("__ys") < F.col("__xs"))
+                | ((F.col("__ys") == F.col("__xs")) & (F.col("__yid") < F.col("__xid")))
+            ),
+        )
+        .filter(F.round(cosine(F.col("__xv"), F.col("__yv")), 9) >= tau)
+        .select(F.col("__xid").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("__dropped", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.round("cent_sim", 6).alias("cent_sim"),
+            F.when(F.col("__dropped").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str,

@@ -3233,6 +3233,54 @@ def q65_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) under the oracle gate: nearest-centroid
+    clustering (deterministic first-16 centroids, ORACLE_Q22's
+    arrangement), then within-cluster near-duplicate pruning with the
+    keep-the-furthest-from-centroid rule -> (vec_id, cell, cent_sim,
+    kept). tau=0.4 (not the paper's 0.95) so the synthetic embeddings
+    actually produce drops to gate; the operator is
+    `pincspark.operators.dedup.semantic_dedup`."""
+    from pincspark.operators.dedup import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", tau=0.4, warn_excluded=False
+    ).select("vec_id", "cell", "cent_sim", "kept")
+
+
+ORACLE_Q66 = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, v, cell, cs FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           ROUND({_SQL_COS.format(a='e.v', b='cent.cv')}, 9) AS cs,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_SQL_COS.format(a='e.v', b='cent.cv')}, 9) DESC, cent.cell ASC
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+), sizes AS (
+  SELECT cell AS c2, COUNT(*) AS n FROM assign GROUP BY cell
+), prunable AS (
+  SELECT a.* FROM assign a JOIN sizes s ON a.cell = s.c2 AND s.n <= 4096
+), dominated AS (
+  SELECT DISTINCT x.vec_id FROM prunable x JOIN prunable y
+    ON x.cell = y.cell
+   AND (y.cs < x.cs OR (y.cs = x.cs AND y.vec_id < x.vec_id))
+   AND ROUND({_SQL_COS.format(a='x.v', b='y.v')}, 9) >= 0.4
+)
+SELECT a.vec_id AS vec_id, a.cell AS cell,
+       ROUND(a.cs, 6) AS cent_sim,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+"""
+
+
 def q59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication census (Lee et al. 2022 substring-dedup
     signal): per document, how many of its distinct 8-token spans also occur
@@ -3807,6 +3855,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # to q63/q64); oracle = ORACLE_Q57 verbatim — TIFF is lossless over
     # the identical minted raster
     "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
+    # new r8: SemDeDup — out-of-window, parity-gated locally
+    "q66_semantic_dedup": (q66_semantic_dedup, ORACLE_Q66),
 }
 
 

@@ -404,4 +404,6 @@ def test_harness_window_composition_is_pinned():
         "q65_tiff_decode",  # new r8: baseline-TIFF codec gate — out of
         # window (the r8 rotation slots went to q63/q64), parity-gated
         # locally + JDK cross-implementation gated in test_tiff.py
+        "q66_semantic_dedup",  # new r8: SemDeDup — out of window,
+        # parity-gated locally
     }

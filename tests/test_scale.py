@@ -492,3 +492,66 @@ def test_asof_join_under_adversarial_skew(spark):
     assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
         map(tuple, b.select(*cols).collect())
     )
+
+
+def test_semantic_dedup_keep_rule_and_cap(spark):
+    """SemDeDup semantics on planted vectors: within a cluster, a
+    near-duplicate pair (cos >= tau) keeps the member FURTHEST from the
+    centroid (lower cent_sim; id breaks ties); distinct members all
+    survive; an oversized cluster skips pruning entirely (all kept) and
+    warns."""
+    import warnings
+
+    import pytest as _pytest
+
+    from pincspark.operators.dedup import semantic_dedup
+
+    # centroids will be the first 2 vectors (ids 0, 1): orthogonal axes
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        # cluster of id 0: two near-identical vectors, one slightly
+        # closer to the centroid than the other
+        (10, [0.99, 0.05, 0.0]),
+        (11, [0.98, 0.06, 0.0]),
+        # distinct member of the same cluster (cos to 10/11 well < tau)
+        (12, [0.6, 0.0, 0.8]),
+        # cluster of id 1: singleton
+        (20, [0.1, 0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, num_clusters=2, tau=0.95, warn_excluded=False
+        ).collect()
+    }
+    assert len(out) == 6
+    # ids 0, 10, 11 are pairwise near-dups (cos >= 0.95): the least-
+    # central member (11) survives; 10 and the dead-center 0 (cent_sim
+    # 1.0) are each dominated by a less-central tau-neighbor.
+    assert out[11]["kept"] == 1
+    assert out[10]["kept"] == 0
+    assert out[0]["kept"] == 0
+    assert out[12]["kept"] == 1  # distinct member survives
+    assert out[20]["kept"] == 1  # singleton survives
+    assert out[10]["cell"] == out[11]["cell"] == out[12]["cell"] == 0
+
+    # oversized-cluster cap: cap=2 makes cluster 0 (4 members) unprunable
+    with _pytest.warns(RuntimeWarning, match="exceed max_cluster_size"):
+        capped = semantic_dedup(
+            df, num_clusters=2, tau=0.95, max_cluster_size=2
+        )
+        got = {r["vec_id"]: r["kept"] for r in capped.collect()}
+    # oversized cluster 0 (ids 0/10/11/12) skips pruning entirely; the
+    # within-cap cluster 1 still prunes (cos(1, 20) ~ 0.994 >= tau, and
+    # the dead-center member 1 is the one dropped)
+    assert {k: got[k] for k in (0, 10, 11, 12)} == {0: 1, 10: 1, 11: 1, 12: 1}
+    assert got[20] == 1 and got[1] == 0
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        semantic_dedup(
+            df, num_clusters=2, tau=0.95, max_cluster_size=2,
+            warn_excluded=False,
+        ).collect()
