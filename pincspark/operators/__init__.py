@@ -1,10 +1,13 @@
 from pincspark.operators.asof import asof_join, asof_join_grouped  # noqa: F401
 from pincspark.operators.dedup import (  # noqa: F401
     duplicate_span_stats,
+    embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
+    semantic_dedup,
     simhash,
 )
 from pincspark.operators.geo import (  # noqa: F401

@@ -1204,16 +1204,25 @@ def remove_duplicate_spans(
         .cast("bigint")
         .alias("h"),
     )
+    # keeper = min (doc_id, p) struct per hash: an UNORDERED window
+    # aggregate, so count and keeper share one window spec — one exchange,
+    # one partition-key-only sort, ONE Window operator (the row_number
+    # form needed a second full (h, id, p) sort; 3.4 -> measured faster
+    # at sf0.1 with identical semantics since (doc_id, p) is unique)
     wc = Window.partitionBy("h")
-    wr = Window.partitionBy("h").orderBy(id_col, "p")
     removing = (
         occ.select(
             F.col(id_col),
             "p",
             F.count(F.lit(1)).over(wc).alias("c"),
-            F.row_number().over(wr).alias("rn"),
+            F.min(F.struct(F.col(id_col).alias("kid"), F.col("p").alias("kp")))
+            .over(wc)
+            .alias("keep"),
         )
-        .filter((F.col("c") > 1) & (F.col("rn") > 1))
+        .filter(
+            (F.col("c") > 1)
+            & ~((F.col("keep.kid") == F.col(id_col)) & (F.col("keep.kp") == F.col("p")))
+        )
         .groupBy(id_col)
         .agg(F.collect_set("p").alias("rem_starts"))
     )
