@@ -3337,6 +3337,65 @@ GROUP BY doc_id
 ORACLE_Q59 = _q59_oracle()
 
 
+def q67_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): a bigram
+    add-0.5 LM trained on the lang='en' slice scores EVERY document's
+    cross-entropy; OOV bigrams smooth to the 1/V floor. The operator is
+    `pincspark.operators.lm.ngram_lm_perplexity`; hashed projection is
+    the two exact BIGINT counters + the 6-dp entropy (exp(H) perplexity
+    deliberately excluded — it amplifies last-ulp ln differences by the
+    perplexity itself, the q59 driver-red class)."""
+    from pincspark.operators.lm import ngram_lm_perplexity
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_lm_perplexity(
+        docs, "doc_id", "text", train_filter=F.col("lang") == "en", alpha=0.5
+    ).select("doc_id", "n_bigrams", "oov_bigrams", "cross_entropy")
+
+
+def _q67_oracle() -> str:
+    # Version-robust forms (q59 lesson list): lateral unnest over
+    # generate_series + explicit list_extract for the bigram explode (no
+    # zipped parallel unnest / bracket sugar), BIGINT casts on every
+    # integer output (SUM is HUGEINT in DuckDB), and the only double in
+    # the hashed projection is ROUND(sum-of-ln, 6) — the q48 precedent.
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_train, {toks} AS toks FROM documents
+), big AS (
+  SELECT doc_id, is_train,
+         list_extract(toks, i) AS w1, list_extract(toks, i + 1) AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) u
+), pdc AS (
+  SELECT doc_id, is_train, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM big GROUP BY doc_id, is_train, w1, w2
+), gb AS (
+  SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS cb
+  FROM pdc WHERE is_train GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw1 FROM gb GROUP BY w1
+), vs AS (
+  SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM gb
+)
+SELECT pdc.doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN gb.cb IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS oov_bigrams,
+       ROUND(-SUM(cnt * ln(
+           (COALESCE(gb.cb, 0) + 0.5) / (COALESCE(ctx.cw1, 0) + 0.5 * v)
+         )) / SUM(cnt), 6) AS cross_entropy
+FROM pdc
+LEFT JOIN gb ON pdc.w1 = gb.w1 AND pdc.w2 = gb.w2
+LEFT JOIN ctx ON pdc.w1 = ctx.w1
+CROSS JOIN vs
+GROUP BY pdc.doc_id
+"""
+
+
+ORACLE_Q67 = _q67_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -3857,6 +3916,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
     # new r8: SemDeDup — out-of-window, parity-gated locally
     "q66_semantic_dedup": (q66_semantic_dedup, ORACLE_Q66),
+    # new r8: CCNet-style bigram-LM perplexity scoring — out-of-window,
+    # parity-gated locally (pure DataFrame aggregations; lower defect risk
+    # than the codec tier holding the window slots)
+    "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
 }
 
 

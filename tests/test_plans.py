@@ -252,6 +252,8 @@ def test_entire_catalog_is_scale_safe(spark):
         "q51_pq_topk",
         "q52_ivfpq_topk",
         "q55_hybrid_retrieval",
+        "q66_semantic_dedup",  # 16-centroid batch crossed with the corpus
+        "q67_lm_perplexity",  # 1-row vocab-size aggregate crossed on
     }
     for name, (fn, _) in QUERIES.items():
         allow = (
