@@ -59,6 +59,98 @@ def _bigrams(toks: Column) -> Column:
     )
 
 
+def _bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic feature-hash bucket: 32-bit md5 prefix mod n_buckets.
+    Identical on the DuckDB side as
+    ``('0x' || substring(md5(s),1,8))::BIGINT % n`` (the dedup.py shingle
+    idiom, driver-proven hash-identical across engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % F.lit(
+        n_buckets
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_filter: Column | None = None,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): features are hashed
+    word unigrams + bigrams in ``n_buckets`` buckets; each document's
+    log importance weight is its bucket-count vector scored under the
+    target-vs-source unigram bag-of-hashed-ngrams ratio
+
+        log w(x) = sum_b n_x[b] * (ln p_target[b] - ln p_source[b])
+
+    with add-``alpha`` smoothed bucket probabilities. High log-weight
+    documents look like the target slice; resampling by these weights is
+    the paper's selection step (see ``sampling.py`` for the
+    deterministic-hash resampler to compose with).
+
+    Returns (id, n_feats, log_weight): n_feats = total hashed features
+    (exact BIGINT), log_weight rounded to 6 dp (sum of ln of
+    deterministic rationals — the q48/q67 float discipline).
+
+    Scale shape mirrors ngram_lm_perplexity: one explode into per-doc
+    bucket counts (shuffle keyed (doc, bucket), map-side combined), the
+    two model vectors re-aggregated from that table (bucket-keyed shuffle
+    over <= n_buckets * docs distinct rows), totals as a 1-row broadcast,
+    scoring as one equi-join on bucket + one groupBy(doc). The model is
+    n_buckets rows — broadcastable by the planner at any corpus size.
+    """
+    if target_filter is None:
+        target_filter = F.lit(True)
+    toks = ws_tokens(F.col(text_col))
+    feats = F.concat(
+        toks,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - F.lit(1), F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - F.lit(1), F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    pdc = (
+        df.select(
+            F.col(id_col),
+            target_filter.alias("is_target"),
+            F.explode(feats).alias("f"),
+        )
+        .withColumn("b", _bucket(F.col("f"), n_buckets))
+        .groupBy(id_col, "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tgt = (
+        pdc.filter(F.col("is_target"))
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    src = pdc.groupBy("b").agg(F.sum("cnt").alias("cs"))
+    totals = pdc.select(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "tot_t"
+        ),
+        F.sum("cnt").alias("tot_s"),
+    )
+    a = F.lit(float(alpha))
+    nb = F.lit(float(n_buckets))
+    logratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + a) / (F.col("tot_t") + a * nb)
+    ) - F.log((F.col("cs") + a) / (F.col("tot_s") + a * nb))
+    return (
+        pdc.join(tgt, ["b"], "left")
+        .join(src, ["b"])
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_feats"),
+            F.round(F.sum(F.col("cnt") * logratio), 6).alias("log_weight"),
+        )
+    )
+
+
 def doc_bigram_counts(
     df: DataFrame, id_col: str, text_col: str, train_filter: Column
 ) -> DataFrame:

@@ -3396,6 +3396,65 @@ GROUP BY pdc.doc_id
 ORACLE_Q67 = _q67_oracle()
 
 
+def q68_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document log importance
+    weight under the hashed-ngram target-vs-source bucket model, target =
+    lang='en'. Operator: `pincspark.operators.lm.dsir_log_weights`."""
+    from pincspark.operators.lm import dsir_log_weights
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, "doc_id", "text", target_filter=F.col("lang") == "en",
+        n_buckets=4096, alpha=0.5,
+    )
+
+
+def _q68_oracle() -> str:
+    # Same robustness kit as q67; the bucket hash is the dedup.py 32-bit
+    # md5-prefix idiom, byte-identical across engines.
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_target, {toks} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, is_target, unnest(toks) AS f FROM tok
+  UNION ALL
+  SELECT doc_id, is_target,
+         list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS f
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) u
+), bucketed AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 4096 AS b
+  FROM feat
+), pdc AS (
+  SELECT doc_id, is_target, b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY doc_id, is_target, b
+), tgt AS (
+  SELECT b, CAST(SUM(cnt) AS BIGINT) AS ct FROM pdc WHERE is_target GROUP BY b
+), src AS (
+  SELECT b, CAST(SUM(cnt) AS BIGINT) AS cs FROM pdc GROUP BY b
+), totals AS (
+  SELECT CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS tot_t,
+         CAST(SUM(cnt) AS BIGINT) AS tot_s
+  FROM pdc
+)
+SELECT pdc.doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       ROUND(SUM(cnt * (
+           ln((COALESCE(tgt.ct, 0) + 0.5) / (tot_t + 0.5 * 4096))
+         - ln((src.cs + 0.5) / (tot_s + 0.5 * 4096))
+       )), 6) AS log_weight
+FROM pdc
+LEFT JOIN tgt ON pdc.b = tgt.b
+JOIN src ON pdc.b = src.b
+CROSS JOIN totals
+GROUP BY pdc.doc_id
+"""
+
+
+ORACLE_Q68 = _q68_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -3852,13 +3911,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q06_asof_enrich": (q06_asof_enrich, ORACLE_Q06),
     "q07_latest_state": (q07_latest_state, ORACLE_Q07),
     "q08_validity_intervals": (q08_validity_intervals, ORACLE_Q08),
-    "q09_union_normalize": (q09_union_normalize, ORACLE_Q09),
+    "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
     "q13_sessionize": (q13_sessionize, ORACLE_Q13),
     "q14_dedup_exact": (q14_dedup_exact, ORACLE_Q14),
     "q15_text_quality": (q15_text_quality, ORACLE_Q15),
     "q16_token_stats": (q16_token_stats, ORACLE_Q16),
     "q17_lang_id": (q17_lang_id, ORACLE_Q17),
-    "q18_knn_cosine": (q18_knn_cosine, ORACLE_Q18),
+    "q66_semantic_dedup": (q66_semantic_dedup, ORACLE_Q66),
     "q62_ivf_index_topk": (q62_ivf_index_topk, ORACLE_Q22),
     "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
@@ -3910,16 +3969,21 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
     "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
-    # new r8, out-of-window like q63 was in r7 (the r8 rotation slots went
-    # to q63/q64); oracle = ORACLE_Q57 verbatim — TIFF is lossless over
-    # the identical minted raster
-    "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
-    # new r8: SemDeDup — out-of-window, parity-gated locally
-    "q66_semantic_dedup": (q66_semantic_dedup, ORACLE_Q66),
+    # rotated out r8 second wave for q65 (TIFF codec): union of two scans
+    # is a single native unionByName; P24 schema normalization stays
+    # in-window via q50's 37-col egress, and §2.7's union semantics stay
+    # locally parity-tested here
+    "q09_union_normalize": (q09_union_normalize, ORACLE_Q09),
+    # rotated out r8 second wave for q66 (SemDeDup): brute-force cosine
+    # top-k is native HOF arithmetic + the same two-phase top-k window as
+    # in-window q40; the ANN family stays gated by q41/q51/q52/q62
+    "q18_knn_cosine": (q18_knn_cosine, ORACLE_Q18),
     # new r8: CCNet-style bigram-LM perplexity scoring — out-of-window,
     # parity-gated locally (pure DataFrame aggregations; lower defect risk
     # than the codec tier holding the window slots)
     "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
+    # new r8: DSIR importance weights — out-of-window, parity-gated locally
+    "q68_dsir_weights": (q68_dsir_weights, ORACLE_Q68),
 }
 
 

@@ -66,6 +66,50 @@ def test_self_trained_has_no_oov(planted):
     assert all(r["cross_entropy"] < math.log(v) for r in rows)
 
 
+def test_dsir_self_target_is_exactly_zero(planted):
+    """With target == source the bucket ratio is 1 everywhere, so every
+    document's log importance weight is exactly 0 — an algebraic identity
+    that holds bit-for-bit (the two ln calls see identical arguments)."""
+    from pincspark.operators.lm import dsir_log_weights
+
+    rows = dsir_log_weights(planted, "doc_id", "text").collect()
+    assert len(rows) == 4  # every doc has >= 1 unigram feature
+    assert all(r["log_weight"] == 0.0 for r in rows)
+
+
+def test_dsir_separates_target_from_off_target(spark):
+    from pincspark.operators.lm import dsir_log_weights
+
+    rows = [
+        (1, "a b a b c", True),
+        (2, "a c b a", True),
+        (3, "x y z x y", False),  # disjoint vocabulary
+        (4, "b a c a", False),    # target-like vocabulary, off-target slice
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            df, "doc_id", "text", target_filter=F.col("tgt"), n_buckets=64
+        ).collect()
+    }
+    # target-vocabulary docs score strictly above the disjoint-vocab doc,
+    # including doc 4 which shares the target's vocabulary but not its slice
+    assert min(out[1], out[2], out[4]) > out[3]
+    assert out[3] < 0.0
+
+
+def test_dsir_n_feats_counts_unigrams_plus_bigrams(planted):
+    from pincspark.operators.lm import dsir_log_weights
+
+    out = {
+        r["doc_id"]: r["n_feats"]
+        for r in dsir_log_weights(planted, "doc_id", "text").collect()
+    }
+    # "a b a b" -> 4 unigrams + 3 bigrams; "x" -> 1 unigram + 0 bigrams
+    assert out[1] == 7 and out[2] == 5 and out[3] == 3 and out[4] == 1
+
+
 def test_in_domain_scores_below_out_of_domain(planted):
     out = {
         r["doc_id"]: r["cross_entropy"]

@@ -254,6 +254,7 @@ def test_entire_catalog_is_scale_safe(spark):
         "q55_hybrid_retrieval",
         "q66_semantic_dedup",  # 16-centroid batch crossed with the corpus
         "q67_lm_perplexity",  # 1-row vocab-size aggregate crossed on
+        "q68_dsir_weights",  # 1-row totals aggregate crossed on
     }
     for name, (fn, _) in QUERIES.items():
         allow = (
@@ -388,6 +389,11 @@ def test_harness_window_composition_is_pinned():
         "q63_webp_decode",  # rotated IN r8: ~900 LoC from-scratch VP8L,
         # never yet driver-gated
         "q64_span_removal",  # NEW r8: exact substring-span removal
+        "q65_tiff_decode",  # rotated IN r8 second wave: ~460 LoC
+        # from-scratch TIFF codec (LZW/PackBits/Deflate/predictor), the
+        # highest-risk code not yet driver-gated
+        "q66_semantic_dedup",  # rotated IN r8 second wave: SemDeDup
+        # centroid-assignment + dominance pruning
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
     assert after == {
@@ -403,9 +409,13 @@ def test_harness_window_composition_is_pinned():
         "q56_media_decode",  # rotated out r8 for q63: PPM is an ASCII
         # header + raw bytes; the shared mapInPandas decode plumbing stays
         # gated by the five in-window codecs
-        "q65_tiff_decode",  # new r8: baseline-TIFF codec gate — out of
-        # window (the r8 rotation slots went to q63/q64), parity-gated
-        # locally + JDK cross-implementation gated in test_tiff.py
-        "q66_semantic_dedup",  # new r8: SemDeDup — out of window,
-        # parity-gated locally
+        "q09_union_normalize",  # rotated out r8 second wave for q65:
+        # single native unionByName; P24 normalization stays in-window
+        # via q50's egress
+        "q18_knn_cosine",  # rotated out r8 second wave for q66: native
+        # HOF dot product + the same two-phase top-k as in-window q40;
+        # ANN stays gated by q41/q51/q52/q62
+        "q67_lm_perplexity",  # new r8: bigram-LM perplexity — out of
+        # window (pure DataFrame aggregations, lower defect risk than the
+        # codec tier), parity-gated locally
     }
