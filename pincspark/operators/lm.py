@@ -112,6 +112,8 @@ def dsir_log_weights(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     )
+    # Staged once for the same four-consumer diamond as
+    # ngram_lm_perplexity (see the comment there).
     pdc = (
         df.select(
             F.col(id_col),
@@ -121,6 +123,7 @@ def dsir_log_weights(
         .withColumn("b", _bucket(F.col("f"), n_buckets))
         .groupBy(id_col, "is_target", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     tgt = (
         pdc.filter(F.col("is_target"))
@@ -190,7 +193,16 @@ def ngram_lm_perplexity(
     """
     if train_filter is None:
         train_filter = F.lit(True)
-    pdc = doc_bigram_counts(df, id_col, text_col, train_filter)
+    # Stage the per-doc count table ONCE: four consumers (model, contexts,
+    # vocab size, scoring join) would otherwise each re-run the corpus
+    # scan + tokenize + explode + aggregate — Catalyst specializes the
+    # branches (the is_train filter pushes below the agg on the model
+    # side), so exchange reuse cannot collapse them. Same staging policy
+    # as q53/q54's shingle arrays; at cluster scale swap localCheckpoint
+    # for checkpoint() (reliable storage).
+    pdc = doc_bigram_counts(df, id_col, text_col, train_filter).localCheckpoint(
+        eager=False
+    )
 
     model = (
         pdc.filter(F.col("is_train"))
