@@ -73,6 +73,75 @@ def stratified_fixed(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    budget_fraction: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-weighted multi-source sampling (the XLM-R / mT5
+    multilingual mixing rule, Conneau et al. 2020): the sampled corpus
+    draws source s with probability q_s proportional to n_s^alpha, which
+    up-weights small sources (alpha < 1 flattens the natural skew), under
+    a total budget of ``budget_fraction * N`` rows in expectation.
+
+    Per-source keep rate: r_s = min(1, budget * N * q_s / n_s), applied
+    as the deterministic hash filter of :func:`hash_sample` — the draw is
+    reproducible on any cluster size and stable under per-doc membership
+    (a doc's fate depends only on (salt, id) and its source's rate).
+
+    Returns every row with its sampling metadata: (id, source, n_source,
+    keep_rate rounded to 6 dp, kept 0/1). Filter ``kept = 1`` for the
+    sample; the full table is emitted so the rate computation itself is
+    oracle-checkable.
+
+    Scale shape: source counts are one tiny keyed agg (thousands of
+    sources at most) broadcast back onto a narrow scan — the corpus is
+    never shuffled; the filter composes with pushdown like hash_sample.
+    The only floats (q_s, r_s) are per-source constants derived through
+    pow/sum — rounded to 6 dp in the output, and the kept decision
+    compares a 32-bit integer hash against r_s * 2^32, so a last-ulp rate
+    difference cannot flip membership (it would need to land within
+    2^-20 of an integer boundary).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    weights = counts.withColumn(
+        "__w", F.pow(F.col("n_source").cast("double"), F.lit(float(alpha)))
+    )
+    totals = weights.select(
+        F.sum("n_source").alias("__n"), F.sum("__w").alias("__wsum")
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_fraction))
+                * F.col("__n")
+                * (F.col("__w") / F.col("__wsum"))
+                / F.col("n_source"),
+            ),
+        )
+        .select(source_col, "n_source", "keep_rate")
+    )
+    h = sample_hash(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("n_source").cast("bigint").alias("n_source"),
+            F.round(F.col("keep_rate"), 6).alias("keep_rate"),
+            (h < F.col("keep_rate") * F.lit(HASH_SPACE))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 def deterministic_shards(
     df: DataFrame,
     id_col: str,

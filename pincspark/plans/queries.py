@@ -3455,6 +3455,86 @@ GROUP BY pdc.doc_id
 ORACLE_Q68 = _q68_oracle()
 
 
+def q69_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted multi-source sampling (XLM-R mixing rule):
+    per-source keep rates ~ n_s^0.5 under a 50% token budget, applied as
+    the deterministic md5 hash filter. Operator:
+    `pincspark.operators.sampling.temperature_sample`."""
+    from pincspark.operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "doc_id", "source", alpha=0.5, budget_fraction=0.5, salt="temp"
+    )
+
+
+def _q69_oracle() -> str:
+    # The kept decision mirrors the Spark expression nesting exactly and
+    # compares an INTEGER hash against rate * 2^32 (an ulp-robust
+    # comparison); only the reported keep_rate is rounded.
+    h = sample_sql = (
+        "CAST(('0x' || substring(md5('temp' || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    rate = (
+        "least(1.0, 0.5 * __n * (__w / __wsum) / n_source)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source FROM documents GROUP BY source
+), weights AS (
+  SELECT source, n_source, pow(CAST(n_source AS DOUBLE), 0.5) AS __w FROM counts
+), totals AS (
+  SELECT CAST(SUM(n_source) AS BIGINT) AS __n, SUM(__w) AS __wsum FROM weights
+), rates AS (
+  SELECT source, n_source, {rate} AS keep_rate
+  FROM weights CROSS JOIN totals
+)
+SELECT d.doc_id,
+       d.source,
+       r.n_source,
+       ROUND(r.keep_rate, 6) AS keep_rate,
+       CAST(CASE WHEN {h} < r.keep_rate * 4294967296.0 THEN 1 ELSE 0 END
+            AS INTEGER) AS kept
+FROM documents d JOIN rates r ON d.source = r.source
+"""
+
+
+ORACLE_Q69 = _q69_oracle()
+
+
+def q70_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over lineitem's two join/filter
+    dimensions (l_partkey, l_suppkey): the Delta/Iceberg OPTIMIZE ZORDER
+    layout step, emitted as (row identity, dims, zkey, zbucket) so the
+    pure-integer key arithmetic is oracle-checkable. The write/prune side
+    is exercised in tests/test_layout.py. Operator:
+    `pincspark.operators.layout.zorder_assign`."""
+    from pincspark.operators.layout import zorder_assign
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zorder_assign(li, ["l_partkey", "l_suppkey"], bits=16, n_buckets=64)
+
+
+def _q70_oracle() -> str:
+    from pincspark.operators.layout import zorder_oracle_sql
+
+    inner = zorder_oracle_sql(
+        "(SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem)",
+        ["l_partkey", "l_suppkey"],
+        bits=16,
+        n_buckets=64,
+    )
+    return f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zkey, zbucket
+FROM ({inner})
+"""
+
+
+ORACLE_Q70 = _q70_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -3984,6 +4064,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
     # new r8: DSIR importance weights — out-of-window, parity-gated locally
     "q68_dsir_weights": (q68_dsir_weights, ORACLE_Q68),
+    # new r8: temperature-weighted multi-source sampling — out-of-window
+    "q69_temperature_sample": (q69_temperature_sample, ORACLE_Q69),
+    # new r8: Z-order layout keys — out-of-window
+    "q70_zorder_layout": (q70_zorder_layout, ORACLE_Q70),
 }
 
 

@@ -255,6 +255,8 @@ def test_entire_catalog_is_scale_safe(spark):
         "q66_semantic_dedup",  # 16-centroid batch crossed with the corpus
         "q67_lm_perplexity",  # 1-row vocab-size aggregate crossed on
         "q68_dsir_weights",  # 1-row totals aggregate crossed on
+        "q69_temperature_sample",  # 1-row count totals crossed on
+        "q70_zorder_layout",  # 1-row dimension min/max stats crossed on
     }
     for name, (fn, _) in QUERIES.items():
         allow = (
@@ -418,4 +420,7 @@ def test_harness_window_composition_is_pinned():
         "q67_lm_perplexity",  # new r8: bigram-LM perplexity — out of
         # window (pure DataFrame aggregations, lower defect risk than the
         # codec tier), parity-gated locally
+        "q68_dsir_weights",  # new r8: DSIR importance weights — ditto
+        "q69_temperature_sample",  # new r8: XLM-R temperature mixing — ditto
+        "q70_zorder_layout",  # new r8: Z-order clustering keys — ditto
     }

@@ -60,3 +60,51 @@ def test_contamination_planted_leak(spark):
     ).collect()
     got = {(r["eval_id"], r["train_id"]): r["containment"] for r in rows}
     assert got == {(100, 1): 1.0}
+
+
+def test_temperature_sample_flattens_source_skew(spark):
+    from pincspark.operators.sampling import temperature_sample
+
+    # 900 docs from 'big', 100 from 'small': alpha=0.5 weights sqrt(n),
+    # q_big = 30/40, q_small = 10/40; budget 0.5 -> expected rates
+    # big: 0.5*1000*(30/40)/900 = 0.41666, small: 0.5*1000*(10/40)/100 = 1.25 -> 1.0
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, "doc_id", "source", alpha=0.5, budget_fraction=0.5)
+    rates = {r["source"]: r["keep_rate"] for r in out.select("source", "keep_rate").distinct().collect()}
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 0.416667) < 1e-6
+    # the small source is kept in full; the big one near its rate
+    kept = out.filter("kept = 1").groupBy("source").count().collect()
+    kd = {r["source"]: r["count"] for r in kept}
+    assert kd["small"] == 100
+    assert 0.30 * 900 < kd["big"] < 0.55 * 900  # hash-uniform around 0.4167
+
+
+def test_temperature_sample_alpha_one_is_plain_budget(spark):
+    from pincspark.operators.sampling import temperature_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, "doc_id", "source", alpha=1.0, budget_fraction=0.4)
+    # alpha=1 -> q_s = n_s/N -> rate = budget for every source
+    assert {r["keep_rate"] for r in out.select("keep_rate").distinct().collect()} == {0.4}
+
+
+def test_temperature_sample_membership_is_stable_under_growth(spark):
+    """A doc's kept flag depends only on (salt, id) and its source's rate:
+    with rates pinned at 1.0 (budget >= 1), growing the corpus never
+    changes membership — and at lower budgets, membership equals the
+    hash_sample filter at the same per-source rate."""
+    from pincspark.operators.sampling import HASH_SPACE, sample_hash, temperature_sample
+
+    df = spark.createDataFrame([(i, "s") for i in range(500)], "doc_id long, source string")
+    out = temperature_sample(df, "doc_id", "source", alpha=0.5, budget_fraction=0.3)
+    from pyspark.sql import functions as F
+
+    expect = df.select(
+        "doc_id",
+        (sample_hash(F.col("doc_id"), "temp") < F.lit(0.3 * HASH_SPACE)).cast("int").alias("e"),
+    )
+    joined = out.join(expect, "doc_id")
+    assert joined.filter("kept <> e").count() == 0
