@@ -1073,11 +1073,31 @@ def semantic_dedup(
         "cell",
         F.round(cosine(F.col("__v"), F.col("cv")), 9).alias("cs"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cell").asc())
+    # Nearest-centroid argmax as min_by with key (-cs, cell) — identical to
+    # ordering (cs DESC, cell ASC) for the always-finite rounded cosine.
+    # The agg form map-side-combines the K candidate rows per vector down
+    # to ONE before the exchange, where the row_number-window form shuffles
+    # all N*K scored rows and sorts them; at web scale that is a K-fold
+    # smaller shuffle. `assigned` is staged once (localCheckpoint, same
+    # policy as lm.py's pdc): five consumers below (sizes, prunable, both
+    # pair-join sides, final keep-join) would otherwise each re-run the
+    # crossJoin + aggregate subtree — Catalyst can't collapse them because
+    # each branch pushes different projections/filters below the agg.
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), "__v", "cell", F.col("cs").alias("cent_sim"))
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("cell"), F.col("cs"), F.col("__v")),
+                F.struct((-F.col("cs")).alias("k1"), F.col("cell").alias("k2")),
+            ).alias("__best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__best.__v").alias("__v"),
+            F.col("__best.cell").alias("cell"),
+            F.col("__best.cs").alias("cent_sim"),
+        )
+        .localCheckpoint(eager=False)
     )
     if max_cluster_size is not None:
         sizes = assigned.groupBy(F.col("cell").alias("__c")).agg(

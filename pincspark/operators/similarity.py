@@ -131,13 +131,24 @@ def kmeans_centroids(
             id_col, vec_col, "cell",
             F.round(cosine(F.col(vec_col), F.col("centroid")), 9).alias("cscore"),
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cscore").desc(), F.col("cell").asc()
-        )
+        # argmax as min_by with key (-cscore, cell) == (cscore DESC, cell
+        # ASC): the agg map-side-combines the k candidate rows per vector
+        # to ONE before the exchange; the row_number-window form shuffled
+        # and sorted all N*k scored rows (k-fold larger exchange at scale).
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cell", vec_col)
+            scored.groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cell"), F.col(vec_col)),
+                    F.struct(
+                        (-F.col("cscore")).alias("k1"), F.col("cell").alias("k2")
+                    ),
+                ).alias("__best")
+            )
+            .select(
+                F.col("__best.cell").alias("cell"),
+                F.col(f"__best.{vec_col}").alias(vec_col),
+            )
         )
         means = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
