@@ -35,6 +35,15 @@ from pincspark.functions.text import fingerprint, normalize_text
 # Generated once from a fixed seed; hardcoded so Spark and the SQL oracle
 # share them as literals.
 MINHASH_PRIME = 2147483647
+
+# Salt fan-out for within-block pair joins (semantic_dedup,
+# embedding_dup_pairs): block keys (cluster cells, labels) are usually far
+# fewer than cores/partitions, so un-salted pair joins serialize each
+# block's |b|^2 pairs onto one task. The x side takes one deterministic
+# salt, the y side is replicated to all of them — pair count unchanged,
+# parallelism multiplied by this factor (y-side shuffle bytes too: the
+# standard replicated-skew-join trade).
+_PAIR_SALTS = 16
 MINHASH_PERMS: tuple[tuple[int, int], ...] = (
     (1203114875, 1150436009),
     (661735980, 2071272042),
@@ -695,17 +704,29 @@ def embedding_dup_pairs(
     Pass ``warn_excluded=False`` in fully-lazy pipelines (the oracle-gated
     catalog queries do, to keep plan construction action-free).
     """
-    from pincspark.functions.vectors import cosine
+    from pincspark.functions.vectors import dot, norm
 
+    # Norms are computed once per ROW and carried through the join; the
+    # per-pair score dot/(na*nb) is the identical expression tree to
+    # cosine(a, b) (same fold order and grouping — bit-for-bit), at a
+    # third of the per-pair fold work. The block join is salted like
+    # semantic_dedup's pair join (see _PAIR_SALTS): block keys are
+    # usually far fewer than cores, so un-salted blocks serialize.
     a = _spread(df, id_col).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(_PAIR_SALTS)).alias("__salt_a"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALTS - 1))).alias("__salt_b"),
         *([F.col(block_col).alias("__blk_b")] if block_col else []),
     )
-    cond = F.col("id_a") < F.col("id_b")
+    cond = (F.col("id_a") < F.col("id_b")) & (
+        F.col("__salt_a") == F.col("__salt_b")
+    )
     if block_col:
         if max_block_size is not None:
             sizes = df.groupBy(F.col(block_col).alias("__blk_ok")).agg(
@@ -739,12 +760,20 @@ def embedding_dup_pairs(
             a = a.join(ok, F.col("__blk") == F.col("__blk_ok")).drop("__blk_ok")
         joined = a.join(b, (F.col("__blk") == F.col("__blk_b")) & cond)
     else:
-        joined = a.crossJoin(b).filter(cond)
+        # exact all-pairs baseline: partition fan-out already parallelizes
+        # a cross join, so skip the salt replication (it would only 16x
+        # the pair candidates before the filter)
+        joined = a.drop("__salt_a").crossJoin(b.filter(F.col("__salt_b") == 0)).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     return (
         joined.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("score"),
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -1056,7 +1085,7 @@ def semantic_dedup(
     same guard class and warning contract as :func:`embedding_dup_pairs`
     — at 100 TB you raise ``num_clusters`` so clusters stay small, which
     is exactly the paper's regime (50k clusters)."""
-    from pincspark.functions.vectors import cosine
+    from pincspark.functions.vectors import cosine, dot, norm
 
     if centroids is None:
         centroids = (
@@ -1130,24 +1159,48 @@ def semantic_dedup(
         ).drop("__c", "__n")
     else:
         prunable = assigned
-    a = prunable.select(
+    # Pair-scoring scale shape, two tricks with zero float drift:
+    # - per-row norms are computed ONCE and carried through the join, so
+    #   the pair score is dot/(nx*ny) — the identical expression tree to
+    #   cosine(x, y) (bit-for-bit: same fold order, same grouping), at a
+    #   third of the per-pair fold work;
+    # - the join key is salted: x takes ONE deterministic salt, y is
+    #   replicated to all of them, so a cluster's |c|^2 pairs spread over
+    #   `_PAIR_SALTS` tasks instead of one. num_clusters is typically tiny
+    #   (16 here, 50k in the paper) and far below the shuffle partition
+    #   count, so without the salt whole clusters serialize onto single
+    #   cores — the r8 scale probe measured exactly that (a 16x corpus
+    #   pinning one core for minutes while 31 idled).
+    withn = prunable.withColumn("__n", norm(F.col("__v")))
+    a = withn.select(
         F.col(id_col).alias("__xid"), F.col("__v").alias("__xv"),
         F.col("cell").alias("__xc"), F.col("cent_sim").alias("__xs"),
+        F.col("__n").alias("__xn"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(_PAIR_SALTS)).alias("__salt"),
     )
-    b = prunable.select(
+    b = withn.select(
         F.col(id_col).alias("__yid"), F.col("__v").alias("__yv"),
         F.col("cell").alias("__yc"), F.col("cent_sim").alias("__ys"),
+        F.col("__n").alias("__yn"),
+        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALTS - 1))).alias("__salt"),
     )
     dominated = (
         a.join(
             b,
             (F.col("__xc") == F.col("__yc"))
+            & (a["__salt"] == b["__salt"])
             & (
                 (F.col("__ys") < F.col("__xs"))
                 | ((F.col("__ys") == F.col("__xs")) & (F.col("__yid") < F.col("__xid")))
             ),
         )
-        .filter(F.round(cosine(F.col("__xv"), F.col("__yv")), 9) >= tau)
+        .filter(
+            F.round(
+                dot(F.col("__xv"), F.col("__yv")) / (F.col("__xn") * F.col("__yn")),
+                9,
+            )
+            >= tau
+        )
         .select(F.col("__xid").alias(id_col))
         .distinct()
     )
@@ -1266,5 +1319,172 @@ def remove_duplicate_spans(
             F.array_join("__kept", " ").alias("clean_text"),
             F.col("nt").cast("bigint").alias("n_tokens"),
             (F.col("nt") - F.size("__kept")).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+def dedup_snapshot(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perms: int = 16,
+) -> DataFrame:
+    """The persistable dedup state of a corpus snapshot: per document its
+    exact-content fingerprint plus MinHash signature columns mh0..mhK-1 ->
+    (id, fingerprint, mh0..mh{K-1}).
+
+    This is the table a production pipeline WRITES once per corpus version
+    (bucketed by fingerprint, or by band signature for the LSH side) so
+    that :func:`incremental_dedup` can screen every subsequent crawl
+    against it without ever re-scanning the prior corpus text — the
+    snapshot is a few hundred bytes per document regardless of document
+    size. Cost: one text scan, one shingle explode, one groupBy(id) (the
+    minhash_signatures shape) plus a narrow fingerprint projection joined
+    on id.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_perms)
+    fp = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return fp.join(sig, [id_col], "left")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perms: int = 16,
+    bands: int = 4,
+    tau: float = 0.5,
+    max_bucket_size: int = 1000,
+    prior_is_snapshot: bool = False,
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: screen a NEW crawl against an
+    EXISTING corpus without re-deduplicating the old corpus -> one row per
+    ``new_df`` document: (id, exact_dup, near_dup, best_est, kept).
+
+    - ``exact_dup`` = 1 when the document's normalized-content fingerprint
+      already exists in the prior corpus;
+    - ``near_dup`` = 1 when some prior document shares a MinHash LSH band
+      bucket AND the signature-estimated Jaccard is >= ``tau``;
+    - ``best_est`` = the highest estimated Jaccard among bucket-sharing
+      prior documents (NULL when no bucket collides), rounded to 6 dp;
+    - ``kept`` = 1 iff neither flag fired (the rows a pipeline appends to
+      the corpus, after which their snapshot rows are appended too).
+
+    ``prior`` is either the prior corpus itself or — pass
+    ``prior_is_snapshot=True`` — a persisted :func:`dedup_snapshot` table,
+    the steady-state production shape: the prior TEXT is never scanned
+    again, only its compact signature table, which at 100 TB is the
+    difference between re-reading the web and reading a fingerprint
+    index. New-side cost is one scan + signature build over the (small)
+    crawl; join cost is two bucket-keyed exchanges.
+
+    Degenerate-bucket guard (same class as minhash_lsh_pairs): PRIOR
+    buckets holding more than ``max_bucket_size`` members are excluded
+    from the candidate join — the join cost is sum(|new_b| * |prior_b|),
+    and one boilerplate bucket over a web-scale prior corpus would make it
+    quadratic. Members of such buckets are near-identical boilerplate
+    whose duplicates the fingerprint path already catches; the oracle
+    mirrors the cap exactly.
+
+    Within-crawl duplicates are out of scope by design — run the batch
+    operators (:func:`exact_dedup` / :func:`minhash_lsh_pairs`) over the
+    crawl itself for that; this operator answers only "is it new relative
+    to the snapshot".
+    """
+    if prior_is_snapshot:
+        snap = prior
+    else:
+        snap = dedup_snapshot(prior, id_col, text_col, n, num_perms)
+    new_snap = dedup_snapshot(new_df, id_col, text_col, n, num_perms)
+    # Staged once: the exact-match branch and the banded LSH branch below
+    # both consume it, and each pushes different projections under the
+    # signature aggregate (same policy as semantic_dedup's assignment).
+    new_snap = new_snap.localCheckpoint(eager=False)
+
+    prior_fps = snap.select(F.col("fingerprint").alias("__pfp")).distinct()
+    exact = new_snap.join(
+        prior_fps, F.col("fingerprint") == F.col("__pfp"), "left"
+    ).select(
+        F.col(id_col),
+        F.when(F.col("__pfp").isNull(), 0).otherwise(1).cast("int").alias(
+            "exact_dup"
+        ),
+    )
+
+    rows = num_perms // bands
+    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perms)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+    def banded(sdf: DataFrame, idname: str, mhname: str) -> DataFrame:
+        return sdf.select(
+            F.col(id_col).alias(idname),
+            mh_arr.alias(mhname),
+            F.explode(band_structs).alias("bs"),
+        ).select(idname, mhname, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    new_banded = banded(new_snap, "__nid", "__nmh")
+    prior_banded = banded(snap, "__pid", "__pmh")
+    bucket_ok = (
+        prior_banded.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .select("band", "sig")
+    )
+    prior_ok = prior_banded.join(bucket_ok, ["band", "sig"])
+
+    # est = matching-minhash fraction, statically unrolled so the
+    # comparison chain stays in whole-stage codegen (minhash_lsh_pairs'
+    # idiom).
+    match_terms = [
+        F.expr(
+            f"CAST(element_at(__nmh, {i + 1}) = element_at(__pmh, {i + 1}) AS INT)"
+        )
+        for i in range(num_perms)
+    ]
+    match_sum = match_terms[0]
+    for t in match_terms[1:]:
+        match_sum = match_sum + t
+    est = match_sum / F.lit(float(num_perms))
+
+    near = (
+        new_banded.join(prior_ok, ["band", "sig"])
+        .select(F.col("__nid"), est.alias("__est"))
+        .groupBy("__nid")
+        .agg(F.max("__est").alias("__best"))
+    )
+
+    return (
+        exact.join(near, exact[id_col] == near["__nid"], "left")
+        .select(
+            exact[id_col],
+            "exact_dup",
+            F.when(
+                F.coalesce(F.col("__best"), F.lit(-1.0)) >= F.lit(float(tau)), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("near_dup"),
+            F.round(F.col("__best"), 6).alias("best_est"),
+        )
+        .withColumn(
+            "kept",
+            F.when((F.col("exact_dup") == 0) & (F.col("near_dup") == 0), 1)
+            .otherwise(0)
+            .cast("int"),
         )
     )

@@ -3535,6 +3535,116 @@ FROM ({inner})
 ORACLE_Q70 = _q70_oracle()
 
 
+def q71_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: the src0 slice plays the NEW
+    crawl, every other source the EXISTING corpus; each new document is
+    flagged exact-dup (fingerprint already in the prior corpus) and
+    near-dup (shares an LSH band bucket with a prior doc at estimated
+    Jaccard >= 0.5). Operator:
+    `pincspark.operators.dedup.incremental_dedup` (with
+    `dedup_snapshot` as the persistable prior-state table)."""
+    from pincspark.operators.dedup import incremental_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        "doc_id",
+        "text",
+        n=3,
+        num_perms=16,
+        bands=4,
+        tau=0.5,
+    )
+
+
+def _q71_oracle() -> str:
+    # Version-robust forms (the q59 lesson list): explicit list_slice for
+    # the shingle windows, DISTINCT in its own subquery, INTEGER casts on
+    # every flag. best_est values are multiples of 1/16 (exactly binary-
+    # representable), so MAX-then-ROUND is float-hazard-free.
+    shingle = (
+        "CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, len(toks) - 2), "
+        "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+
+    def bands_sql(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band, concat_ws(',', "
+            + ", ".join(f"mh{b * 4 + r}" for r in range(4))
+            + f") AS sig FROM {src}"
+            for b in range(4)
+        )
+
+    eqs = " + ".join(f"CAST(sa.mh{i} = sb.mh{i} AS INTEGER)" for i in range(16))
+    toks = _SQL_TOKS.format(c=_SQL_NORM.format(c="text"))
+    return f"""
+WITH nd AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src0'
+), pd AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+), nfp AS (
+  SELECT doc_id, md5({_SQL_NORM.format(c='text')}) AS fp FROM nd
+), pfp AS (
+  SELECT DISTINCT md5({_SQL_NORM.format(c='text')}) AS fp FROM pd
+), ntok AS (
+  SELECT doc_id, {toks} AS toks FROM nd
+), ptok AS (
+  SELECT doc_id, {toks} AS toks FROM pd
+), nsh AS (
+  SELECT doc_id, unnest(list_distinct({shingle})) AS shingle FROM ntok
+), psh AS (
+  SELECT doc_id, unnest(list_distinct({shingle})) AS shingle FROM ptok
+), nhh AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h FROM nsh
+), phh AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h FROM psh
+), nsig AS (
+  SELECT doc_id,
+         {mins}
+  FROM nhh GROUP BY doc_id
+), psig AS (
+  SELECT doc_id,
+         {mins}
+  FROM phh GROUP BY doc_id
+), nband AS (
+{bands_sql('nsig')}
+), pband AS (
+{bands_sql('psig')}
+), bucket_ok AS (
+  -- mirrors incremental_dedup's max_bucket_size=1000 PRIOR-bucket cap
+  SELECT band, sig FROM pband GROUP BY band, sig HAVING COUNT(*) <= 1000
+), cand AS (
+  SELECT nb.doc_id AS did, MAX(({eqs}) / 16.0) AS best
+  FROM nband nb
+  JOIN pband pb ON nb.band = pb.band AND nb.sig = pb.sig
+  JOIN bucket_ok k ON nb.band = k.band AND nb.sig = k.sig
+  JOIN nsig sa ON nb.doc_id = sa.doc_id
+  JOIN psig sb ON pb.doc_id = sb.doc_id
+  GROUP BY nb.doc_id
+)
+SELECT nfp.doc_id AS doc_id,
+       CAST(CASE WHEN pfp.fp IS NULL THEN 0 ELSE 1 END AS INTEGER) AS exact_dup,
+       CAST(CASE WHEN COALESCE(c.best, -1) >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
+         AS near_dup,
+       ROUND(c.best, 6) AS best_est,
+       CAST(CASE WHEN pfp.fp IS NULL AND COALESCE(c.best, -1) < 0.5
+            THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM nfp
+LEFT JOIN pfp ON nfp.fp = pfp.fp
+LEFT JOIN cand c ON nfp.doc_id = c.did
+"""
+
+
+ORACLE_Q71 = _q71_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -4068,6 +4178,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q69_temperature_sample": (q69_temperature_sample, ORACLE_Q69),
     # new r8: Z-order layout keys — out-of-window
     "q70_zorder_layout": (q70_zorder_layout, ORACLE_Q70),
+    # new r8: cross-snapshot incremental dedup (new crawl screened against
+    # a persisted corpus snapshot) — out-of-window, parity-gated locally
+    "q71_incremental_dedup": (q71_incremental_dedup, ORACLE_Q71),
 }
 
 
