@@ -4092,6 +4092,17 @@ ORACLE_Q50 = _q50_oracle()
 #     replaces q04 (pure native filter/route projections; predicate
 #     pushdown and routing stay plan-asserted in test_plans.py and every
 #     other in-window query filters through the same scan path).
+# r8 third wave — the round's two riskiest still-uncovered rows rotate in:
+#   q71 (NEW: cross-snapshot incremental dedup — snapshot build + exact
+#     fingerprint join + banded-LSH join against a persisted prior, all
+#     new machinery this round) replaces q14 (a single fingerprint
+#     window; exact dedup stays in-window as q54's second stage AND as
+#     q71's own exact-fingerprint branch).
+#   q67 (NEW: CCNet bigram-LM perplexity — the new operators/lm.py module:
+#     staged count tables, add-alpha smoothing, OOV floor) replaces q16
+#     (native split/size/array_distinct HOF calls; the ws-token machinery
+#     q16 gated is exactly what q67's LM tokenizes with, and token-array
+#     work stays in-window via q45's packing too).
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
@@ -4103,9 +4114,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q08_validity_intervals": (q08_validity_intervals, ORACLE_Q08),
     "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
     "q13_sessionize": (q13_sessionize, ORACLE_Q13),
-    "q14_dedup_exact": (q14_dedup_exact, ORACLE_Q14),
+    "q71_incremental_dedup": (q71_incremental_dedup, ORACLE_Q71),
     "q15_text_quality": (q15_text_quality, ORACLE_Q15),
-    "q16_token_stats": (q16_token_stats, ORACLE_Q16),
+    "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
     "q17_lang_id": (q17_lang_id, ORACLE_Q17),
     "q66_semantic_dedup": (q66_semantic_dedup, ORACLE_Q66),
     "q62_ivf_index_topk": (q62_ivf_index_topk, ORACLE_Q22),
@@ -4168,19 +4179,22 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # top-k is native HOF arithmetic + the same two-phase top-k window as
     # in-window q40; the ANN family stays gated by q41/q51/q52/q62
     "q18_knn_cosine": (q18_knn_cosine, ORACLE_Q18),
-    # new r8: CCNet-style bigram-LM perplexity scoring — out-of-window,
-    # parity-gated locally (pure DataFrame aggregations; lower defect risk
-    # than the codec tier holding the window slots)
-    "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
     # new r8: DSIR importance weights — out-of-window, parity-gated locally
+    # (pure column arithmetic over broadcastable bucket models; lower
+    # defect risk than the custom-machinery tier holding the window slots)
     "q68_dsir_weights": (q68_dsir_weights, ORACLE_Q68),
     # new r8: temperature-weighted multi-source sampling — out-of-window
     "q69_temperature_sample": (q69_temperature_sample, ORACLE_Q69),
     # new r8: Z-order layout keys — out-of-window
     "q70_zorder_layout": (q70_zorder_layout, ORACLE_Q70),
-    # new r8: cross-snapshot incremental dedup (new crawl screened against
-    # a persisted corpus snapshot) — out-of-window, parity-gated locally
-    "q71_incremental_dedup": (q71_incremental_dedup, ORACLE_Q71),
+    # rotated out r8 third wave for q71 (incremental dedup, which carries
+    # its own exact-fingerprint branch; exact dedup ALSO stays in-window
+    # as q54's second stage)
+    "q14_dedup_exact": (q14_dedup_exact, ORACLE_Q14),
+    # rotated out r8 third wave for q67 (LM perplexity, which tokenizes
+    # with the same ws_tokens q16 gated; regex/distinct counts are single
+    # native HOF calls, locally parity-tested here)
+    "q16_token_stats": (q16_token_stats, ORACLE_Q16),
 }
 
 
