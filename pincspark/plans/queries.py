@@ -3645,6 +3645,84 @@ LEFT JOIN cand c ON nfp.doc_id = c.did
 ORACLE_Q71 = _q71_oracle()
 
 
+def q72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screen decontamination: build a 2^20-bit Bloom filter over the
+    benchmark split's (doc_id % 17 == 0, q37's stand-in) distinct 3-gram
+    shingles, broadcast it, and screen every train document with ZERO
+    corpus shuffle — per doc: distinct shingles, Bloom hits (all-k-bits),
+    integer hit-ppm, and the flag that routes the doc into the exact
+    containment join (q37). The screen has no false negatives, so
+    screen-then-verify equals the exact sweep at a fraction of the
+    shuffle. Operators: `pincspark.operators.bloom.bloom_build` /
+    `bloom_screen`."""
+    from pincspark.operators.bloom import bloom_build, bloom_screen
+
+    docs = table(spark, sf_dir, "documents")
+    bloom = bloom_build(
+        docs.filter(F.col("doc_id") % 17 == 0), "doc_id", "text", n=3
+    )
+    return bloom_screen(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        bloom,
+        "doc_id",
+        "text",
+        n=3,
+        flag_ppm=150_000,
+    )
+
+
+def _q72_oracle() -> str:
+    # Version-robust forms (the q59 lesson list): explicit list_slice,
+    # DISTINCT in its own subquery, BIGINT-only output arithmetic. The
+    # bit positions are 20-bit slices of the shared 60-bit md5-prefix
+    # hash; words are 32-bit (shift <= 31, masks stay positive — no
+    # BIGINT shift-overflow semantics to reconcile across engines).
+    shingle = (
+        "CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, len(toks) - 2), "
+        "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    pos = "[h & 1048575, (h >> 20) & 1048575, (h >> 40) & 1048575]"
+    hits = "SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END)"
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c=_SQL_NORM.format(c='text'))} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct({shingle})) AS shingle FROM toks_t
+), hh AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+), ev AS (
+  SELECT DISTINCT h FROM hh WHERE doc_id % 17 = 0
+), epos AS (
+  SELECT unnest({pos}) AS p FROM ev
+), bloom AS (
+  SELECT CAST(p >> 5 AS INTEGER) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INTEGER)) AS word
+  FROM epos GROUP BY 1
+), tpos AS (
+  SELECT doc_id, h, unnest({pos}) AS p FROM hh WHERE doc_id % 17 <> 0
+), chk AS (
+  SELECT t.doc_id, t.h,
+         SUM(CASE WHEN (b.word & (CAST(1 AS BIGINT) << CAST(t.p & 31 AS INTEGER))) <> 0
+             THEN 1 ELSE 0 END) AS hits
+  FROM tpos t LEFT JOIN bloom b ON CAST(t.p >> 5 AS INTEGER) = b.word_idx
+  GROUP BY t.doc_id, t.h
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST({hits} AS BIGINT) AS bloom_hits,
+       CAST(({hits} * CAST(1000000 AS BIGINT)) // COUNT(*) AS BIGINT) AS hit_ppm,
+       CAST(CASE WHEN ({hits} * CAST(1000000 AS BIGINT)) // COUNT(*) >= 150000
+            THEN 1 ELSE 0 END AS INTEGER) AS flagged
+FROM chk
+GROUP BY doc_id
+"""
+
+
+ORACLE_Q72 = _q72_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -4195,6 +4273,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # with the same ws_tokens q16 gated; regex/distinct counts are single
     # native HOF calls, locally parity-tested here)
     "q16_token_stats": (q16_token_stats, ORACLE_Q16),
+    # new r8: Bloom-screen decontamination (broadcast bit-array membership,
+    # zero corpus shuffle) — out-of-window, parity-gated locally
+    "q72_bloom_decontam": (q72_bloom_decontam, ORACLE_Q72),
 }
 
 

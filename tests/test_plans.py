@@ -396,6 +396,11 @@ def test_harness_window_composition_is_pinned():
         # highest-risk code not yet driver-gated
         "q66_semantic_dedup",  # rotated IN r8 second wave: SemDeDup
         # centroid-assignment + dominance pruning
+        "q67_lm_perplexity",  # rotated IN r8 third wave: the new
+        # operators/lm.py module (staged count tables, add-alpha
+        # smoothing, OOV floor)
+        "q71_incremental_dedup",  # rotated IN r8 third wave: snapshot
+        # build + fingerprint join + banded-LSH join vs a persisted prior
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
     assert after == {
@@ -417,10 +422,17 @@ def test_harness_window_composition_is_pinned():
         "q18_knn_cosine",  # rotated out r8 second wave for q66: native
         # HOF dot product + the same two-phase top-k as in-window q40;
         # ANN stays gated by q41/q51/q52/q62
-        "q67_lm_perplexity",  # new r8: bigram-LM perplexity — out of
-        # window (pure DataFrame aggregations, lower defect risk than the
-        # codec tier), parity-gated locally
-        "q68_dsir_weights",  # new r8: DSIR importance weights — ditto
+        "q68_dsir_weights",  # new r8: DSIR importance weights — out of
+        # window (pure column arithmetic over broadcastable bucket
+        # models), parity-gated locally
         "q69_temperature_sample",  # new r8: XLM-R temperature mixing — ditto
         "q70_zorder_layout",  # new r8: Z-order clustering keys — ditto
+        "q14_dedup_exact",  # rotated out r8 third wave for q71: a single
+        # fingerprint window; exact dedup stays in-window as q54's second
+        # stage and q71's exact-fingerprint branch
+        "q16_token_stats",  # rotated out r8 third wave for q67: native
+        # split/size/array_distinct HOFs; ws-token machinery stays
+        # in-window via q67's LM tokenization and q45's packing
+        "q72_bloom_decontam",  # new r8: Bloom-screen decontamination —
+        # out of window, parity-gated locally
     }
