@@ -3723,6 +3723,106 @@ GROUP BY doc_id
 ORACLE_Q72 = _q72_oracle()
 
 
+def q73_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest round-trip: pack the documents table into 8
+    CommonCrawl-style archives (gzip member per record, deterministic
+    synth — the codec-tier pattern), then parse them back with the
+    from-scratch reader (`pincspark.sources.warc.warc_records`: stdlib
+    zlib member splitting + byte-level WARC/HTTP header parsing inside
+    mapInPandas) -> per page: doc_id parsed from the target URI, HTTP
+    status, content type, body byte length, body md5. The oracle
+    reconstructs every page's exact HTML in SQL, so a single flipped byte
+    anywhere in build->compress->split->parse fails the hash."""
+    from pincspark.sources.warc import warc_records, warc_synth
+
+    docs = table(spark, sf_dir, "documents")
+    recs = warc_records(warc_synth(docs, "doc_id", n_archives=8))
+    return recs.select(
+        F.regexp_extract("uri", "/doc/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "http_status",
+        "content_type",
+        "body_len",
+        F.md5("body").alias("body_md5"),
+    )
+
+
+# The synth page template, reconstructed piecewise in SQL (kept in lockstep
+# with pincspark/sources/warc.py::_HTML_TMPL — test_warc.py pins equality).
+_SQL_HTML = (
+    "'<!DOCTYPE html>' || chr(10) || "
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source || '</title>' || chr(10) || "
+    "'<script>var x = 1; // not content</script>' || chr(10) || "
+    "'<style>body { margin: 0; }</style>' || chr(10) || "
+    "'</head><body>' || chr(10) || "
+    "'<nav><a href=\"/home\">Home</a> | <a href=\"/about\">About</a></nav>' || chr(10) || "
+    "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || "
+    "'<p>' || text || '</p>' || chr(10) || "
+    "'<footer>&copy; 2023 Example &amp; Co.</footer>' || chr(10) || "
+    "'</body></html>'"
+)
+
+ORACLE_Q73 = f"""
+WITH page AS (
+  SELECT doc_id, {_SQL_HTML} AS html FROM documents
+)
+SELECT doc_id,
+       CAST(200 AS INTEGER) AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       CAST(strlen(html) AS BIGINT) AS body_len,
+       md5(html) AS body_md5
+FROM page
+"""
+
+
+def q74_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction over the synth pages: the boilerplate strip
+    every crawl pipeline runs between WARC ingest and the text operators.
+    The page is built with pure column concat (JVM-side), extraction is
+    the Arrow-batched stdlib-HTMLParser UDF
+    (`pincspark.operators.html.html_to_text`): script/style dropped,
+    block tags -> line breaks, entities decoded (&copy; -> the U+00A9
+    char), whitespace collapsed. Output compares the FULL extracted
+    title and text against the oracle's SQL reconstruction — the
+    strongest possible gate (no hashing on the Spark side at all)."""
+    from pincspark.operators.html import html_to_text
+
+    docs = table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<!DOCTYPE html>"), nl,
+            F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+            F.lit(" - "), F.col("source"), F.lit("</title>"), nl,
+            F.lit("<script>var x = 1; // not content</script>"), nl,
+            F.lit("<style>body { margin: 0; }</style>"), nl,
+            F.lit("</head><body>"), nl,
+            F.lit('<nav><a href="/home">Home</a> | <a href="/about">About</a></nav>'), nl,
+            F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"), nl,
+            F.lit("<p>"), F.col("text"), F.lit("</p>"), nl,
+            F.lit("<footer>&copy; 2023 Example &amp; Co.</footer>"), nl,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    ext = html.select("doc_id", html_to_text("html").alias("x"))
+    return ext.select(
+        "doc_id",
+        F.col("x.title").alias("title"),
+        F.col("x.text").alias("text"),
+    )
+
+
+ORACLE_Q74 = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title,
+       'Home | About' || chr(10) ||
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) || chr(10) ||
+       chr(169) || ' 2023 Example & Co.' AS text
+FROM documents
+"""
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -4276,6 +4376,12 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: Bloom-screen decontamination (broadcast bit-array membership,
     # zero corpus shuffle) — out-of-window, parity-gated locally
     "q72_bloom_decontam": (q72_bloom_decontam, ORACLE_Q72),
+    # new r8: WARC ingest round-trip (from-scratch gzip-member splitter +
+    # WARC/HTTP byte parser) — out-of-window, parity-gated locally
+    "q73_warc_extract": (q73_warc_extract, ORACLE_Q73),
+    # new r8: HTML -> text boilerplate strip (stdlib-HTMLParser Arrow UDF,
+    # full-string comparison against the SQL reconstruction) — ditto
+    "q74_html_extract": (q74_html_extract, ORACLE_Q74),
 }
 
 
