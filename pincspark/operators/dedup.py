@@ -781,23 +781,42 @@ def embedding_dup_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over whitespace tokens: sum +1/-1 per bit of each
-    token hash, take the sign bit-vector. Single explode + one groupBy."""
-    toks = _spread(df, id_col).select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", shingle_hash(F.col("tok")))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_aggs)
-    sim = sum(
-        F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        for i in range(bits)
-    )
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    token hash, take the sign bit-vector.
+
+    ZERO-shuffle Arrow kernel (the shingle_hash_array_py pattern): a
+    document's tokens never need to leave its row, so the per-bit
+    counters fold inside one vectorized numpy pass. Two prior shapes were
+    measured and rejected at sf0.1: explode + groupBy (a full token-table
+    exchange bought for nothing — the explode co-located every group
+    already) and a pure higher-order-aggregate fold (no shuffle, but its
+    32-wide when/zip_with tree cost ~1.5 s of DRIVER planning per query
+    construction, 4x the actual compute). Token hash = the oracle's
+    ``('0x' || substring(md5(tok),1,8))::BIGINT`` exactly; multiplicity
+    kept; sign rule sum > 0 — q21/q43 oracle parity pins equivalence."""
+    import hashlib
+
+    import numpy as np
+
+    @F.pandas_udf(T.LongType())
+    def _kernel(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        shifts = np.arange(bits, dtype=np.int64)
+        out = []
+        for t in texts:
+            if t is None:
+                t = ""
+            norm = _PY_MULTI_SPACE.sub(" ", _PY_NON_ALNUM.sub(" ", t.lower())).strip()
+            toks = norm.split(" ")
+            hs = np.fromiter(
+                (int(md5(tok.encode("utf-8")).hexdigest()[:8], 16) for tok in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            counts = ((2 * ((hs[:, None] >> shifts) & 1)) - 1).sum(axis=0)
+            out.append(int(((counts > 0).astype(np.int64) << shifts).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return _spread(df, id_col).select(F.col(id_col), _kernel(text_col).alias("simhash"))
 
 
 def simhash_hamming_pairs(
@@ -818,11 +837,15 @@ def simhash_hamming_pairs(
     (pigeonhole), so banding is exact for max_hamming <= bands-1 — no
     recall loss, while only docs sharing a slice are ever compared.
 
-    Shape (100 TB): per-band posting lists exactly like minhash_lsh_pairs —
-    one shuffle on (band, slice value), pair expansion inside capped
-    buckets (degenerate buckets skipped, same rationale), simhashes ride
-    through as member payloads, final hamming = bit_count(a XOR b) in
-    whole-stage codegen. No self-join, no rejoin, no broadcast.
+    Shape (100 TB): one shuffle on (band, slice value); a broadcast
+    size-table drops degenerate buckets (same cap rationale as
+    minhash_lsh_pairs); the within-bucket pair expansion is the
+    _PAIR_SALTS replicated-salt self-join — sign-bit slices are heavily
+    skewed (real corpora share sign patterns; the sf0.1 probe measured
+    820-member surviving buckets, ~340k pairs serialized onto ONE task
+    under the old collect_list expansion), and the salt spreads each
+    bucket's |b|^2 pairs over 16 tasks. Final hamming = bit_count(a XOR b)
+    in whole-stage codegen.
     """
     width = bits // bands
     mask = (1 << width) - 1
@@ -841,21 +864,45 @@ def simhash_hamming_pairs(
     banded = sim.select(
         F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bs")
     ).select(id_col, "simhash", "bs.band", "bs.slice")
-    pairs = (
+    # Staged once: three consumers below (size table, both join sides)
+    # would each re-run the simhash fold otherwise — same single-scan
+    # policy as q54's shingle staging. At cluster scale swap for
+    # checkpoint() on reliable storage.
+    banded = banded.localCheckpoint(eager=False)
+    # bands * 2^width rows at most — always broadcastable
+    sizes = (
         banded.groupBy("band", "slice")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
-            ).alias("members")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n").between(2, max_bucket_size))
+        .select("band", "slice")
+    )
+    ok = banded.join(F.broadcast(sizes), ["band", "slice"])
+    a = ok.select(
+        "band",
+        "slice",
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__sa"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(_PAIR_SALTS)).alias("__salt"),
+    )
+    b = ok.select(
+        "band",
+        "slice",
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("__sb"),
+        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALTS - 1))).alias("__salt"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a["band"] == b["band"])
+            & (a["slice"] == b["slice"])
+            & (a["__salt"] == b["__salt"])
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .filter(F.size("members").between(2, max_bucket_size))
-        .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.bit_count(
-                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
-            ).alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
