@@ -1,0 +1,121 @@
+"""KMV (k-minimum-values) distinct-count sketches — the mergeable
+cardinality estimator a 100-TB pipeline keeps NEXT TO the data instead of
+re-scanning it.
+
+Why not `approx_count_distinct`? Spark's HLL++ is per-query: the sketch
+never leaves the aggregation, so every new question rescans the corpus,
+and its register encoding is not reproducible outside the JVM. A KMV
+sketch is just the k smallest 60-bit md5-prefix hashes of the values —
+a few KB per group that can be PERSISTED (daily), MERGED (k smallest of a
+union of sketches = the sketch of the union, provided every input kept at
+least k), and AUDITED byte-for-byte from any engine, which is what makes
+exact DuckDB oracle parity possible where HLL would be JVM-private.
+
+Estimator (Bar-Yossef et al. 2002): with h_k = the k-th smallest hash in
+[0, 2^60), est = (k-1) * 2^60 / h_k; fewer than k distinct hashes means
+the sketch IS the value set and the count is exact. The division here is
+pure BIGINT — ((k-1) * 2^40) div (h_k div 2^20) — because (k-1) << 60
+would overflow 64 bits: dropping h_k's low 20 bits adds relative error
+<= 2^20 / h_k, and h_k >= ~k * 2^60 / n, so even at n = 2^40 distinct
+values the rounding error is ~1/k — an order below KMV's inherent
+1/sqrt(k) standard error (~6% at k = 256). No doubles, no libm, no
+HUGEINT: the same expression evaluates identically in Spark and DuckDB.
+
+Scale shape: one shuffle keyed on the group to rank hashes (count-distinct
+class — unavoidable for exact k-mins); the sketch table that comes out is
+k rows per group. Merging sketches touches only sketch rows — the
+production steady state never rescans history, the same shape as
+dedup_snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit hash domain (15 md5 hex chars), split for overflow-free division.
+KMV_HASH_BITS = 60
+_EST_NUM_SHIFT = 40  # (k-1) << 40 stays far under 2^63 for any sane k
+_EST_DEN_SHIFT = 20  # h_k >> 20; 40 + 20 = 60 keeps the ratio unscaled
+
+
+def _value_hash(col: F.Column) -> F.Column:
+    """The shared 60-bit md5-prefix hash: identical to the oracle's
+    ``('0x' || substring(md5(v), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct value hashes ->
+    (group_cols..., h bigint, rn int). This is the table a pipeline
+    persists; feed it to :func:`kmv_estimate` or :func:`kmv_merge`."""
+    # NULL values carry no cardinality; dropping them also sidesteps the
+    # engines' opposite NULL-ordering defaults in the rank window.
+    hashed = (
+        df.select(*group_cols, _value_hash(F.col(value_col)).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_merge(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Re-sketch a union of sketches down to ``group_cols`` (e.g. drop a
+    day column, or group by nothing for a global sketch): k smallest
+    distinct hashes of the union — EXACTLY the sketch that would have
+    been built from the union's raw values, because each input sketch
+    already kept its k smallest. Touches only sketch rows."""
+    hashed = sketch.select(*group_cols, "h").distinct()
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("h")
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Sketch table -> (group_cols..., n_kept, kth_hash, est_distinct).
+
+    n_kept < k means the sketch saw every distinct value: exact count.
+    Otherwise the BIGINT-only estimator in the module docstring."""
+    num = (k - 1) * (1 << _EST_NUM_SHIFT)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(
+                f"CAST({num} AS BIGINT) div "
+                f"greatest(kth_hash div {1 << _EST_DEN_SHIFT}, CAST(1 AS BIGINT))"
+            )
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )

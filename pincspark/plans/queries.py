@@ -3823,6 +3823,68 @@ FROM documents
 """
 
 
+def q75_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketches over events: per event_type the k=256
+    smallest 60-bit user-id hashes -> BIGINT-only cardinality estimate,
+    PLUS an '__all__' row estimated from the MERGE of the per-type
+    sketches alone (the persisted-sketch steady state: merging never
+    rescans the events). Operators:
+    `pincspark.operators.sketches.kmv_sketch/kmv_merge/kmv_estimate`."""
+    from pincspark.operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    events = table(spark, sf_dir, "events")
+    sk = kmv_sketch(events, ["event_type"], "user_id", k=256)
+    per_type = kmv_estimate(sk, ["event_type"], k=256)
+    merged = kmv_estimate(
+        kmv_merge(sk, [], k=256).withColumn("event_type", F.lit("__all__")),
+        ["event_type"],
+        k=256,
+    )
+    return per_type.unionByName(merged)
+
+
+def _q75_oracle() -> str:
+    k = 256
+    num = (k - 1) * (1 << 40)
+    den = 1 << 20
+    est = (
+        f"CAST(CASE WHEN n_kept < {k} THEN n_kept "
+        f"ELSE CAST({num} AS BIGINT) // greatest(kth // {den}, CAST(1 AS BIGINT)) "
+        f"END AS BIGINT)"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+  WHERE user_id IS NOT NULL
+), ranked AS (
+  SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT event_type, h FROM ranked WHERE rn <= {k}
+), gdistinct AS (
+  SELECT DISTINCT h FROM sk
+), granked AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM gdistinct
+), allsk AS (
+  SELECT event_type, h FROM sk
+  UNION ALL
+  SELECT '__all__' AS event_type, h FROM granked WHERE rn <= {k}
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth FROM allsk GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       kth AS kth_hash,
+       {est} AS est_distinct
+FROM agg
+"""
+
+
+ORACLE_Q75 = _q75_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -4382,6 +4444,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: HTML -> text boilerplate strip (stdlib-HTMLParser Arrow UDF,
     # full-string comparison against the SQL reconstruction) — ditto
     "q74_html_extract": (q74_html_extract, ORACLE_Q74),
+    # new r8: KMV mergeable distinct-count sketches (BIGINT-only
+    # estimator, persisted-sketch merge path) — ditto
+    "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
 }
 
 
