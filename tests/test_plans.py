@@ -435,4 +435,7 @@ def test_harness_window_composition_is_pinned():
         # in-window via q67's LM tokenization and q45's packing
         "q72_bloom_decontam",  # new r8: Bloom-screen decontamination —
         # out of window, parity-gated locally
+        "q73_warc_extract",  # new r8: from-scratch WARC reader — ditto
+        "q74_html_extract",  # new r8: HTML -> text extraction — ditto
+        "q75_kmv_distinct",  # new r8: KMV mergeable sketches — ditto
     }
