@@ -91,6 +91,94 @@ def kmv_merge(
     )
 
 
+def kmv_set_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches ALONE (Beyer et al.
+    2007, "On Synopses for Distinct Value Estimation Under Multiset
+    Operations"): per group, rank the union of the two sketch hash sets,
+    keep the k smallest (= the union's own KMV sketch), and read the
+    membership pattern of those kept hashes.
+
+    With ``K`` = kept union hashes (``n_kept``), union cardinality is the
+    usual KMV estimate; ``|A intersect B| ~= (inter_in_k / n_kept) * est_union``
+    and symmetrically for the difference slices. Membership tests are valid
+    because the union's k-th smallest hash is <= each side's own k-th
+    smallest whenever that side kept k hashes, and a side that kept fewer
+    than k IS its complete value set. Both inputs must be built by
+    :func:`kmv_sketch`/:func:`kmv_merge` with the SAME ``k``.
+
+    All arithmetic is BIGINT (inter_in_k <= k and est_union < 2^41, so the
+    products stay far under 2^63); ``jaccard_ppm`` is parts-per-million to
+    keep the output hash-stable across engines. When the union kept fewer
+    than k hashes every column is exact, and the ratio estimates collapse
+    to the exact counts (inter_in_k * n_kept div n_kept == inter_in_k).
+
+    Returns (group_cols..., n_kept, kth_hash, est_union, inter_in_k,
+    est_intersection, est_a_only, est_b_only, jaccard_ppm), one row per
+    group present in either sketch.
+    """
+    ha = sketch_a.select(
+        *group_cols, "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    hb = sketch_b.select(
+        *group_cols, "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    # Tag-and-aggregate instead of a full outer join: one hash-keyed
+    # aggregation over sketch rows only (<= 2k per group).
+    u = (
+        ha.unionByName(hb)
+        .groupBy(*group_cols, "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("h")
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+    kept = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    num = (k - 1) * (1 << _EST_NUM_SHIFT)
+    agg = kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("inter_in_k"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("bigint").alias("a_only_in_k"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b")).cast("bigint").alias("b_only_in_k"),
+    )
+    est_union = (
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(
+                f"CAST({num} AS BIGINT) div "
+                f"greatest(kth_hash div {1 << _EST_DEN_SHIFT}, CAST(1 AS BIGINT))"
+            )
+        )
+        .cast("bigint")
+    )
+    scaled = agg.withColumn("est_union", est_union)
+    return scaled.select(
+        *group_cols,
+        "n_kept",
+        "kth_hash",
+        "est_union",
+        "inter_in_k",
+        F.expr("inter_in_k * est_union div n_kept").cast("bigint").alias(
+            "est_intersection"
+        ),
+        F.expr("a_only_in_k * est_union div n_kept").cast("bigint").alias(
+            "est_a_only"
+        ),
+        F.expr("b_only_in_k * est_union div n_kept").cast("bigint").alias(
+            "est_b_only"
+        ),
+        F.expr("inter_in_k * 1000000 div n_kept").cast("bigint").alias(
+            "jaccard_ppm"
+        ),
+    )
+
+
 def kmv_estimate(
     sketch: DataFrame,
     group_cols: list[str],

@@ -3885,6 +3885,84 @@ FROM agg
 ORACLE_Q75 = _q75_oracle()
 
 
+def q76_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates from persisted KMV sketches ALONE (Beyer et
+    al. 2007): per return flag, the distinct-part overlap between lineitem
+    shipped before vs since 1998-07-01, computed from the two k=64 sketch
+    tables without rescanning either slice — union/intersection/difference
+    cardinalities and a Jaccard in ppm, all BIGINT. Operator:
+    `pincspark.operators.sketches.kmv_set_ops`."""
+    from pincspark.operators.sketches import kmv_set_ops, kmv_sketch
+
+    li = table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-07-01").cast("timestamp")
+    a = kmv_sketch(
+        li.filter(F.col("l_shipdate") < cut), ["l_returnflag"], "l_partkey", k=64
+    )
+    b = kmv_sketch(
+        li.filter(F.col("l_shipdate") >= cut), ["l_returnflag"], "l_partkey", k=64
+    )
+    return kmv_set_ops(a, b, ["l_returnflag"], k=64)
+
+
+def _q76_oracle() -> str:
+    k = 64
+    num = (k - 1) * (1 << 40)
+    den = 1 << 20
+    side = (
+        "SELECT DISTINCT l_returnflag AS grp, "
+        "CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h "
+        "FROM lineitem WHERE l_partkey IS NOT NULL AND l_shipdate {cmp} TIMESTAMP '1998-07-01'"
+    )
+    return f"""
+WITH ha AS ({side.format(cmp='<')}),
+ra AS (
+  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM ha
+), ska AS (
+  SELECT grp, h FROM ra WHERE rn <= {k}
+), hb AS ({side.format(cmp='>=')}),
+rb AS (
+  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hb
+), skb AS (
+  SELECT grp, h FROM rb WHERE rn <= {k}
+), tagged AS (
+  SELECT grp, h, 1 AS in_a, 0 AS in_b FROM ska
+  UNION ALL
+  SELECT grp, h, 0 AS in_a, 1 AS in_b FROM skb
+), u AS (
+  SELECT grp, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM tagged GROUP BY grp, h
+), ranked AS (
+  SELECT grp, h, in_a, in_b, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM u
+), kept AS (
+  SELECT grp, h, in_a, in_b FROM ranked WHERE rn <= {k}
+), agg AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth_hash,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS inter_in_k,
+         CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS a_only_in_k,
+         CAST(SUM((1 - in_a) * in_b) AS BIGINT) AS b_only_in_k
+  FROM kept GROUP BY grp
+), est AS (
+  SELECT *,
+         CAST(CASE WHEN n_kept < {k} THEN n_kept
+              ELSE CAST({num} AS BIGINT) // greatest(kth_hash // {den}, CAST(1 AS BIGINT))
+              END AS BIGINT) AS est_union
+  FROM agg
+)
+SELECT grp AS l_returnflag, n_kept, kth_hash, est_union, inter_in_k,
+       CAST(inter_in_k * est_union // n_kept AS BIGINT) AS est_intersection,
+       CAST(a_only_in_k * est_union // n_kept AS BIGINT) AS est_a_only,
+       CAST(b_only_in_k * est_union // n_kept AS BIGINT) AS est_b_only,
+       CAST(inter_in_k * 1000000 // n_kept AS BIGINT) AS jaccard_ppm
+FROM est
+"""
+
+
+ORACLE_Q76 = _q76_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -4447,6 +4525,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: KMV mergeable distinct-count sketches (BIGINT-only
     # estimator, persisted-sketch merge path) — ditto
     "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
+    # new r8: KMV set-operation estimates (union/intersection/difference/
+    # Jaccard from two persisted sketches alone, Beyer et al. 2007) — ditto
+    "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
 }
 
 

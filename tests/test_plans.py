@@ -438,4 +438,6 @@ def test_harness_window_composition_is_pinned():
         "q73_warc_extract",  # new r8: from-scratch WARC reader — ditto
         "q74_html_extract",  # new r8: HTML -> text extraction — ditto
         "q75_kmv_distinct",  # new r8: KMV mergeable sketches — ditto
+        "q76_kmv_overlap",  # new r8: KMV set-operation estimates
+        # (union/intersection/difference/Jaccard from sketches alone) — ditto
     }

@@ -5,7 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pincspark.operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+from pincspark.operators.sketches import (
+    kmv_estimate,
+    kmv_merge,
+    kmv_set_ops,
+    kmv_sketch,
+)
 
 
 def _mkdf(spark, groups):
@@ -41,6 +46,83 @@ def test_merge_equals_rebuild(spark):
         for r in kmv_sketch(df.withColumn("grp", F.lit("all")), ["grp"], "val", k=256).collect()
     )
     assert merged == rebuilt
+
+
+def _overlap_dfs(spark, n_a, n_b, n_shared):
+    """Two value sets sharing exactly n_shared values: A = shared + a-only,
+    B = shared + b-only."""
+    a = [("g", f"s:{v}") for v in range(n_shared)] + [
+        ("g", f"a:{v}") for v in range(n_a - n_shared)
+    ]
+    b = [("g", f"s:{v}") for v in range(n_shared)] + [
+        ("g", f"b:{v}") for v in range(n_b - n_shared)
+    ]
+    schema = "grp string, val string"
+    return spark.createDataFrame(a, schema), spark.createDataFrame(b, schema)
+
+
+def test_set_ops_exact_under_k(spark):
+    """Union kept < k: every output column is the exact count (the ratio
+    estimates collapse to integers by construction)."""
+    da, db = _overlap_dfs(spark, 30, 40, 10)
+    out = kmv_set_ops(
+        kmv_sketch(da, ["grp"], "val", k=256),
+        kmv_sketch(db, ["grp"], "val", k=256),
+        ["grp"],
+        k=256,
+    ).collect()[0]
+    assert out["n_kept"] == 60 and out["est_union"] == 60
+    assert out["inter_in_k"] == 10 and out["est_intersection"] == 10
+    assert out["est_a_only"] == 20 and out["est_b_only"] == 30
+    assert out["jaccard_ppm"] == 10 * 1_000_000 // 60
+
+
+def test_set_ops_estimator_accuracy(spark):
+    """10k-vs-10k with 5k shared, k=256: union/intersection/Jaccard all
+    within a few standard errors (deterministic hashes, not flaky)."""
+    da, db = _overlap_dfs(spark, 10000, 10000, 5000)
+    out = kmv_set_ops(
+        kmv_sketch(da, ["grp"], "val", k=256),
+        kmv_sketch(db, ["grp"], "val", k=256),
+        ["grp"],
+        k=256,
+    ).collect()[0]
+    assert out["n_kept"] == 256
+    assert abs(out["est_union"] - 15000) / 15000 < 0.2, out
+    assert abs(out["est_intersection"] - 5000) / 5000 < 0.35, out
+    assert abs(out["jaccard_ppm"] - 333_333) / 333_333 < 0.35, out
+
+
+def test_set_ops_self_is_identity(spark):
+    """A sketch against itself: every kept hash is in both sides."""
+    df = _mkdf(spark, [("a", 5000)])
+    sk = kmv_sketch(df, ["grp"], "val", k=128)
+    out = kmv_set_ops(sk, sk, ["grp"], k=128).collect()[0]
+    assert out["inter_in_k"] == out["n_kept"] == 128
+    assert out["est_intersection"] == out["est_union"]
+    assert out["jaccard_ppm"] == 1_000_000
+    assert out["est_a_only"] == 0 and out["est_b_only"] == 0
+
+
+def test_set_ops_group_missing_one_side(spark):
+    """A group present in only one sketch still comes out (full union of
+    groups), with an empty intersection."""
+    da = _mkdf(spark, [("only_a", 20), ("both", 20)])
+    db = _mkdf(spark, [("both", 20)])
+    rows = {
+        r["grp"]: r
+        for r in kmv_set_ops(
+            kmv_sketch(da, ["grp"], "val", k=64),
+            kmv_sketch(db, ["grp"], "val", k=64),
+            ["grp"],
+            k=64,
+        ).collect()
+    }
+    assert set(rows) == {"only_a", "both"}
+    assert rows["only_a"]["inter_in_k"] == 0 and rows["only_a"]["est_b_only"] == 0
+    assert rows["only_a"]["est_union"] == rows["only_a"]["est_a_only"] == 20
+    # _mkdf values are grp-prefixed, so "both" shares ALL its values
+    assert rows["both"]["jaccard_ppm"] == 1_000_000
 
 
 def test_duplicates_and_nulls_ignored(spark):
