@@ -91,6 +91,27 @@ def kmv_merge(
     )
 
 
+def kmv_update(
+    sketch: DataFrame,
+    batch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Incremental sketch maintenance — the foreachBatch steady state:
+    fold a new micro-batch into a persisted sketch WITHOUT rescanning
+    history. Sketch the batch, union with the prior sketch rows, keep the
+    k smallest per group. By the merge identity (see :func:`kmv_merge`)
+    the result is bit-identical to rebuilding from all raw values seen so
+    far; the work is O(batch + sketch rows), never O(history)."""
+    fresh = kmv_sketch(batch, group_cols, value_col, k=k)
+    return kmv_merge(
+        sketch.select(*group_cols, "h").unionByName(fresh.select(*group_cols, "h")),
+        group_cols,
+        k=k,
+    )
+
+
 def kmv_set_ops(
     sketch_a: DataFrame,
     sketch_b: DataFrame,

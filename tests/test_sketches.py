@@ -10,6 +10,7 @@ from pincspark.operators.sketches import (
     kmv_merge,
     kmv_set_ops,
     kmv_sketch,
+    kmv_update,
 )
 
 
@@ -123,6 +124,29 @@ def test_set_ops_group_missing_one_side(spark):
     assert rows["only_a"]["est_union"] == rows["only_a"]["est_a_only"] == 20
     # _mkdf values are grp-prefixed, so "both" shares ALL its values
     assert rows["both"]["jaccard_ppm"] == 1_000_000
+
+
+def test_incremental_update_equals_rebuild(spark):
+    """Folding micro-batches into a persisted sketch one at a time (the
+    foreachBatch steady state) is bit-identical to sketching all raw
+    values at once — history is never rescanned."""
+    batches = [_mkdf(spark, [("a", 400)]), _mkdf2(spark, "a", 400, 800),
+               _mkdf2(spark, "a", 600, 1200)]
+    sk = kmv_sketch(batches[0], ["grp"], "val", k=64)
+    for b in batches[1:]:
+        sk = kmv_update(sk, b, ["grp"], "val", k=64)
+    rebuilt = kmv_sketch(
+        batches[0].unionByName(batches[1]).unionByName(batches[2]),
+        ["grp"], "val", k=64,
+    )
+    assert sorted(r["h"] for r in sk.collect()) == sorted(
+        r["h"] for r in rebuilt.collect()
+    )
+
+
+def _mkdf2(spark, grp, lo, hi):
+    rows = [(grp, f"{grp}:{v}") for v in range(lo, hi)]
+    return spark.createDataFrame(rows, "grp string, val string")
 
 
 def test_duplicates_and_nulls_ignored(spark):
