@@ -153,6 +153,21 @@ def _flagship_subprocess(sf: float) -> tuple[float, list[float]]:
     )
 
 
+def _cpu_calibration() -> float:
+    """Fixed single-thread busyloop, recorded with every history row so
+    cross-run comparisons can be normalized for HARDWARE speed drift.
+    Round-8 forensics: an isolated quiet-box q01 ran 1.45x its all-time
+    best with zero code changes on its path — the box itself was slower
+    than when the best was set (shared infra). With cpu_calib_s on both
+    rows that class of flag becomes mechanically adjudicable:
+    now/best <= calib_now/calib_best means hardware, not code."""
+    t = time.time()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return round(time.time() - t, 3)
+
+
 def _load_guard(ignore_l5: bool = False) -> tuple[float, bool]:
     """Pre-run load check (VERDICT r5 #3): three of five end-of-round r5
     bench rows were polluted by EXTERNAL box load, shipping a 1.62x
@@ -282,6 +297,7 @@ def _run_catalog_once(
     loadavg only (the 5-min one still carries our own previous attempt —
     see _load_guard)."""
     loadavg, contended = _load_guard(ignore_l5=is_retry)
+    cpu_calib = _cpu_calibration()
 
     # Flagship FIRST, isolated, before the catalog session exists.
     flagship_runs: list[float] = []
@@ -426,6 +442,7 @@ def _run_catalog_once(
         "unit": "sec",
         "queries": {_short(k): v for k, v in timings.items()},
         "sf": sf,
+        "cpu_calib_s": cpu_calib,
     }
     if contended:
         # Explicit marker (VERDICT r5 #3): numbers below were recorded
@@ -498,6 +515,7 @@ def _run_catalog_once(
         "median_of": "3-5 adaptive",
         "contended": contended,
         "loadavg_1min": round(loadavg, 2),
+        "cpu_calib_s": cpu_calib,
         "query_runs": samples,
         "flagship_runs": flagship_runs,
         "failed": failed,

@@ -94,3 +94,56 @@ def foreach_batch_upsert(path: str, key: str | Sequence[str], order_col: str):
         upsert_latest(batch_df.sparkSession, batch_df, path, key, order_col)
 
     return _fn
+
+
+def update_sketch_table(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+) -> None:
+    """Fold a micro-batch into a persisted KMV sketch parquet table
+    (`pincspark.operators.sketches.kmv_update`): distinct-count state that
+    stays a few KB per group no matter how much history has flowed past —
+    the streaming analog of q75/q76's persisted-sketch steady state. Work
+    per batch is O(batch + sketch rows); history is never rescanned.
+
+    Same crash-safe swap discipline as :func:`upsert_latest` (tmp ->
+    aside -> rename), single-writer semantics under foreachBatch.
+    """
+    from pincspark.operators.sketches import kmv_sketch, kmv_update
+
+    groups = list(group_cols)
+    old = path + ".__old__"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    if os.path.exists(path):
+        sketch = kmv_update(
+            spark.read.parquet(path), batch_df, groups, value_col, k=k
+        )
+    else:
+        sketch = kmv_sketch(batch_df, groups, value_col, k=k)
+    tmp = path + ".__tmp__"
+    sketch.select(*groups, "h", "rn").write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def foreach_batch_sketch(
+    path: str, group_cols: Sequence[str], value_col: str, k: int = 256
+):
+    """writeStream.foreachBatch adapter for :func:`update_sketch_table`."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        update_sketch_table(
+            batch_df.sparkSession, batch_df, path, group_cols, value_col, k=k
+        )
+
+    return _fn

@@ -295,3 +295,48 @@ def test_dedupe_stream_matches_batch(spark, tmp_path):
     union = spark.createDataFrame(pd.concat([rows1, rows2]))
     batch = dedupe_stream(union, ["fp"], "ts")
     assert batch.select("fp").distinct().count() == batch.count() == 4
+
+
+def test_sketch_sink_stream_matches_batch(spark, tmp_path):
+    """Streaming KMV sketch maintenance e2e: a parquet-file stream folded
+    into a persisted sketch table via foreach_batch_sketch is hash-
+    identical to sketching all rows in one batch — distinct-count state
+    that never rescans history (the q75/q76 steady state under
+    Structured Streaming)."""
+    import pandas as pd
+
+    from pincspark.operators.sketches import kmv_estimate, kmv_sketch
+    from pincspark.streaming.sinks import foreach_batch_sketch
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    mk = lambda lo, hi: pd.DataFrame(
+        {"grp": ["g"] * (hi - lo), "val": [f"v{i}" for i in range(lo, hi)]}
+    )
+    b1, b2 = mk(0, 300), mk(150, 500)  # 150 overlapping values across batches
+    spark.createDataFrame(b1).write.parquet(str(src / "b1"))
+
+    sk_path = str(tmp_path / "sketch")
+    stream = spark.readStream.schema("grp string, val string").parquet(str(src / "*"))
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_sketch(sk_path, ["grp"], "val", k=64))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(r["h"] for r in spark.read.parquet(sk_path).collect())
+    rebuilt = sorted(
+        r["h"]
+        for r in kmv_sketch(
+            spark.createDataFrame(pd.concat([b1, b2])), ["grp"], "val", k=64
+        ).collect()
+    )
+    assert streamed == rebuilt and len(streamed) == 64
+    est = kmv_estimate(spark.read.parquet(sk_path), ["grp"], k=64).collect()[0]
+    assert abs(est["est_distinct"] - 500) / 500 < 0.35  # 1/sqrt(64) ~ 12.5% stderr
