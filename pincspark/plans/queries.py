@@ -3963,6 +3963,134 @@ FROM est
 ORACLE_Q76 = _q76_oracle()
 
 
+def q77_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain blocklist (the CCNet/RefinedWeb
+    curation step that keys web-scale URL dedup): mint a deliberately
+    messy URL per document (mixed-case hosts, default and explicit ports,
+    tracking params, unsorted queries, fragments, trailing slashes —
+    deterministic from doc_id, mirrored in the oracle), then normalize
+    it, extract the registrable domain (incl. multi-label public
+    suffixes), and flag blocklisted domains. The normalization itself
+    (`pincspark.functions.url`) is pure column expressions; the oracle
+    REIMPLEMENTS the contract independently in SQL, so the gate pins
+    semantics, not an implementation."""
+    from pincspark.functions.url import (
+        domain_blocklist_filter,
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    scheme = F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    host = (
+        F.when(d % 6 == 0, F.lit("Example.COM"))
+        .when(d % 6 == 1, F.lit("news.Example.co.uk"))
+        .when(d % 6 == 2, F.lit("WWW.Spam-Site.com"))
+        .when(d % 6 == 3, F.lit("blog.example.org"))
+        .when(d % 6 == 4, F.lit("tracker.Ads-Net.com"))
+        .otherwise(F.lit("docs.example.com.au"))
+    )
+    port = (
+        F.when((d % 5 == 0) & (d % 2 == 0), F.lit(":80"))
+        .when((d % 5 == 0) & (d % 2 == 1), F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/Articles/"), ds, F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+    )
+    query = (
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), ds))
+        .when(d % 4 == 1, F.concat(F.lit("?id="), ds, F.lit("&utm_campaign=x")))
+        .when(d % 4 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 7 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    minted = docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url"),
+    )
+    out = minted.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("url_norm"),
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+        "url",
+    )
+    return domain_blocklist_filter(
+        out, "url", ["spam-site.com", "ads-net.com"], keep_col="kept"
+    ).select("doc_id", "url_norm", "domain", "kept")
+
+
+# The oracle's INDEPENDENT SQL reimplementation of the normalization
+# contract (see pincspark/functions/url.py): regexes stay in the
+# Java-regex/RE2 shared subset; list lambdas replace the Spark HOFs.
+ORACLE_Q77 = """
+WITH minted AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+         (CASE doc_id % 6 WHEN 0 THEN 'Example.COM'
+                          WHEN 1 THEN 'news.Example.co.uk'
+                          WHEN 2 THEN 'WWW.Spam-Site.com'
+                          WHEN 3 THEN 'blog.example.org'
+                          WHEN 4 THEN 'tracker.Ads-Net.com'
+                          ELSE 'docs.example.com.au' END) ||
+         (CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 0 THEN ':80'
+               WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':443'
+               WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+         '/Articles/' || CAST(doc_id AS VARCHAR) ||
+         (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+               WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END) ||
+         (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+  FROM minted
+), normed AS (
+  SELECT doc_id, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END, '^www\\.', '') AS host_norm,
+         regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS host,
+         regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))),
+           '&') AS query
+  FROM parts
+), dom AS (
+  SELECT doc_id, scheme, host_norm, path, query, host,
+         string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM normed
+), named AS (
+  SELECT doc_id, scheme, host_norm, path, query,
+         CASE WHEN n <= 2 THEN host
+              WHEN n >= 3 AND (list_extract(labels, n - 1) || '.' || list_extract(labels, n))
+                   IN ('co.uk', 'org.uk', 'ac.uk', 'com.au', 'co.jp', 'com.br')
+              THEN list_extract(labels, n - 2) || '.' || list_extract(labels, n - 1)
+                   || '.' || list_extract(labels, n)
+              ELSE list_extract(labels, n - 1) || '.' || list_extract(labels, n)
+         END AS domain
+  FROM dom
+)
+SELECT doc_id,
+       scheme || '://' || host_norm || path ||
+         (CASE WHEN query <> '' THEN '?' || query ELSE '' END) AS url_norm,
+       domain,
+       CAST(domain NOT IN ('spam-site.com', 'ads-net.com') AS INTEGER) AS kept
+FROM named
+"""
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -4528,6 +4656,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: KMV set-operation estimates (union/intersection/difference/
     # Jaccard from two persisted sketches alone, Beyer et al. 2007) — ditto
     "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
+    # new r8: URL canonicalization + domain blocklist (independent SQL
+    # reimplementation of the normalization contract) — ditto
+    "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
 }
 
 

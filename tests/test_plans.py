@@ -440,4 +440,6 @@ def test_harness_window_composition_is_pinned():
         "q75_kmv_distinct",  # new r8: KMV mergeable sketches — ditto
         "q76_kmv_overlap",  # new r8: KMV set-operation estimates
         # (union/intersection/difference/Jaccard from sketches alone) — ditto
+        "q77_url_canonicalize",  # new r8: URL canonicalization + domain
+        # blocklist (dual-implementation contract gate) — ditto
     }
