@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -181,3 +181,83 @@ def bucket_tightness(keyed: DataFrame, cols: Sequence[str]) -> DataFrame:
             / F.greatest(F.col(f"gmx_{c}") - F.col(f"gmn_{c}"), F.lit(1)),
         )
     return out.select("zbucket", *[f"coverage_{c}" for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction.
+#
+# Streaming appends, per-trigger micro-batches, and over-parallel writes all
+# leave fact tables as thousands of KB-scale parquet files; at 100 TB the
+# resulting task-per-file scheduling and footer overhead dominate scan cost
+# long before the bytes do. Compaction is the maintenance pass every lake
+# engine runs (Delta OPTIMIZE, Iceberg rewrite_data_files); here it is a
+# size-targeted rewrite with the same crash-safe swap discipline as
+# streaming.sinks.upsert_latest.
+# ---------------------------------------------------------------------------
+
+
+def _parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``path``, via the Hadoop
+    FileSystem API — identical code against local disk, HDFS, or s3a."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append((str(f.getPath()), int(f.getLen())))
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_by: Sequence[str] | None = None,
+) -> dict:
+    """Rewrite the parquet directory at ``path`` into ~``target_mb``-sized
+    files; returns {files_before, bytes_before, files_after, bytes_after}.
+
+    ``sort_by`` additionally CLUSTERS the rewrite (repartitionByRange +
+    sortWithinPartitions on those columns), so every output file owns a
+    disjoint key range and parquet min/max stats prune file-level reads —
+    compaction and layout in one pass. Without it, a plain round-robin
+    repartition sizes files uniformly.
+
+    The rewrite reads lazily from the live directory while writing to a
+    tmp sibling, then swaps (tmp -> aside -> rename): a crash at any step
+    leaves the table live or recoverable at ``path.__old__``, never
+    half-deleted. Single-writer discipline, as with upsert_latest. The
+    swap here is os.rename (local paths, matching this engine's
+    dependency-free sink tier); on HDFS/S3 swap via FileSystem.rename /
+    a transactional table format instead — the census and rewrite are
+    already FS-agnostic."""
+    import math
+    import os
+    import shutil
+
+    before = _parquet_files(spark, path)
+    bytes_before = sum(b for _, b in before)
+    n_out = max(1, math.ceil(bytes_before / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    tmp, old = path + ".__tmp__", path + ".__old__"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = _parquet_files(spark, path)
+    return {
+        "files_before": len(before),
+        "bytes_before": bytes_before,
+        "files_after": len(after),
+        "bytes_after": sum(b for _, b in after),
+    }

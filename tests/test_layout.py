@@ -90,3 +90,52 @@ def test_n_buckets_must_be_power_of_two(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError):
         zorder_assign(df, ["a", "b"], n_buckets=48)
+
+
+def test_compact_parquet_shrinks_files_keeps_rows(spark, tmp_path):
+    """40 tiny fragments -> a handful of target-sized files, content
+    identical, no tmp/aside residue."""
+    import os
+
+    from pincspark.operators.layout import _parquet_files, compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.sha1(F.col("id").cast("string")).alias("pad")
+    )
+    df.repartition(40).write.parquet(path)
+    assert len(_parquet_files(spark, path)) == 40
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    stats = compact_parquet(spark, path, target_mb=1)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 40
+    # parquet re-encode can shift bytes slightly; rows must be identical
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert not os.path.exists(path + ".__tmp__")
+    assert not os.path.exists(path + ".__old__")
+
+
+def test_compact_parquet_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    """sort_by clusters the rewrite: each output file owns a disjoint id
+    range (the min/max file-pruning contract)."""
+    from pincspark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "clust")
+    spark.range(50000).select(
+        F.col("id"), F.sha1(F.col("id").cast("string")).alias("pad")
+    ).repartition(30).write.parquet(path)
+
+    compact_parquet(spark, path, target_mb=1, sort_by=["id"])
+    ranges = (
+        spark.read.parquet(path)
+        .select("id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+        .collect()
+    )
+    assert len(ranges) > 1  # actually split across files
+    spans = sorted((r["mn"], r["mx"]) for r in ranges)
+    for (_, mx_prev), (mn_next, _) in zip(spans, spans[1:]):
+        assert mx_prev < mn_next, spans
