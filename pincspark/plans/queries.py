@@ -4027,6 +4027,59 @@ def q77_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle's INDEPENDENT SQL reimplementation of the normalization
 # contract (see pincspark/functions/url.py): regexes stay in the
 # Java-regex/RE2 shared subset; list lambdas replace the Spark HOFs.
+def q78_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 user-state history THROUGH THE INCREMENTAL PATH: events
+    are deduped to unique (user_id, ts) (min event_id wins), split at
+    2024-01-16; the prefix builds an SCD2 dimension
+    (`pincspark.operators.scd.scd2_from_events`), the suffix merges into
+    it (`scd2_merge` — affected keys replayed, untouched keys anti-joined
+    through). The oracle rebuilds from ALL events in one pass, so the
+    driver gate pins merge(prefix) == rebuild(all), late-arriving and
+    boundary semantics included."""
+    from pyspark.sql import Window
+
+    from pincspark.operators.scd import scd2_from_events, scd2_merge
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    uniq = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    dim = scd2_from_events(
+        uniq.filter(F.col("ts") < cut), ["user_id"], "ts", ["event_type"]
+    )
+    merged = scd2_merge(
+        dim, uniq.filter(F.col("ts") >= cut), ["user_id"], "ts", ["event_type"]
+    )
+    return merged.select("user_id", "event_type", "eff_from", "eff_to")
+
+
+ORACLE_Q78 = """
+WITH uniq AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events WHERE user_id IS NOT NULL
+  ) t WHERE rn = 1
+), flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+              WHEN event_type IS NOT DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) THEN 0
+              ELSE 1 END AS chg
+  FROM uniq
+), versions AS (
+  SELECT user_id, event_type, ts AS eff_from FROM flagged WHERE chg = 1
+)
+SELECT user_id, event_type, eff_from,
+       LEAD(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from) AS eff_to
+FROM versions
+"""
+
+
 ORACLE_Q77 = """
 WITH minted AS (
   SELECT doc_id,
@@ -4659,6 +4712,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: URL canonicalization + domain blocklist (independent SQL
     # reimplementation of the normalization contract) — ditto
     "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
+    # new r8: SCD2 dimension history via the INCREMENTAL merge path,
+    # gated merge(prefix)==rebuild(all) against a one-pass SQL oracle
+    "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
 }
 
 

@@ -442,4 +442,6 @@ def test_harness_window_composition_is_pinned():
         # (union/intersection/difference/Jaccard from sketches alone) — ditto
         "q77_url_canonicalize",  # new r8: URL canonicalization + domain
         # blocklist (dual-implementation contract gate) — ditto
+        "q78_scd2_history",  # new r8: SCD2 history via the incremental
+        # merge path, merge(prefix)==rebuild(all) gate — ditto
     }
