@@ -14,10 +14,17 @@ between touching a day's churn and rewriting the whole dimension.
 Merge correctness is an identity, not a heuristic: a version row is an
 event at its own ``eff_from``, so replaying {existing versions of
 affected keys} ∪ {batch events} through the same run-length collapse
-reproduces exactly the rebuild-from-all-events result — including
-out-of-order/late batch events that land inside an old version's
-interval. q78 driver-gates merge(prefix) == rebuild(all) against a
-single-pass SQL oracle.
+reproduces exactly the rebuild-from-all-events result for IN-ORDER
+feeds (every batch event at-or-after the key's last seen event — the
+normal CDC case; q78 driver-gates merge(prefix) == rebuild(all) against
+a single-pass SQL oracle). Late batch events are still merged
+correctly against the VERSION history: one that lands inside an old
+interval splits it at every retained change point. The one inherent
+difference from a raw-log rebuild: an observation that collapsed as a
+same-state no-op is not retained, so it cannot re-split an interval
+after a late different-state event lands before it (pinned in
+tests/test_streaming.py). Retain the raw event log if that
+distinction matters.
 
 Shape: one shuffle per call keyed on the dimension key; the change
 detector (lag) and interval close (lead) share that single sort. No
@@ -72,7 +79,8 @@ def scd2_merge(
     rewrite); affected keys replay {their existing versions as events at
     eff_from} ∪ {their batch events} through
     :func:`scd2_from_events`. Identical to rebuilding from all events
-    ever seen (pinned in tests and driver-gated by q78)."""
+    ever seen for in-order feeds (pinned in tests and driver-gated by
+    q78); see the module docstring for the late-event contract."""
     keys = list(key_cols)
     attrs = list(attr_cols)
     affected = batch.select(*keys).distinct()

@@ -136,6 +136,55 @@ def update_sketch_table(
         shutil.rmtree(old)
 
 
+def update_scd2_table(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> None:
+    """Fold a micro-batch of change events into a persisted SCD2 version
+    table (`pincspark.operators.scd.scd2_merge`): only the batch's keys
+    are replayed, everything else passes through — the dimension-history
+    analog of :func:`upsert_latest` (which keeps just the newest row).
+    Same crash-safe swap, single-writer semantics."""
+    from pincspark.operators.scd import scd2_from_events, scd2_merge
+
+    keys, attrs = list(key_cols), list(attr_cols)
+    old = path + ".__old__"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    if os.path.exists(path):
+        merged = scd2_merge(
+            spark.read.parquet(path), batch_df, keys, ts_col, attrs
+        )
+    else:
+        merged = scd2_from_events(batch_df, keys, ts_col, attrs)
+    tmp = path + ".__tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def foreach_batch_scd2(
+    path: str, key_cols: Sequence[str], ts_col: str, attr_cols: Sequence[str]
+):
+    """writeStream.foreachBatch adapter for :func:`update_scd2_table`."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        update_scd2_table(
+            batch_df.sparkSession, batch_df, path, key_cols, ts_col, attr_cols
+        )
+
+    return _fn
+
+
 def foreach_batch_sketch(
     path: str, group_cols: Sequence[str], value_col: str, k: int = 256
 ):

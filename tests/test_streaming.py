@@ -340,3 +340,91 @@ def test_sketch_sink_stream_matches_batch(spark, tmp_path):
     assert streamed == rebuilt and len(streamed) == 64
     est = kmv_estimate(spark.read.parquet(sk_path), ["grp"], k=64).collect()[0]
     assert abs(est["est_distinct"] - 500) / 500 < 0.35  # 1/sqrt(64) ~ 12.5% stderr
+
+
+def test_scd2_sink_stream_matches_batch(spark, tmp_path):
+    """Streaming SCD2 maintenance e2e: in-order change events over two
+    micro-batches folded via foreach_batch_scd2 produce the identical
+    version table to a one-shot rebuild from all events."""
+    import pandas as pd
+
+    from pincspark.operators.scd import scd2_from_events
+    from pincspark.streaming.sinks import foreach_batch_scd2
+
+    src = tmp_path / "chg"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02"]),
+            "state": ["x", "x", "p"],  # a's second event collapses
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "k": ["a", "b"],
+            "ts": pd.to_datetime(["2024-01-04", "2024-01-05"]),
+            "state": ["y", "q"],
+        }
+    )
+    spark.createDataFrame(b1).write.parquet(str(src / "b1"))
+
+    dim_path = str(tmp_path / "dim")
+    stream = spark.readStream.schema("k string, ts timestamp, state string").parquet(
+        str(src / "*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_scd2(dim_path, ["k"], "ts", ["state"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def canon(df):
+        return sorted(
+            (r["k"], r["state"], str(r["eff_from"]), str(r["eff_to"]))
+            for r in df.collect()
+        )
+
+    rebuilt = scd2_from_events(
+        spark.createDataFrame(pd.concat([b1, b2])), ["k"], "ts", ["state"]
+    )
+    assert canon(spark.read.parquet(dim_path)) == canon(rebuilt)
+    a = [(s, f[:10], t[:10]) for k, s, f, t in canon(spark.read.parquet(dim_path)) if k == "a"]
+    assert a == [("x", "2024-01-01", "2024-01-04"), ("y", "2024-01-04", "None")]
+
+
+def test_scd2_merge_late_event_contract(spark):
+    """The documented late-data contract: a late different-state event
+    splits the old interval at retained change points, but a same-state
+    observation that collapsed as a no-op is NOT resurrected — the
+    version history (not the raw log) is the merge's source of truth."""
+    import pandas as pd
+
+    from pincspark.operators.scd import scd2_from_events, scd2_merge
+
+    prefix = pd.DataFrame(
+        {
+            "k": ["a", "a"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-03"]),
+            "state": ["x", "x"],  # collapses to one x version
+        }
+    )
+    late = pd.DataFrame(
+        {"k": ["a"], "ts": pd.to_datetime(["2024-01-02"]), "state": ["y"]}
+    )
+    dim = scd2_from_events(spark.createDataFrame(prefix), ["k"], "ts", ["state"])
+    merged = scd2_merge(dim, spark.createDataFrame(late), ["k"], "ts", ["state"])
+    got = sorted(
+        (r["state"], str(r["eff_from"])[:10], str(r["eff_to"])[:10])
+        for r in merged.collect()
+    )
+    # x@03 was a collapsed no-op: y runs to current, x is NOT re-split
+    assert got == [("x", "2024-01-01", "2024-01-02"), ("y", "2024-01-02", "None")]
