@@ -4080,6 +4080,65 @@ FROM versions
 """
 
 
+def q79_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel per user
+    (`pincspark.operators.behavior.funnel_steps`): one conditional
+    aggregation, no self-joins (the naive N-way self-join funnel scans
+    the fact table N times)."""
+    from pincspark.operators.behavior import funnel_steps
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+ORACLE_Q79 = """
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) +
+            (CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                  THEN 1 ELSE 0 END) +
+            (CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                       AND t2 IS NOT NULL AND t2 > t1
+                  THEN 1 ELSE 0 END) AS INTEGER) AS reached
+FROM m
+"""
+
+
+def q80_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention
+    (`pincspark.operators.behavior.cohort_retention`): users grouped by
+    first-activity week; distinct active users per (cohort, weeks_since).
+    The cohort assignment windows over the COLLAPSED distinct
+    user-week table, never the raw events."""
+    from pincspark.operators.behavior import cohort_retention
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return cohort_retention(ev, "user_id", "ts", period="week")
+
+
+ORACLE_Q80 = """
+WITH ep AS (
+  -- DuckDB date_trunc('week') yields DATE; cast to TIMESTAMP to match
+  -- Spark's timestamp-typed truncation
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+  FROM events WHERE user_id IS NOT NULL
+), coh AS (
+  SELECT user_id, p, MIN(p) OVER (PARTITION BY user_id) AS cohort FROM ep
+)
+SELECT cohort AS cohort_period,
+       CAST((epoch(p) - epoch(cohort)) / 604800 AS BIGINT) AS periods_since,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active
+FROM coh
+GROUP BY cohort, CAST((epoch(p) - epoch(cohort)) / 604800 AS BIGINT)
+"""
+
+
 ORACLE_Q77 = """
 WITH minted AS (
   SELECT doc_id,
@@ -4715,6 +4774,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: SCD2 dimension history via the INCREMENTAL merge path,
     # gated merge(prefix)==rebuild(all) against a one-pass SQL oracle
     "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
+    # new r8: ordered funnel (single conditional agg, no self-joins)
+    "q79_funnel": (q79_funnel, ORACLE_Q79),
+    # new r8: weekly cohort retention over the collapsed user-week table
+    "q80_cohort_retention": (q80_cohort_retention, ORACLE_Q80),
 }
 
 

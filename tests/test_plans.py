@@ -444,4 +444,6 @@ def test_harness_window_composition_is_pinned():
         # blocklist (dual-implementation contract gate) — ditto
         "q78_scd2_history",  # new r8: SCD2 history via the incremental
         # merge path, merge(prefix)==rebuild(all) gate — ditto
+        "q79_funnel",  # new r8: ordered funnel, single conditional agg
+        "q80_cohort_retention",  # new r8: weekly cohort retention
     }
