@@ -1535,3 +1535,67 @@ def incremental_dedup(
             .cast("int"),
         )
     )
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 4,
+    max_block_size: int = 4096,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over a SHORT string key (titles,
+    names, normalized headers — the entity-resolution complement to the
+    token-level LSH family): rows block on the lowercased ``prefix_len``
+    prefix, candidate pairs within a block are verified with
+    ``levenshtein(key_a, key_b) <= max_dist`` after the free
+    length-difference necessary condition.
+
+    Blocking contract (standard ER trade-off, mirrored exactly by the
+    q81 oracle): pairs whose keys differ inside the first ``prefix_len``
+    characters are NOT proposed — a second pass on a suffix or phonetic
+    block raises recall when needed. Blocks over ``max_block_size`` are
+    excluded (a degenerate block — one shared boilerplate prefix — is
+    quadratic; the same cap discipline as embedding_dup_pairs). The pair
+    join is salted (_PAIR_SALTS) so a hot prefix spreads over 16 tasks
+    instead of serializing on one.
+
+    Returns (id_a, id_b, dist int) with id_a < id_b.
+    """
+    k = F.lower(F.trim(F.col(key_col)))
+    base = df.select(F.col(id_col).alias("__id"), k.alias("__k")).filter(
+        F.length("__k") >= prefix_len
+    )
+    base = base.withColumn("__b", F.substring("__k", 1, prefix_len))
+    sizes = base.groupBy(F.col("__b").alias("__b_ok")).agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    ok = sizes.filter(F.col("__bn") <= max_block_size).select("__b_ok")
+    base = base.join(ok, F.col("__b") == F.col("__b_ok")).drop("__b_ok")
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__k").alias("__ka"),
+        F.col("__b").alias("__ba"),
+        F.pmod(F.xxhash64(F.col("__id")), F.lit(_PAIR_SALTS)).alias("__salt_a"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__k").alias("__kb"),
+        F.col("__b").alias("__bb"),
+        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALTS - 1))).alias("__salt_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__ba") == F.col("__bb"))
+        & (F.col("__salt_a") == F.col("__salt_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (
+            F.abs(F.length("__ka") - F.length("__kb")) <= F.lit(max_dist)
+        ),
+    )
+    return (
+        pairs.withColumn("dist", F.levenshtein("__ka", "__kb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -4139,6 +4139,48 @@ GROUP BY cohort, CAST((epoch(p) - epoch(cohort)) / 604800 AS BIGINT)
 """
 
 
+def q81_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over the first 48 chars of the
+    normalized text (the entity-resolution complement to the LSH family):
+    prefix blocking + salted pair join + levenshtein verify
+    (`pincspark.operators.dedup.fuzzy_dup_pairs`). Both engines run the
+    identical native levenshtein."""
+    from pincspark.functions.text import normalize_text
+    from pincspark.operators.dedup import fuzzy_dup_pairs
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(normalize_text(F.col("text")), 1, 48).alias("head")
+    )
+    return fuzzy_dup_pairs(
+        docs, "doc_id", "head", max_dist=3, prefix_len=6, max_block_size=4096
+    )
+
+
+def _q81_oracle() -> str:
+    norm = _SQL_NORM.format(c="text")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lower(trim(substring({norm}, 1, 48))) AS k FROM documents
+), ok_len AS (
+  SELECT doc_id, k, substring(k, 1, 6) AS b FROM keyed WHERE strlen(k) >= 6
+), sized AS (
+  SELECT b AS b_ok FROM ok_len GROUP BY b HAVING COUNT(*) <= 4096
+), blocked AS (
+  SELECT o.doc_id AS doc_id, o.k AS k, o.b AS b
+  FROM ok_len o JOIN sized s ON o.b = s.b_ok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+FROM blocked a JOIN blocked b
+  ON a.b = b.b AND a.doc_id < b.doc_id
+     AND abs(strlen(a.k) - strlen(b.k)) <= 3
+WHERE levenshtein(a.k, b.k) <= 3
+"""
+
+
+ORACLE_Q81 = _q81_oracle()
+
+
 ORACLE_Q77 = """
 WITH minted AS (
   SELECT doc_id,
@@ -4778,6 +4820,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q79_funnel": (q79_funnel, ORACLE_Q79),
     # new r8: weekly cohort retention over the collapsed user-week table
     "q80_cohort_retention": (q80_cohort_retention, ORACLE_Q80),
+    # new r8: edit-distance fuzzy pairs (prefix block + salted join +
+    # native levenshtein verify, identical in both engines)
+    "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
 }
 
 

@@ -446,4 +446,5 @@ def test_harness_window_composition_is_pinned():
         # merge path, merge(prefix)==rebuild(all) gate — ditto
         "q79_funnel",  # new r8: ordered funnel, single conditional agg
         "q80_cohort_retention",  # new r8: weekly cohort retention
+        "q81_fuzzy_pairs",  # new r8: edit-distance fuzzy pair join
     }
