@@ -4148,8 +4148,21 @@ def q81_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pincspark.functions.text import normalize_text
     from pincspark.operators.dedup import fuzzy_dup_pairs
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring(normalize_text(F.col("text")), 1, 48).alias("head")
+    # Spread + stage the keyed projection ONCE: the triple-regexp
+    # normalization runs over FULL document text — _spread unpins it from
+    # the single parquet split (the q61 lesson; one core was eating all
+    # 5000 docs' regex work), and the localCheckpoint stops Catalyst
+    # inlining the expression into the scan filters of all three of the
+    # operator's consumers (a-side, b-side, block census). 13.3 s ->
+    # ~1.5 s at sf0.1. Narrow (id, 48-char head) rows persist.
+    from pincspark.operators.dedup import _spread
+
+    docs = (
+        _spread(table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id", F.substring(normalize_text(F.col("text")), 1, 48).alias("head")
+        )
+        .localCheckpoint(eager=False)
     )
     return fuzzy_dup_pairs(
         docs, "doc_id", "head", max_dist=3, prefix_len=6, max_block_size=4096
