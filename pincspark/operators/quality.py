@@ -130,3 +130,60 @@ def repetition_stats(
         frac(F.col("__st")["best_c"], F.col("__nt")).alias("top_ngram_frac"),
         frac(F.col("__sd")["dup"], F.col("__nd")).alias("dup_ngram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraints (the deequ/Great-Expectations core,
+# engine-native): a constraint census is the gate a warehouse runs before
+# promoting a load. Row-local rules fold into ONE aggregation pass over the
+# table (no per-rule scans); uniqueness and referential rules are the two
+# shapes that genuinely need more than a scan (a keyed agg / an anti-join).
+# ---------------------------------------------------------------------------
+
+
+def constraint_violations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Row-local constraint census: ``checks`` maps rule name -> a boolean
+    Column that is TRUE when the row VIOLATES the rule. All rules are
+    summed in a single scan; returns (rule string, violations bigint),
+    one row per rule."""
+    aggs = [
+        F.sum(F.coalesce(c.cast("bigint"), F.lit(0))).alias(n)
+        for n, c in checks.items()
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', coalesce({n}, 0L)" for n in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack}) as (rule, violations)"
+    )
+
+
+def duplicate_key_count(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Uniqueness constraint: rows carrying a (keys...) tuple that occurs
+    more than once (every row of a duplicated tuple counts). One keyed
+    aggregation."""
+    extra = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("violations"))
+    )
+    return extra.select(F.lit("duplicate_key").alias("rule"), "violations")
+
+
+def orphan_count(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity constraint: child rows whose key has no match
+    in the parent (NULL keys are not orphans — cover them with a
+    row-local not-null rule). Plans as an anti-join; AQE broadcasts the
+    parent key column when it fits."""
+    orphans = (
+        child.filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+    )
+    return orphans.select(F.lit("orphan_key").alias("rule"), "violations")

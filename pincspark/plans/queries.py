@@ -4194,6 +4194,72 @@ WHERE levenshtein(a.k, b.k) <= 3
 ORACLE_Q81 = _q81_oracle()
 
 
+def q82_constraint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint census over lineitem (the deequ-style
+    pre-promotion gate, `pincspark.operators.quality`): five row-local
+    rules folded into ONE scan, plus the two shapes that need more — a
+    uniqueness agg on (orderkey, linenumber) and a referential anti-join
+    against orders. Output (rule, violations), one row per rule."""
+    from pincspark.operators.quality import (
+        constraint_violations,
+        duplicate_key_count,
+        orphan_count,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    rowlocal = constraint_violations(
+        li,
+        {
+            "quantity_range": ~F.col("l_quantity").between(1, 50)
+            | F.col("l_quantity").isNull(),
+            "discount_range": ~F.col("l_discount").between(0.0, 0.1)
+            | F.col("l_discount").isNull(),
+            "price_positive": (F.col("l_extendedprice") <= 0)
+            | F.col("l_extendedprice").isNull(),
+            "shipdate_null": F.col("l_shipdate").isNull(),
+            "returnflag_domain": ~F.col("l_returnflag").isin("A", "N", "R")
+            | F.col("l_returnflag").isNull(),
+        },
+    )
+    dup = duplicate_key_count(li, ["l_orderkey", "l_linenumber"])
+    orph = orphan_count(li, table(spark, sf_dir, "orders"), "l_orderkey", "o_orderkey")
+    return rowlocal.unionByName(dup).unionByName(orph)
+
+
+ORACLE_Q82 = """
+WITH rowlocal AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+             THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1
+             THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+    CAST(SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS shipdate_null,
+    CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')
+             THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain
+  FROM lineitem
+), dup AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS violations FROM (
+    SELECT COUNT(*) AS n FROM lineitem
+    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+  ) t
+), orph AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS violations
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+)
+SELECT 'quantity_range' AS rule, quantity_range AS violations FROM rowlocal
+UNION ALL SELECT 'discount_range', discount_range FROM rowlocal
+UNION ALL SELECT 'price_positive', price_positive FROM rowlocal
+UNION ALL SELECT 'shipdate_null', shipdate_null FROM rowlocal
+UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM rowlocal
+UNION ALL SELECT 'duplicate_key', violations FROM dup
+UNION ALL SELECT 'orphan_key', violations FROM orph
+"""
+
+
 ORACLE_Q77 = """
 WITH minted AS (
   SELECT doc_id,
@@ -4836,6 +4902,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: edit-distance fuzzy pairs (prefix block + salted join +
     # native levenshtein verify, identical in both engines)
     "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
+    # new r8: data-quality constraint census (one-scan row-local rules +
+    # uniqueness agg + referential anti-join)
+    "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
 }
 
 

@@ -447,4 +447,5 @@ def test_harness_window_composition_is_pinned():
         "q79_funnel",  # new r8: ordered funnel, single conditional agg
         "q80_cohort_retention",  # new r8: weekly cohort retention
         "q81_fuzzy_pairs",  # new r8: edit-distance fuzzy pair join
+        "q82_constraint_census",  # new r8: data-quality constraint census
     }
