@@ -261,3 +261,25 @@ def compact_parquet(
         "files_after": len(after),
         "bytes_after": sum(b for _, b in after),
     }
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Idempotent partition backfill: (re)write exactly the hive
+    partitions PRESENT IN ``df``, leaving every other partition of the
+    table untouched — Spark's dynamic partition-overwrite mode, scoped
+    here so the session-level setting can't leak (static mode would
+    silently TRUNCATE the whole table; that mode flip is the classic
+    backfill footgun). Re-running the same backfill is a no-op
+    rewrite — the idempotence that makes retry-on-failure safe at a
+    100 TB table where a full rewrite is not."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -139,3 +139,33 @@ def test_compact_parquet_sorted_gives_disjoint_file_ranges(spark, tmp_path):
     spans = sorted((r["mn"], r["mx"]) for r in ranges)
     for (_, mx_prev), (mn_next, _) in zip(spans, spans[1:]):
         assert mx_prev < mn_next, spans
+
+
+def test_backfill_partitions_touches_only_present_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting day 2 leaves days 1 and 3
+    byte-untouched; re-running the same backfill is idempotent."""
+    import os
+
+    from pincspark.operators.layout import backfill_partitions
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(d, i, f"v{d}{i}") for d in (1, 2, 3) for i in range(5)],
+        "day int, id int, v string",
+    )
+    backfill_partitions(full, path, ["day"])
+
+    def mtimes(day):
+        p = os.path.join(path, f"day={day}")
+        return {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+
+    before1, before3 = mtimes(1), mtimes(3)
+    fix = spark.createDataFrame([(2, i, f"FIXED{i}") for i in range(5)],
+                                "day int, id int, v string")
+    backfill_partitions(fix, path, ["day"])
+    assert mtimes(1) == before1 and mtimes(3) == before3  # untouched files
+    got = spark.read.parquet(path)
+    assert got.filter("day = 2").filter("v like 'FIXED%'").count() == 5
+    assert got.count() == 15
+    # the session setting must not leak
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
