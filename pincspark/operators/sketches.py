@@ -52,17 +52,26 @@ def kmv_sketch(
     group_cols: list[str],
     value_col: str,
     k: int = 256,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Per-group KMV sketch: the k smallest distinct value hashes ->
     (group_cols..., h bigint, rn int). This is the table a pipeline
-    persists; feed it to :func:`kmv_estimate` or :func:`kmv_merge`."""
+    persists; feed it to :func:`kmv_estimate` or :func:`kmv_merge`.
+
+    ``with_counts=True`` additionally carries ``cnt`` = the number of
+    rows holding each sampled value (the AKMV/counted variant), which is
+    what :func:`kmv_join_size` needs for join-cardinality estimates."""
     # NULL values carry no cardinality; dropping them also sidesteps the
     # engines' opposite NULL-ordering defaults in the rank window.
-    hashed = (
-        df.select(*group_cols, _value_hash(F.col(value_col)).alias("h"))
-        .filter(F.col("h").isNotNull())
-        .distinct()
-    )
+    hashed = df.select(
+        *group_cols, _value_hash(F.col(value_col)).alias("h")
+    ).filter(F.col("h").isNotNull())
+    if with_counts:
+        hashed = hashed.groupBy(*group_cols, "h").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+    else:
+        hashed = hashed.distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         hashed.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -196,6 +205,71 @@ def kmv_set_ops(
         ),
         F.expr("inter_in_k * 1000000 div n_kept").cast("bigint").alias(
             "jaccard_ppm"
+        ),
+    )
+
+
+def kmv_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two counted KMV sketches alone
+    (the optimizer-statistics use of AKMV synopses, Beyer et al. 2007):
+    both inputs must come from :func:`kmv_sketch` with
+    ``with_counts=True`` and the same ``k``. The union's k-mins are a
+    uniform sample of the union's distinct keys with inclusion fraction
+    n_kept / D_union, so
+
+        |A JOIN B|  ~=  sum_{h in kept, in both} cnt_a(h) * cnt_b(h)
+                        * est_union / n_kept
+
+    — the same BIGINT scaling shape as q76's intersection estimate, and
+    exact when the union kept fewer than k hashes. Returns
+    (group_cols..., n_kept, kth_hash, est_union, pair_sum,
+    est_join_size), one row per group present in either sketch.
+    """
+    ha = sketch_a.select(
+        *group_cols, "h", F.col("cnt").alias("ca"), F.lit(0).cast("bigint").alias("cb")
+    )
+    hb = sketch_b.select(
+        *group_cols, "h", F.lit(0).cast("bigint").alias("ca"), F.col("cnt").alias("cb")
+    )
+    u = (
+        ha.unionByName(hb)
+        .groupBy(*group_cols, "h")
+        .agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    )
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("h")
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+    kept = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    num = (k - 1) * (1 << _EST_NUM_SHIFT)
+    agg = kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("pair_sum"),
+    )
+    est_union = (
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(
+                f"CAST({num} AS BIGINT) div "
+                f"greatest(kth_hash div {1 << _EST_DEN_SHIFT}, CAST(1 AS BIGINT))"
+            )
+        )
+        .cast("bigint")
+    )
+    return agg.withColumn("est_union", est_union).select(
+        *group_cols,
+        "n_kept",
+        "kth_hash",
+        "est_union",
+        "pair_sum",
+        F.expr("pair_sum * est_union div n_kept").cast("bigint").alias(
+            "est_join_size"
         ),
     )
 

@@ -3963,6 +3963,81 @@ FROM est
 ORACLE_Q76 = _q76_oracle()
 
 
+def q83_kmv_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from counted KMV sketches alone (the
+    optimizer-statistics use): per return flag, the size of
+    (pre-1998H2 lineitem) JOIN (post) ON l_partkey, estimated from two
+    k=64 sketches without performing the join —
+    `pincspark.operators.sketches.kmv_join_size`."""
+    from pincspark.operators.sketches import kmv_join_size, kmv_sketch
+
+    li = table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-07-01").cast("timestamp")
+    a = kmv_sketch(
+        li.filter(F.col("l_shipdate") < cut),
+        ["l_returnflag"], "l_partkey", k=64, with_counts=True,
+    )
+    b = kmv_sketch(
+        li.filter(F.col("l_shipdate") >= cut),
+        ["l_returnflag"], "l_partkey", k=64, with_counts=True,
+    )
+    return kmv_join_size(a, b, ["l_returnflag"], k=64)
+
+
+def _q83_oracle() -> str:
+    k = 64
+    num = (k - 1) * (1 << 40)
+    den = 1 << 20
+    side = (
+        "SELECT l_returnflag AS grp, "
+        "CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM lineitem WHERE l_partkey IS NOT NULL AND l_shipdate {cmp} TIMESTAMP '1998-07-01' "
+        "GROUP BY grp, h"
+    )
+    return f"""
+WITH ca AS ({side.format(cmp='<')}),
+ra AS (
+  SELECT grp, h, cnt, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM ca
+), ska AS (
+  SELECT grp, h, cnt FROM ra WHERE rn <= {k}
+), cb AS ({side.format(cmp='>=')}),
+rb AS (
+  SELECT grp, h, cnt, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM cb
+), skb AS (
+  SELECT grp, h, cnt FROM rb WHERE rn <= {k}
+), tagged AS (
+  SELECT grp, h, cnt AS ca, CAST(0 AS BIGINT) AS cb FROM ska
+  UNION ALL
+  SELECT grp, h, CAST(0 AS BIGINT) AS ca, cnt AS cb FROM skb
+), u AS (
+  SELECT grp, h, MAX(ca) AS ca, MAX(cb) AS cb FROM tagged GROUP BY grp, h
+), ranked AS (
+  SELECT grp, h, ca, cb, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM u
+), kept AS (
+  SELECT grp, h, ca, cb FROM ranked WHERE rn <= {k}
+), agg AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth_hash,
+         CAST(SUM(ca * cb) AS BIGINT) AS pair_sum
+  FROM kept GROUP BY grp
+), est AS (
+  SELECT *,
+         CAST(CASE WHEN n_kept < {k} THEN n_kept
+              ELSE CAST({num} AS BIGINT) // greatest(kth_hash // {den}, CAST(1 AS BIGINT))
+              END AS BIGINT) AS est_union
+  FROM agg
+)
+SELECT grp AS l_returnflag, n_kept, kth_hash, est_union, pair_sum,
+       CAST(pair_sum * est_union // n_kept AS BIGINT) AS est_join_size
+FROM est
+"""
+
+
+ORACLE_Q83 = _q83_oracle()
+
+
 def q77_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + domain blocklist (the CCNet/RefinedWeb
     curation step that keys web-scale URL dedup): mint a deliberately
@@ -4905,6 +4980,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: data-quality constraint census (one-scan row-local rules +
     # uniqueness agg + referential anti-join)
     "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
+    # new r8: join-cardinality estimation from counted KMV sketches
+    "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
 }
 
 

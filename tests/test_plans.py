@@ -448,4 +448,5 @@ def test_harness_window_composition_is_pinned():
         "q80_cohort_retention",  # new r8: weekly cohort retention
         "q81_fuzzy_pairs",  # new r8: edit-distance fuzzy pair join
         "q82_constraint_census",  # new r8: data-quality constraint census
+        "q83_kmv_join_size",  # new r8: AKMV join-cardinality estimate
     }

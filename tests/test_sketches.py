@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pincspark.operators.sketches import (
     kmv_estimate,
     kmv_merge,
+    kmv_join_size,
     kmv_set_ops,
     kmv_sketch,
     kmv_update,
@@ -154,3 +155,41 @@ def test_duplicates_and_nulls_ignored(spark):
     df = spark.createDataFrame(rows, "grp string, val string")
     est = kmv_estimate(kmv_sketch(df, ["grp"], "val", k=8), ["grp"], k=8).collect()
     assert est[0]["n_kept"] == 2 and est[0]["est_distinct"] == 2
+
+
+def test_counted_sketch_join_size_exact_under_k(spark):
+    """Union kept < k: est_join_size is the exact join cardinality."""
+    a = spark.createDataFrame(
+        [("g", "x")] * 3 + [("g", "y")] * 2 + [("g", "a")], "grp string, val string"
+    )
+    b = spark.createDataFrame(
+        [("g", "x")] * 4 + [("g", "y")] * 5 + [("g", "b")], "grp string, val string"
+    )
+    out = kmv_join_size(
+        kmv_sketch(a, ["grp"], "val", k=64, with_counts=True),
+        kmv_sketch(b, ["grp"], "val", k=64, with_counts=True),
+        ["grp"],
+        k=64,
+    ).collect()[0]
+    # exact: 3*4 (x) + 2*5 (y) = 22
+    assert out["pair_sum"] == 22 and out["est_join_size"] == 22
+    assert out["n_kept"] == 4  # x, y, a, b
+
+
+def test_counted_sketch_join_size_estimator_accuracy(spark):
+    """5000 shared keys with counts 2 and 3: true join size 30000;
+    k=256 estimate within a few standard errors (deterministic)."""
+    a_rows = [("g", f"s:{v}") for v in range(5000) for _ in range(2)]
+    b_rows = [("g", f"s:{v}") for v in range(5000) for _ in range(3)] + [
+        ("g", f"b:{v}") for v in range(5000)
+    ]
+    a = spark.createDataFrame(a_rows, "grp string, val string")
+    b = spark.createDataFrame(b_rows, "grp string, val string")
+    out = kmv_join_size(
+        kmv_sketch(a, ["grp"], "val", k=256, with_counts=True),
+        kmv_sketch(b, ["grp"], "val", k=256, with_counts=True),
+        ["grp"],
+        k=256,
+    ).collect()[0]
+    assert out["n_kept"] == 256
+    assert abs(out["est_join_size"] - 30000) / 30000 < 0.35, out
