@@ -209,6 +209,55 @@ def kmv_set_ops(
     )
 
 
+def bottomk_row_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    carry_cols: list[str],
+    k: int = 128,
+) -> DataFrame:
+    """Per-group uniform row sample as a PERSISTABLE, MERGEABLE sketch:
+    the k rows whose ``md5(id)`` 60-bit prefixes are smallest (bottom-k
+    sampling). Merging two samples = re-ranking their union's k smallest
+    row hashes — exactly the KMV merge identity, so daily samples fold
+    without rescanning history. ``id_col`` must be row-unique; NULL ids
+    are dropped. Returns (group_cols..., h, rn, carry_cols...)."""
+    hashed = df.select(
+        *group_cols, _value_hash(F.col(id_col)).alias("h"), *carry_cols
+    ).filter(F.col("h").isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Quantile estimates from a :func:`bottomk_row_sample`: for each
+    probability p the sample element at rank max(1, ceil(p * n)) under
+    the deterministic order (value, h) — the h tie-break makes the read
+    reproducible in any engine, and the emitted number is a verbatim
+    data value (no interpolation arithmetic to drift across engines).
+    Rank error is O(1/sqrt(k)) of the population. Returns
+    (group_cols..., prob double, q <value type>)."""
+    w = Window.partitionBy(*group_cols).orderBy(value_col, "h")
+    ranked = sample.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    picks = None
+    for p in probs:
+        sel = ranked.filter(
+            F.col("__r") == F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("__n")))
+        ).select(*group_cols, F.lit(p).alias("prob"), F.col(value_col).alias("q"))
+        picks = sel if picks is None else picks.unionByName(sel)
+    return picks
+
+
 def kmv_join_size(
     sketch_a: DataFrame,
     sketch_b: DataFrame,

@@ -4038,6 +4038,52 @@ FROM est
 ORACLE_Q83 = _q83_oracle()
 
 
+def q84_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable bottom-k row sample (the sketch-family
+    answer to percentiles): per event_type, p50/p90/p99 of `value` read
+    from a k=128 bottom-k sample at deterministic ranks — verbatim data
+    values, so nothing interpolates or drifts across engines.
+    `pincspark.operators.sketches.bottomk_row_sample/sample_quantiles`."""
+    from pincspark.operators.sketches import bottomk_row_sample, sample_quantiles
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    )
+    s = bottomk_row_sample(ev, ["event_type"], "event_id", ["value"], k=128)
+    return sample_quantiles(s, ["event_type"], "value", [0.5, 0.9, 0.99])
+
+
+def _q84_oracle() -> str:
+    k = 128
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         value
+  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+), ranked AS (
+  SELECT event_type, h, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), sample AS (
+  SELECT event_type, h, value FROM ranked WHERE rn <= {k}
+), ordered AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, h) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM sample
+), probs AS (
+  SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(prob)
+)
+SELECT o.event_type, CAST(p.prob AS DOUBLE) AS prob, o.value AS q
+FROM ordered o JOIN probs p
+  ON o.r = greatest(1, CAST(ceil(p.prob * o.n) AS BIGINT))
+"""
+
+
+ORACLE_Q84 = _q84_oracle()
+
+
 def q77_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + domain blocklist (the CCNet/RefinedWeb
     curation step that keys web-scale URL dedup): mint a deliberately
@@ -4982,6 +5028,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
     # new r8: join-cardinality estimation from counted KMV sketches
     "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
+    # new r8: quantiles from a mergeable bottom-k row sample
+    "q84_sample_quantiles": (q84_sample_quantiles, ORACLE_Q84),
 }
 
 

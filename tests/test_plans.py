@@ -449,4 +449,5 @@ def test_harness_window_composition_is_pinned():
         "q81_fuzzy_pairs",  # new r8: edit-distance fuzzy pair join
         "q82_constraint_census",  # new r8: data-quality constraint census
         "q83_kmv_join_size",  # new r8: AKMV join-cardinality estimate
+        "q84_sample_quantiles",  # new r8: bottom-k sample quantiles
     }
