@@ -94,3 +94,33 @@ def dedupe_stream(
             list(keys)
         )
     return df.dropDuplicates(list(keys))
+
+
+def interval_join_stream(
+    left,
+    right,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked stream-stream inner join: match right-stream rows to
+    left-stream rows on ``key`` when the right event lands within
+    [left_ts, left_ts + within] — the click-to-view / ack-to-request
+    correlation shape. Both sides carry watermarks so Spark can BOUND
+    the join state: a buffered left row is dropped once the right
+    watermark passes its interval end (without watermarks a
+    stream-stream join's state grows forever — the 100-TB failure mode).
+    Degrades to the identical expression on batch frames (tested
+    stream == batch)."""
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")

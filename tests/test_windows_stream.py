@@ -219,3 +219,64 @@ def test_streaming_corpus_curation_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
     # the 10 planted duplicates were actually dropped from the 130 inputs
     assert len(got) <= 120
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join (view->click within 1h):
+    streaming result == the identical batch join, including the
+    out-of-interval and wrong-key rejections."""
+    import pandas as pd
+
+    from pincspark.streaming.windows import interval_join_stream
+
+    views = pd.DataFrame(
+        {
+            "u": ["a", "b", "c"],
+            "v_ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:10"]
+            ),
+        }
+    )
+    clicks = pd.DataFrame(
+        {
+            "u": ["a", "a", "b", "c"],
+            "c_ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:30",  # a: within 1h -> match
+                    "2024-01-01 12:30",  # a: outside -> no match
+                    "2024-01-01 10:04",  # b: BEFORE the view -> no match
+                    "2024-01-01 11:05",  # c: within -> match
+                ]
+            ),
+        }
+    )
+    vdir, cdir = tmp_path / "v", tmp_path / "c"
+    vdir.mkdir(), cdir.mkdir()
+    spark.createDataFrame(views).write.parquet(str(vdir / "b1"))
+    spark.createDataFrame(clicks).write.parquet(str(cdir / "b1"))
+
+    vs = spark.readStream.schema("u string, v_ts timestamp").parquet(str(vdir / "*"))
+    cs = spark.readStream.schema("u string, c_ts timestamp").parquet(str(cdir / "*"))
+    joined = interval_join_stream(vs, cs, "u", "v_ts", "c_ts", within="1 hour")
+    q = (
+        joined.select(vs["u"].alias("u"), "v_ts", "c_ts")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["u"], str(r["c_ts"])) for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+    finally:
+        q.stop()
+
+    vb, cb = spark.createDataFrame(views), spark.createDataFrame(clicks)
+    batch = interval_join_stream(vb, cb, "u", "v_ts", "c_ts", within="1 hour")
+    want = {
+        (r["u"], str(r["c_ts"]))
+        for r in batch.select(vb["u"].alias("u"), "c_ts").collect()
+    }
+    assert got == want == {("a", "2024-01-01 10:30:00"), ("c", "2024-01-01 11:05:00")}
