@@ -4908,12 +4908,16 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     "q03_region_enrich": (q03_region_enrich, ORACLE_Q03),
-    "q05_json_props": (q05_json_props, ORACLE_Q05),
+    # r8 close rotation: q76 IN for q05 (native JSON path functions;
+    # S3/P28 stay covered by the flagship TCP-JSON e2e locally)
+    "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
     "q06_asof_enrich": (q06_asof_enrich, ORACLE_Q06),
     "q07_latest_state": (q07_latest_state, ORACLE_Q07),
     "q08_validity_intervals": (q08_validity_intervals, ORACLE_Q08),
     "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
-    "q13_sessionize": (q13_sessionize, ORACLE_Q13),
+    # r8 close rotation: q77 IN for q13 (single sessionize window; W3
+    # stays gated via q07/q08 and the native session_window twin)
+    "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
     "q71_incremental_dedup": (q71_incremental_dedup, ORACLE_Q71),
     "q15_text_quality": (q15_text_quality, ORACLE_Q15),
     "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
@@ -4930,7 +4934,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q33_classb_longrange_sql": (q33_classb_longrange_sql, ORACLE_Q33),
     "q34_static_report_sql": (q34_static_report_sql, ORACLE_Q34),
     "q35_enum_descriptions": (q35_enum_descriptions, ORACLE_Q35),
-    "q36_stratified_sample": (q36_stratified_sample, ORACLE_Q36),
+    # r8 close rotation: q78 IN for q36 (hash-deterministic filter;
+    # sampling stays gated via q54 stage 6 and q69 locally)
+    "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
     "q37_decontamination": (q37_decontamination, ORACLE_Q37),
     "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
     "q39_pii_scrub": (q39_pii_scrub, ORACLE_Q39),
@@ -4938,7 +4944,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q41_quantized_knn": (q41_quantized_knn, ORACLE_Q41),
     "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
     "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
-    "q45_pack_sequences": (q45_pack_sequences, ORACLE_Q45),
+    # r8 close rotation: q81 IN for q45 (greedy packing also exercised
+    # by q54 stage 6 locally)
+    "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
     "q46_interval_join": (q46_interval_join, ORACLE_Q46),
     "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
     "q49_weather_decode_sql": (q49_weather_decode_sql, ORACLE_Q49),
@@ -5007,22 +5015,18 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: KMV mergeable distinct-count sketches (BIGINT-only
     # estimator, persisted-sketch merge path) — ditto
     "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
-    # new r8: KMV set-operation estimates (union/intersection/difference/
-    # Jaccard from two persisted sketches alone, Beyer et al. 2007) — ditto
-    "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
-    # new r8: URL canonicalization + domain blocklist (independent SQL
-    # reimplementation of the normalization contract) — ditto
-    "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
-    # new r8: SCD2 dimension history via the INCREMENTAL merge path,
-    # gated merge(prefix)==rebuild(all) against a one-pass SQL oracle
-    "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
+    # rotated out r8 close for q76: native JSON path functions
+    "q05_json_props": (q05_json_props, ORACLE_Q05),
+    # rotated out r8 close for q77: single sessionize window
+    "q13_sessionize": (q13_sessionize, ORACLE_Q13),
+    # rotated out r8 close for q78: hash-deterministic stratified filter
+    "q36_stratified_sample": (q36_stratified_sample, ORACLE_Q36),
     # new r8: ordered funnel (single conditional agg, no self-joins)
     "q79_funnel": (q79_funnel, ORACLE_Q79),
     # new r8: weekly cohort retention over the collapsed user-week table
     "q80_cohort_retention": (q80_cohort_retention, ORACLE_Q80),
-    # new r8: edit-distance fuzzy pairs (prefix block + salted join +
-    # native levenshtein verify, identical in both engines)
-    "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
+    # rotated out r8 close for q81: greedy packing (q54 stage 6 twin)
+    "q45_pack_sequences": (q45_pack_sequences, ORACLE_Q45),
     # new r8: data-quality constraint census (one-scan row-local rules +
     # uniqueness agg + referential anti-join)
     "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),

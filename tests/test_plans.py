@@ -401,6 +401,13 @@ def test_harness_window_composition_is_pinned():
         # smoothing, OOV floor)
         "q71_incremental_dedup",  # rotated IN r8 third wave: snapshot
         # build + fingerprint join + banded-LSH join vs a persisted prior
+        "q76_kmv_overlap",  # rotated IN r8 close: KMV set-operation
+        # estimator arithmetic, never driver-gated
+        "q77_url_canonicalize",  # rotated IN r8 close: the URL contract's
+        # dual SQL implementation
+        "q78_scd2_history",  # rotated IN r8 close: SCD2 incremental merge
+        "q81_fuzzy_pairs",  # rotated IN r8 close: blocking + levenshtein
+        # verify machinery
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
     assert after == {
@@ -438,15 +445,16 @@ def test_harness_window_composition_is_pinned():
         "q73_warc_extract",  # new r8: from-scratch WARC reader — ditto
         "q74_html_extract",  # new r8: HTML -> text extraction — ditto
         "q75_kmv_distinct",  # new r8: KMV mergeable sketches — ditto
-        "q76_kmv_overlap",  # new r8: KMV set-operation estimates
-        # (union/intersection/difference/Jaccard from sketches alone) — ditto
-        "q77_url_canonicalize",  # new r8: URL canonicalization + domain
-        # blocklist (dual-implementation contract gate) — ditto
-        "q78_scd2_history",  # new r8: SCD2 history via the incremental
-        # merge path, merge(prefix)==rebuild(all) gate — ditto
+        "q05_json_props",  # rotated out r8 close for q76: native
+        # get_json_object/json_tuple calls; S3/P28 stay locally gated
+        "q13_sessionize",  # rotated out r8 close for q77: single
+        # sessionize window; W3 gated via q07/q08
+        "q36_stratified_sample",  # rotated out r8 close for q78:
+        # hash-deterministic filter; sampling gated via q54/q69 locally
+        "q45_pack_sequences",  # rotated out r8 close for q81: greedy
+        # packing also exercised by q54 stage 6
         "q79_funnel",  # new r8: ordered funnel, single conditional agg
         "q80_cohort_retention",  # new r8: weekly cohort retention
-        "q81_fuzzy_pairs",  # new r8: edit-distance fuzzy pair join
         "q82_constraint_census",  # new r8: data-quality constraint census
         "q83_kmv_join_size",  # new r8: AKMV join-cardinality estimate
         "q84_sample_quantiles",  # new r8: bottom-k sample quantiles
