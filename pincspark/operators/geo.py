@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _ZONES_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "tss_zones.json")
@@ -188,5 +188,62 @@ def zone_occupancy(
         .agg(
             F.countDistinct(key).alias("n_vessels"),
             F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (haversine, R = 6371000): pure
+    column trig, identical expression tree on both engines. Consumers
+    that feed a HASH gate must round the result (libm sin/asin can
+    differ in the last ulp across builds — the q67 float discipline)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+
+
+def track_qc(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    lat_col: str,
+    lon_col: str,
+    max_speed_mps: int = 26,
+) -> DataFrame:
+    """AIS track quality control: per vessel in time order, the great-
+    circle hop from the previous fix and whether the implied speed is
+    physically possible (a teleporting fix is an MMSI collision or a
+    decode error — the standard AIS cleaning step the reference never
+    does, ais_analysis.py consumes positions raw). Appends
+
+    - ``dist_m``   BIGINT: rounded haversine hop (NULL on first fix)
+    - ``dt_s``     BIGINT: seconds since the previous fix
+    - ``speed_ok`` INT: 1 when dist_m <= max_speed_mps * dt_s (pure
+      BIGINT comparison on the ROUNDED distance, so the flag is exactly
+      reproducible in any engine; first fixes pass)
+
+    One window over (key, ts) — a single shuffle that AQE splits on skew;
+    (key, ts) must be unique (dedupe ties first, as q85 does)."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    pts = F.lag(ts_col).over(w)
+    dist = F.round(
+        haversine_m(plat, plon, F.col(lat_col), F.col(lon_col))
+    ).cast("bigint")
+    dt = (F.unix_timestamp(ts_col) - F.unix_timestamp(pts)).cast("bigint")
+    return (
+        df.withColumn("dist_m", dist)
+        .withColumn("dt_s", dt)
+        .withColumn(
+            "speed_ok",
+            F.when(
+                F.col("dist_m").isNull()
+                | (F.col("dist_m") <= F.lit(max_speed_mps) * F.greatest(F.col("dt_s"), F.lit(1))),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
         )
     )

@@ -4084,6 +4084,71 @@ FROM ordered o JOIN probs p
 ORACLE_Q84 = _q84_oracle()
 
 
+def q85_track_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIS track quality control (`pincspark.operators.geo.track_qc`):
+    synthetic vessel fixes (deterministic from events, the q23 pattern),
+    deduped to unique (vessel, ts), then per-vessel haversine hop,
+    time delta, and a physically-possible-speed flag. The hop rounds to
+    integer meters BEFORE the flag compares — both the meters and the
+    flag are BIGINT-stable across engines (the q67 float discipline
+    applied to trig)."""
+    from pincspark.operators.dedup import _spread
+    from pincspark.operators.geo import track_qc
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    fixes = (
+        _spread(ev, "user_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").alias("mmsi"),
+            "ts",
+            (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
+            (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
+        )
+    )
+    out = track_qc(fixes, "mmsi", "ts", "latitude", "longitude", max_speed_mps=26)
+    return out.select("mmsi", "ts", "dist_m", "dt_s", "speed_ok")
+
+
+ORACLE_Q85 = """
+WITH uniq AS (
+  SELECT user_id AS mmsi, ts,
+         100.5 + (value % 2.5) AS lon,
+         1.0 + CAST(user_id % 21 AS DOUBLE) / 10.0 AS lat
+  FROM (
+    SELECT user_id, ts, value, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events WHERE user_id IS NOT NULL
+  ) t WHERE rn = 1
+), lagged AS (
+  SELECT mmsi, ts, lat, lon,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+         LAG(ts) OVER w AS pts
+  FROM uniq WINDOW w AS (PARTITION BY mmsi ORDER BY ts)
+), hops AS (
+  SELECT mmsi, ts,
+         CAST(round(2.0 * 6371000.0 * asin(sqrt(
+           sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+           + cos(radians(plat)) * cos(radians(lat))
+             * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+         ))) AS BIGINT) AS dist_m,
+         -- date_diff counts whole-second boundaries = Spark's
+         -- unix_timestamp(ts) - unix_timestamp(pts) (epoch() keeps
+         -- fractional seconds and would round on cast)
+         CAST(date_diff('second', pts, ts) AS BIGINT) AS dt_s
+  FROM lagged
+)
+SELECT mmsi, ts, dist_m, dt_s,
+       CAST(CASE WHEN dist_m IS NULL
+                 OR dist_m <= 26 * greatest(dt_s, 1) THEN 1 ELSE 0 END AS INTEGER)
+         AS speed_ok
+FROM hops
+"""
+
+
 def q77_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + domain blocklist (the CCNet/RefinedWeb
     curation step that keys web-scale URL dedup): mint a deliberately
@@ -5034,6 +5099,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
     # new r8: quantiles from a mergeable bottom-k row sample
     "q84_sample_quantiles": (q84_sample_quantiles, ORACLE_Q84),
+    # new r8: AIS track QC (haversine hop + possible-speed flag, trig
+    # rounded to integer meters before any comparison)
+    "q85_track_qc": (q85_track_qc, ORACLE_Q85),
 }
 
 

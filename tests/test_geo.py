@@ -61,3 +61,44 @@ def test_zone_polygons_shape():
         ring = z["coordinates"]
         assert ring[0] == ring[-1], "ring must be closed"
         assert len(ring) >= 42
+
+
+def test_track_qc_flags_teleports(spark):
+    """Planted track: a 0.01-degree hop (~1.1 km) in 10 min passes at
+    26 m/s; the same hop in 10 seconds is physically impossible and is
+    flagged; the first fix always passes."""
+    from datetime import datetime
+
+    from pincspark.operators.geo import track_qc
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 1.0, 100.0),
+        (1, datetime(2024, 1, 1, 10, 10, 0), 1.0, 100.01),   # ~1.1km / 600s ok
+        (1, datetime(2024, 1, 1, 10, 10, 10), 1.0, 100.02),  # ~1.1km / 10s -> flag
+        (2, datetime(2024, 1, 1, 10, 0, 0), 1.5, 101.0),     # lone first fix
+    ]
+    df = spark.createDataFrame(rows, "mmsi int, ts timestamp, latitude double, longitude double")
+    out = {
+        (r["mmsi"], str(r["ts"])): (r["dist_m"], r["dt_s"], r["speed_ok"])
+        for r in track_qc(df, "mmsi", "ts", "latitude", "longitude").collect()
+    }
+    assert out[(1, "2024-01-01 10:00:00")] == (None, None, 1)
+    d1, t1, ok1 = out[(1, "2024-01-01 10:10:00")]
+    assert abs(d1 - 1113) < 5 and t1 == 600 and ok1 == 1
+    d2, t2, ok2 = out[(1, "2024-01-01 10:10:10")]
+    assert abs(d2 - 1113) < 5 and t2 == 10 and ok2 == 0
+    assert out[(2, "2024-01-01 10:00:00")] == (None, None, 1)
+
+
+def test_haversine_known_distance(spark):
+    """One degree of longitude at the equator is ~111.19 km."""
+    from pyspark.sql import functions as F
+
+    from pincspark.operators.geo import haversine_m
+
+    d = (
+        spark.range(1)
+        .select(haversine_m(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0)).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert abs(d - 111195) < 10
