@@ -4149,6 +4149,115 @@ FROM hops
 """
 
 
+def q86_voyage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maritime composition flagship (the AIS-domain analog of q54):
+    fixes -> track QC (impossible hops dropped) -> hops RECOMPUTED on
+    the cleaned track -> gap-based voyage segmentation (>6h = new
+    voyage) -> per-voyage distance/duration/fix-count. Two keyed window
+    passes + one aggregation, every emitted number BIGINT or timestamp
+    (hop rounding safety re-measured for the post-filter hop set:
+    nearest boundary gap 1.5e-4 m vs ~1e-7 m trig ulp)."""
+    from pincspark.operators.dedup import _spread
+    from pincspark.operators.geo import track_qc
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    fixes = (
+        _spread(ev, "user_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").alias("mmsi"),
+            "ts",
+            (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
+            (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
+        )
+    )
+    kept = (
+        track_qc(fixes, "mmsi", "ts", "latitude", "longitude", max_speed_mps=26)
+        .filter(F.col("speed_ok") == 1)
+        .select("mmsi", "ts", "latitude", "longitude")
+    )
+    clean = track_qc(kept, "mmsi", "ts", "latitude", "longitude", max_speed_mps=26)
+    is_new = (F.col("dt_s").isNull() | (F.col("dt_s") > 6 * 3600)).cast("int")
+    wv = Window.partitionBy("mmsi").orderBy("ts")
+    voyaged = clean.withColumn("__new", is_new).withColumn(
+        "voyage_id", F.sum("__new").over(wv).cast("bigint")
+    )
+    return voyaged.groupBy("mmsi", "voyage_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.sum(F.when(F.col("__new") == 0, F.col("dist_m")).otherwise(0))
+        .cast("bigint")
+        .alias("dist_m_total"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("bigint").alias("dur_s"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def _q86_oracle() -> str:
+    hav = (
+        "2.0*6371000.0*asin(sqrt("
+        " sin(radians(lat-plat)/2)*sin(radians(lat-plat)/2)"
+        " + cos(radians(plat))*cos(radians(lat))"
+        "   *sin(radians(lon-plon)/2)*sin(radians(lon-plon)/2) ))"
+    )
+    return f"""
+WITH uniq AS (
+  SELECT user_id AS mmsi, ts,
+         100.5 + (value % 2.5) AS lon,
+         1.0 + CAST(user_id % 21 AS DOUBLE) / 10.0 AS lat
+  FROM (
+    SELECT user_id, ts, value, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events WHERE user_id IS NOT NULL
+  ) t WHERE rn = 1
+), qc AS (
+  SELECT mmsi, ts, lat, lon,
+         CAST(round({hav}) AS BIGINT) AS dist_m,
+         CAST(date_diff('second', pts, ts) AS BIGINT) AS dt_s
+  FROM (
+    SELECT mmsi, ts, lat, lon,
+           LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+           LAG(ts) OVER w AS pts
+    FROM uniq WINDOW w AS (PARTITION BY mmsi ORDER BY ts)
+  )
+), kept AS (
+  SELECT mmsi, ts, lat, lon FROM qc
+  WHERE dist_m IS NULL OR dist_m <= 26 * greatest(dt_s, 1)
+), clean AS (
+  SELECT mmsi, ts,
+         CAST(round({hav}) AS BIGINT) AS dist_m,
+         CAST(date_diff('second', pts, ts) AS BIGINT) AS dt_s
+  FROM (
+    SELECT mmsi, ts, lat, lon,
+           LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+           LAG(ts) OVER w AS pts
+    FROM kept WINDOW w AS (PARTITION BY mmsi ORDER BY ts)
+  )
+), voyaged AS (
+  SELECT mmsi, ts, dist_m,
+         CASE WHEN dt_s IS NULL OR dt_s > 21600 THEN 1 ELSE 0 END AS isnew,
+         SUM(CASE WHEN dt_s IS NULL OR dt_s > 21600 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY mmsi ORDER BY ts) AS voyage_id
+  FROM clean
+)
+SELECT mmsi, CAST(voyage_id AS BIGINT) AS voyage_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fixes,
+       CAST(SUM(CASE WHEN isnew = 0 THEN dist_m ELSE 0 END) AS BIGINT)
+         AS dist_m_total,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM voyaged GROUP BY mmsi, voyage_id
+"""
+
+
+ORACLE_Q86 = _q86_oracle()
+
+
 def q77_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + domain blocklist (the CCNet/RefinedWeb
     curation step that keys web-scale URL dedup): mint a deliberately
@@ -5102,6 +5211,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # new r8: AIS track QC (haversine hop + possible-speed flag, trig
     # rounded to integer meters before any comparison)
     "q85_track_qc": (q85_track_qc, ORACLE_Q85),
+    # new r8: the maritime composition flagship — QC -> re-hop ->
+    # voyage segmentation -> per-voyage distance/duration
+    "q86_voyage_stats": (q86_voyage_stats, ORACLE_Q86),
 }
 
 

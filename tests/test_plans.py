@@ -459,4 +459,5 @@ def test_harness_window_composition_is_pinned():
         "q83_kmv_join_size",  # new r8: AKMV join-cardinality estimate
         "q84_sample_quantiles",  # new r8: bottom-k sample quantiles
         "q85_track_qc",  # new r8: AIS track QC (haversine + speed flag)
+        "q86_voyage_stats",  # new r8: voyage segmentation composition
     }
