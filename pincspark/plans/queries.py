@@ -5078,56 +5078,76 @@ ORACLE_Q50 = _q50_oracle()
 #     q16 gated is exactly what q67's LM tokenizes with, and token-array
 #     work stays in-window via q45's packing too).
 
+# r9 rotation — RETIRE THE GATE DEBT (VERDICT r8 #1): the 14 catalog
+# queries that have never had a driver row (the whole KMV/AKMV sketch
+# tier, Bloom decontam, WARC/HTML ingest, DSIR/temperature/Z-order,
+# funnel/cohort, constraint census, track QC, voyage stats) all rotate
+# IN this round, so that by r9 close EVERY catalog query has >= 1 green
+# driver row (union across the committed CORRECTNESS_r* history — now
+# pinned by tests/test_plans.py::test_no_query_stays_driver_ungated).
+# The 14 rotating OUT all carry a green r8 row and are the lowest-risk
+# in-window shapes; each stays gated through a surviving subsumer:
+#   q02_segment_revenue  -> native groupBy+join agg; the TPC-H shapes
+#                           stay in-window via q01 (flagship) + q03
+#   q07_latest_state     -> row_number latest-per-key (W2); the same
+#                           keyed window builds q78's SCD2 current rows
+#                           and q71's snapshot state, both in-window
+#   q08_validity_intervals -> lead() validity windows (W1); q78's SCD2
+#                           valid_from/valid_to build is the identical
+#                           window, in-window
+#   q15_text_quality     -> native HOF ratios; the quality stage runs
+#                           in-window as q54 stage 1 (score >= 0.6 gate)
+#   q25_hourly_windows   -> native time-window agg; event-time/watermark
+#                           (ST6) stays pinned by the streaming suite,
+#                           and windowed time bucketing rides in-window
+#                           via q80's cohort weeks
+#   q28_rolling_fingerprints -> rolling-hash HOF; content fingerprinting
+#                           stays in-window via q59/q64 span hashes and
+#                           q71's exact-fingerprint branch
+#   q35_enum_descriptions -> 8 broadcast joins over literal enum tables;
+#                           golden-tested locally (test_enums.py), and
+#                           broadcast enrichment (J3/J4) stays in-window
+#                           via q03
+#   q39_pii_scrub        -> native regexp_replace chain, locally pinned
+#   q40_vocab_bpe_pairs  -> pair explode + top-k; BPE train stays
+#                           golden-pinned locally, two-phase top-k stays
+#                           in-window via q51/q52/q55/q62
+#   q41_quantized_knn    -> int8-quantized brute knn; the ANN family
+#                           keeps three in-window gates (q51/q52/q62)
+#                           plus q55's cosine phase
+#   q46_interval_join    -> native range-join predicates; interval
+#                           semantics stay in-window via q78 (SCD2
+#                           as-of containment) and q86 (voyage spans)
+#   q48_bm25_scores      -> q55 (in-window) computes the same BM25 over
+#                           the same terms as its lexical phase
+#   q53_lsh_verify       -> q54 (in-window) runs the identical
+#                           LSH-propose -> exact-Jaccard-verify chain as
+#                           stages 3-4 over the staged shingle arrays
+#   q76_kmv_overlap      -> the KMV estimator core gains three FRESH
+#                           in-window gates this round (q75 distinct /
+#                           q83 join-size / q84 quantiles); overlap
+#                           arithmetic stays parity-tested locally
+
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
-    "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     "q03_region_enrich": (q03_region_enrich, ORACLE_Q03),
-    # r8 close rotation: q76 IN for q05 (native JSON path functions;
-    # S3/P28 stay covered by the flagship TCP-JSON e2e locally)
-    "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
     "q06_asof_enrich": (q06_asof_enrich, ORACLE_Q06),
-    "q07_latest_state": (q07_latest_state, ORACLE_Q07),
-    "q08_validity_intervals": (q08_validity_intervals, ORACLE_Q08),
-    "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
-    # r8 close rotation: q77 IN for q13 (single sessionize window; W3
-    # stays gated via q07/q08 and the native session_window twin)
-    "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
-    "q71_incremental_dedup": (q71_incremental_dedup, ORACLE_Q71),
-    "q15_text_quality": (q15_text_quality, ORACLE_Q15),
-    "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
     "q17_lang_id": (q17_lang_id, ORACLE_Q17),
-    "q66_semantic_dedup": (q66_semantic_dedup, ORACLE_Q66),
-    "q62_ivf_index_topk": (q62_ivf_index_topk, ORACLE_Q22),
     "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
-    "q25_hourly_windows": (q25_hourly_windows, ORACLE_Q25),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
-    "q28_rolling_fingerprints": (q28_rolling_fingerprints, ORACLE_Q28),
     "q31_position_decode_sql": (q31_position_decode_sql, ORACLE_Q31),
     "q32_static_voyage_sql": (q32_static_voyage_sql, ORACLE_Q32),
     "q33_classb_longrange_sql": (q33_classb_longrange_sql, ORACLE_Q33),
     "q34_static_report_sql": (q34_static_report_sql, ORACLE_Q34),
-    "q35_enum_descriptions": (q35_enum_descriptions, ORACLE_Q35),
-    # r8 close rotation: q78 IN for q36 (hash-deterministic filter;
-    # sampling stays gated via q54 stage 6 and q69 locally)
-    "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
     "q37_decontamination": (q37_decontamination, ORACLE_Q37),
     "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
-    "q39_pii_scrub": (q39_pii_scrub, ORACLE_Q39),
-    "q40_vocab_bpe_pairs": (q40_vocab_bpe_pairs, ORACLE_Q40),
-    "q41_quantized_knn": (q41_quantized_knn, ORACLE_Q41),
     "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
     "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
-    # r8 close rotation: q81 IN for q45 (greedy packing also exercised
-    # by q54 stage 6 locally)
-    "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
-    "q46_interval_join": (q46_interval_join, ORACLE_Q46),
-    "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
     "q49_weather_decode_sql": (q49_weather_decode_sql, ORACLE_Q49),
     "q50_type6_egress": (q50_type6_egress, ORACLE_Q50),
     "q51_pq_topk": (q51_pq_topk, ORACLE_Q51),
     "q52_ivfpq_topk": (q52_ivfpq_topk, ORACLE_Q52),
-    "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
     "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
     "q55_hybrid_retrieval": (q55_hybrid_retrieval, ORACLE_Q55),
     "q57_png_decode": (q57_png_decode, ORACLE_Q57),
@@ -5135,85 +5155,71 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q59_dup_spans": (q59_dup_spans, ORACLE_Q59),
     "q60_jpeg_decode": (q60_jpeg_decode, ORACLE_Q60),
     "q61_flac_decode": (q61_flac_decode, ORACLE_Q61),
+    "q62_ivf_index_topk": (q62_ivf_index_topk, ORACLE_Q22),
     "q63_webp_decode": (q63_webp_decode, ORACLE_Q57),
     "q64_span_removal": (q64_span_removal, ORACLE_Q64),
-    # --- demoted past the 50-query harness window (see note above) ---
+    "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
+    "q66_semantic_dedup": (q66_semantic_dedup, ORACLE_Q66),
+    "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
+    "q71_incremental_dedup": (q71_incremental_dedup, ORACLE_Q71),
+    "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
+    "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
+    "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
+    # --- r9 gate-debt retirement: the 14 never-driver-gated rows ---
+    "q68_dsir_weights": (q68_dsir_weights, ORACLE_Q68),
+    "q69_temperature_sample": (q69_temperature_sample, ORACLE_Q69),
+    "q70_zorder_layout": (q70_zorder_layout, ORACLE_Q70),
+    "q72_bloom_decontam": (q72_bloom_decontam, ORACLE_Q72),
+    "q73_warc_extract": (q73_warc_extract, ORACLE_Q73),
+    "q74_html_extract": (q74_html_extract, ORACLE_Q74),
+    "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
+    "q79_funnel": (q79_funnel, ORACLE_Q79),
+    "q80_cohort_retention": (q80_cohort_retention, ORACLE_Q80),
+    "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
+    "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
+    "q84_sample_quantiles": (q84_sample_quantiles, ORACLE_Q84),
+    "q85_track_qc": (q85_track_qc, ORACLE_Q85),
+    "q86_voyage_stats": (q86_voyage_stats, ORACLE_Q86),
+    # --- demoted past the 50-query harness window (see r9 note above;
+    # every query below this line has >= 1 green driver row in the
+    # committed CORRECTNESS_r* history and stays parity-tested over the
+    # FULL catalog by tests/test_oracle_parity.py) ---
+    "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     "q04_event_route": (q04_event_route, ORACLE_Q04),
-    "q56_media_decode": (q56_media_decode, ORACLE_Q56),
-    "q22_ivf_topk": (q22_ivf_topk, ORACLE_Q22),
-    "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
-    "q26_approx_distinct": (q26_approx_distinct, ORACLE_Q26),
+    "q05_json_props": (q05_json_props, ORACLE_Q05),
+    "q07_latest_state": (q07_latest_state, ORACLE_Q07),
+    "q08_validity_intervals": (q08_validity_intervals, ORACLE_Q08),
+    "q09_union_normalize": (q09_union_normalize, ORACLE_Q09),
     "q10_distinct_users": (q10_distinct_users, ORACLE_Q10),
     "q11_running_spend": (q11_running_spend, ORACLE_Q11),
     "q12_top_spenders": (q12_top_spenders, ORACLE_Q12),
+    "q13_sessionize": (q13_sessionize, ORACLE_Q13),
+    "q14_dedup_exact": (q14_dedup_exact, ORACLE_Q14),
+    "q15_text_quality": (q15_text_quality, ORACLE_Q15),
+    "q16_token_stats": (q16_token_stats, ORACLE_Q16),
+    "q18_knn_cosine": (q18_knn_cosine, ORACLE_Q18),
+    "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
     "q20_ngram_jaccard": (q20_ngram_jaccard, ORACLE_Q20),
     "q21_simhash": (q21_simhash, ORACLE_Q21),
+    "q22_ivf_topk": (q22_ivf_topk, ORACLE_Q22),
+    "q25_hourly_windows": (q25_hourly_windows, ORACLE_Q25),
+    "q26_approx_distinct": (q26_approx_distinct, ORACLE_Q26),
+    "q28_rolling_fingerprints": (q28_rolling_fingerprints, ORACLE_Q28),
     "q29_rollup_summary": (q29_rollup_summary, ORACLE_Q29),
     "q30_pivot_status": (q30_pivot_status, ORACLE_Q30),
-    "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
-    "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
-    # rotated out r8 second wave for q65 (TIFF codec): union of two scans
-    # is a single native unionByName; P24 schema normalization stays
-    # in-window via q50's 37-col egress, and §2.7's union semantics stay
-    # locally parity-tested here
-    "q09_union_normalize": (q09_union_normalize, ORACLE_Q09),
-    # rotated out r8 second wave for q66 (SemDeDup): brute-force cosine
-    # top-k is native HOF arithmetic + the same two-phase top-k window as
-    # in-window q40; the ANN family stays gated by q41/q51/q52/q62
-    "q18_knn_cosine": (q18_knn_cosine, ORACLE_Q18),
-    # new r8: DSIR importance weights — out-of-window, parity-gated locally
-    # (pure column arithmetic over broadcastable bucket models; lower
-    # defect risk than the custom-machinery tier holding the window slots)
-    "q68_dsir_weights": (q68_dsir_weights, ORACLE_Q68),
-    # new r8: temperature-weighted multi-source sampling — out-of-window
-    "q69_temperature_sample": (q69_temperature_sample, ORACLE_Q69),
-    # new r8: Z-order layout keys — out-of-window
-    "q70_zorder_layout": (q70_zorder_layout, ORACLE_Q70),
-    # rotated out r8 third wave for q71 (incremental dedup, which carries
-    # its own exact-fingerprint branch; exact dedup ALSO stays in-window
-    # as q54's second stage)
-    "q14_dedup_exact": (q14_dedup_exact, ORACLE_Q14),
-    # rotated out r8 third wave for q67 (LM perplexity, which tokenizes
-    # with the same ws_tokens q16 gated; regex/distinct counts are single
-    # native HOF calls, locally parity-tested here)
-    "q16_token_stats": (q16_token_stats, ORACLE_Q16),
-    # new r8: Bloom-screen decontamination (broadcast bit-array membership,
-    # zero corpus shuffle) — out-of-window, parity-gated locally
-    "q72_bloom_decontam": (q72_bloom_decontam, ORACLE_Q72),
-    # new r8: WARC ingest round-trip (from-scratch gzip-member splitter +
-    # WARC/HTTP byte parser) — out-of-window, parity-gated locally
-    "q73_warc_extract": (q73_warc_extract, ORACLE_Q73),
-    # new r8: HTML -> text boilerplate strip (stdlib-HTMLParser Arrow UDF,
-    # full-string comparison against the SQL reconstruction) — ditto
-    "q74_html_extract": (q74_html_extract, ORACLE_Q74),
-    # new r8: KMV mergeable distinct-count sketches (BIGINT-only
-    # estimator, persisted-sketch merge path) — ditto
-    "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
-    # rotated out r8 close for q76: native JSON path functions
-    "q05_json_props": (q05_json_props, ORACLE_Q05),
-    # rotated out r8 close for q77: single sessionize window
-    "q13_sessionize": (q13_sessionize, ORACLE_Q13),
-    # rotated out r8 close for q78: hash-deterministic stratified filter
+    "q35_enum_descriptions": (q35_enum_descriptions, ORACLE_Q35),
     "q36_stratified_sample": (q36_stratified_sample, ORACLE_Q36),
-    # new r8: ordered funnel (single conditional agg, no self-joins)
-    "q79_funnel": (q79_funnel, ORACLE_Q79),
-    # new r8: weekly cohort retention over the collapsed user-week table
-    "q80_cohort_retention": (q80_cohort_retention, ORACLE_Q80),
-    # rotated out r8 close for q81: greedy packing (q54 stage 6 twin)
+    "q39_pii_scrub": (q39_pii_scrub, ORACLE_Q39),
+    "q40_vocab_bpe_pairs": (q40_vocab_bpe_pairs, ORACLE_Q40),
+    "q41_quantized_knn": (q41_quantized_knn, ORACLE_Q41),
+    "q44_deterministic_shards": (q44_deterministic_shards, ORACLE_Q44),
     "q45_pack_sequences": (q45_pack_sequences, ORACLE_Q45),
-    # new r8: data-quality constraint census (one-scan row-local rules +
-    # uniqueness agg + referential anti-join)
-    "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
-    # new r8: join-cardinality estimation from counted KMV sketches
-    "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
-    # new r8: quantiles from a mergeable bottom-k row sample
-    "q84_sample_quantiles": (q84_sample_quantiles, ORACLE_Q84),
-    # new r8: AIS track QC (haversine hop + possible-speed flag, trig
-    # rounded to integer meters before any comparison)
-    "q85_track_qc": (q85_track_qc, ORACLE_Q85),
-    # new r8: the maritime composition flagship — QC -> re-hop ->
-    # voyage segmentation -> per-voyage distance/duration
-    "q86_voyage_stats": (q86_voyage_stats, ORACLE_Q86),
+    "q46_interval_join": (q46_interval_join, ORACLE_Q46),
+    "q47_grouped_percentiles": (q47_grouped_percentiles, ORACLE_Q47),
+    "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
+    "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
+    "q56_media_decode": (q56_media_decode, ORACLE_Q56),
+    "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
 }
 
 

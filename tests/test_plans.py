@@ -364,100 +364,82 @@ def test_q27_steady_plan_shape_is_pinned(spark):
 
 
 def test_harness_window_composition_is_pinned():
-    """The external harness evaluates the FIRST 50 registered queries. The
-    registry deliberately orders unique-coverage queries first and the six
-    subsumed / native-Spark standalones after the window (VERDICT r5 #1:
-    risk, not chronology, decides the window — the hand-written codec and
-    census gates q57/q58/q59 are IN; the single-native-call rollup/pivot/
-    percentile queries are out but stay locally parity-tested). An
-    accidental mid-registry insertion would silently eject flagship
-    compositions (q51-q59) from the correctness gate — pin the boundary."""
+    """The external harness evaluates the FIRST 50 registered queries.
+    r9 policy (VERDICT r8 #1): the window's job is to retire gate debt —
+    every catalog query that has never had a driver row MUST be in the
+    window, and only queries with >= 1 green row in the committed
+    CORRECTNESS_r* history may sit after the boundary. The r9 window
+    therefore holds the 36 highest-risk already-gated gates (codecs,
+    decode SQL twins, dedup/ANN/composition flagships) plus ALL 14
+    rows that were never driver-gated through r8 (sketch tier, Bloom
+    decontam, WARC/HTML, DSIR/temperature/Z-order, funnel/cohort,
+    census, track QC, voyage stats). An accidental mid-registry
+    insertion would silently eject a gate — pin the boundary."""
     from pincspark.plans.queries import QUERIES
 
     names = list(QUERIES)
-    window, after = set(names[:50]), set(names[50:])
+    window = set(names[:50])
+    # The r9 gate-debt retirement wave: all 14 never-driver-gated rows.
+    for newly_gated in (
+        "q68_dsir_weights", "q69_temperature_sample", "q70_zorder_layout",
+        "q72_bloom_decontam", "q73_warc_extract", "q74_html_extract",
+        "q75_kmv_distinct", "q79_funnel", "q80_cohort_retention",
+        "q82_constraint_census", "q83_kmv_join_size", "q84_sample_quantiles",
+        "q85_track_qc", "q86_voyage_stats",
+    ):
+        assert newly_gated in window, f"{newly_gated} fell out of the window"
+    # The highest-risk custom-machinery gates stay in: the from-scratch
+    # codecs, the decode SQL twins, and the dedup/ANN/composition
+    # flagships — a silent bug hides in hand-written bit twiddling, not
+    # in a native rollup call.
     for flagship in (
-        "q51_pq_topk",
-        "q52_ivfpq_topk",
-        "q53_lsh_verify",
-        "q54_curation_pipeline",
-        "q55_hybrid_retrieval",
-        "q57_png_decode",
-        "q58_gif_decode",
-        "q59_dup_spans",
-        "q60_jpeg_decode",
-        "q61_flac_decode",
-        "q62_ivf_index_topk",
-        "q63_webp_decode",  # rotated IN r8: ~900 LoC from-scratch VP8L,
-        # never yet driver-gated
-        "q64_span_removal",  # NEW r8: exact substring-span removal
-        "q65_tiff_decode",  # rotated IN r8 second wave: ~460 LoC
-        # from-scratch TIFF codec (LZW/PackBits/Deflate/predictor), the
-        # highest-risk code not yet driver-gated
-        "q66_semantic_dedup",  # rotated IN r8 second wave: SemDeDup
-        # centroid-assignment + dominance pruning
-        "q67_lm_perplexity",  # rotated IN r8 third wave: the new
-        # operators/lm.py module (staged count tables, add-alpha
-        # smoothing, OOV floor)
-        "q71_incremental_dedup",  # rotated IN r8 third wave: snapshot
-        # build + fingerprint join + banded-LSH join vs a persisted prior
-        "q76_kmv_overlap",  # rotated IN r8 close: KMV set-operation
-        # estimator arithmetic, never driver-gated
-        "q77_url_canonicalize",  # rotated IN r8 close: the URL contract's
-        # dual SQL implementation
-        "q78_scd2_history",  # rotated IN r8 close: SCD2 incremental merge
-        "q81_fuzzy_pairs",  # rotated IN r8 close: blocking + levenshtein
-        # verify machinery
+        "q24_nmea_validate", "q27_embedding_dups",
+        "q31_position_decode_sql", "q32_static_voyage_sql",
+        "q33_classb_longrange_sql", "q34_static_report_sql",
+        "q37_decontamination", "q42_dedup_keep_list", "q43_simhash_pairs",
+        "q49_weather_decode_sql", "q50_type6_egress",
+        "q51_pq_topk", "q52_ivfpq_topk", "q54_curation_pipeline",
+        "q55_hybrid_retrieval", "q57_png_decode", "q58_gif_decode",
+        "q59_dup_spans", "q60_jpeg_decode", "q61_flac_decode",
+        "q62_ivf_index_topk", "q63_webp_decode", "q64_span_removal",
+        "q65_tiff_decode", "q66_semantic_dedup", "q67_lm_perplexity",
+        "q71_incremental_dedup", "q77_url_canonicalize",
+        "q78_scd2_history", "q81_fuzzy_pairs",
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
-    assert after == {
-        "q22_ivf_topk",  # transient IVF, subsumed by served q62 (identity
-        # pinned in test_ann_index.py; same oracle)
-        "q19_minhash_lsh", "q10_distinct_users", "q11_running_spend",
-        "q12_top_spenders", "q20_ngram_jaccard", "q21_simhash",
-        "q26_approx_distinct", "q44_deterministic_shards",
-        "q29_rollup_summary", "q30_pivot_status", "q47_grouped_percentiles",
-        "q04_event_route",  # rotated out r8 for q64: pure native filter
-        # projections; routing stays plan-asserted in this file and the
-        # scan/filter path is exercised by every in-window query
-        "q56_media_decode",  # rotated out r8 for q63: PPM is an ASCII
-        # header + raw bytes; the shared mapInPandas decode plumbing stays
-        # gated by the five in-window codecs
-        "q09_union_normalize",  # rotated out r8 second wave for q65:
-        # single native unionByName; P24 normalization stays in-window
-        # via q50's egress
-        "q18_knn_cosine",  # rotated out r8 second wave for q66: native
-        # HOF dot product + the same two-phase top-k as in-window q40;
-        # ANN stays gated by q41/q51/q52/q62
-        "q68_dsir_weights",  # new r8: DSIR importance weights — out of
-        # window (pure column arithmetic over broadcastable bucket
-        # models), parity-gated locally
-        "q69_temperature_sample",  # new r8: XLM-R temperature mixing — ditto
-        "q70_zorder_layout",  # new r8: Z-order clustering keys — ditto
-        "q14_dedup_exact",  # rotated out r8 third wave for q71: a single
-        # fingerprint window; exact dedup stays in-window as q54's second
-        # stage and q71's exact-fingerprint branch
-        "q16_token_stats",  # rotated out r8 third wave for q67: native
-        # split/size/array_distinct HOFs; ws-token machinery stays
-        # in-window via q67's LM tokenization and q45's packing
-        "q72_bloom_decontam",  # new r8: Bloom-screen decontamination —
-        # out of window, parity-gated locally
-        "q73_warc_extract",  # new r8: from-scratch WARC reader — ditto
-        "q74_html_extract",  # new r8: HTML -> text extraction — ditto
-        "q75_kmv_distinct",  # new r8: KMV mergeable sketches — ditto
-        "q05_json_props",  # rotated out r8 close for q76: native
-        # get_json_object/json_tuple calls; S3/P28 stay locally gated
-        "q13_sessionize",  # rotated out r8 close for q77: single
-        # sessionize window; W3 gated via q07/q08
-        "q36_stratified_sample",  # rotated out r8 close for q78:
-        # hash-deterministic filter; sampling gated via q54/q69 locally
-        "q45_pack_sequences",  # rotated out r8 close for q81: greedy
-        # packing also exercised by q54 stage 6
-        "q79_funnel",  # new r8: ordered funnel, single conditional agg
-        "q80_cohort_retention",  # new r8: weekly cohort retention
-        "q82_constraint_census",  # new r8: data-quality constraint census
-        "q83_kmv_join_size",  # new r8: AKMV join-cardinality estimate
-        "q84_sample_quantiles",  # new r8: bottom-k sample quantiles
-        "q85_track_qc",  # new r8: AIS track QC (haversine + speed flag)
-        "q86_voyage_stats",  # new r8: voyage segmentation composition
-    }
+
+
+def test_no_query_stays_driver_ungated():
+    """VERDICT r8 #7: enforce the rotation policy mechanically. Every
+    registered catalog query must either (a) already have at least one
+    fully-green row (rows+schema+hash, err=null) in the committed
+    CORRECTNESS_r*.json history, or (b) be inside the current 50-slot
+    harness window so it gets one this round. A query that is neither
+    gated nor in-window is exactly the r8 gate-debt defect recurring —
+    fail loudly with the offending names."""
+    import glob
+    import json
+    import os
+
+    from pincspark.plans.queries import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gated: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                gated.add(name)
+    assert gated, "no CORRECTNESS history found — harness layout changed?"
+    names = list(QUERIES)
+    window = set(names[:50])
+    debt = [n for n in names if n not in gated and n not in window]
+    assert not debt, (
+        f"driver-ungated queries sitting OUTSIDE the harness window: {debt}; "
+        "rotate them in (swap out an already-gated, subsumed shape) or "
+        "they will never see the hard signal"
+    )
