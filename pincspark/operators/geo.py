@@ -247,3 +247,28 @@ def track_qc(
             .cast("int"),
         )
     )
+
+
+def synthetic_fixes(events: DataFrame) -> DataFrame:
+    """Deterministic vessel fixes derived from the events table (the q23
+    synthetic-geometry pattern): one fix per unique (user_id, ts) — ties
+    broken by the smallest event_id, as track_qc requires a unique
+    (key, ts) — with lat/lon projected arithmetically from the row so
+    both engines compute bit-identical coordinates. Shared by the q85
+    track-QC and q86 voyage-stats catalog queries (hoisted per VERDICT
+    r8 nit: two verbatim copies of this projection would silently
+    diverge under edit)."""
+    from pincspark.operators.dedup import _spread
+
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    return (
+        _spread(events.filter(F.col("user_id").isNotNull()), "user_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").alias("mmsi"),
+            "ts",
+            (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
+            (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
+        )
+    )

@@ -4092,23 +4092,9 @@ def q85_track_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer meters BEFORE the flag compares — both the meters and the
     flag are BIGINT-stable across engines (the q67 float discipline
     applied to trig)."""
-    from pincspark.operators.dedup import _spread
-    from pincspark.operators.geo import track_qc
-    from pyspark.sql import Window
+    from pincspark.operators.geo import synthetic_fixes, track_qc
 
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
-    fixes = (
-        _spread(ev, "user_id")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("user_id").alias("mmsi"),
-            "ts",
-            (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
-            (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
-        )
-    )
+    fixes = synthetic_fixes(table(spark, sf_dir, "events"))
     out = track_qc(fixes, "mmsi", "ts", "latitude", "longitude", max_speed_mps=26)
     return out.select("mmsi", "ts", "dist_m", "dt_s", "speed_ok")
 
@@ -4157,23 +4143,10 @@ def q86_voyage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes + one aggregation, every emitted number BIGINT or timestamp
     (hop rounding safety re-measured for the post-filter hop set:
     nearest boundary gap 1.5e-4 m vs ~1e-7 m trig ulp)."""
-    from pincspark.operators.dedup import _spread
-    from pincspark.operators.geo import track_qc
+    from pincspark.operators.geo import synthetic_fixes, track_qc
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
-    fixes = (
-        _spread(ev, "user_id")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("user_id").alias("mmsi"),
-            "ts",
-            (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
-            (F.lit(1.0) + (F.col("user_id") % F.lit(21)).cast("double") / F.lit(10.0)).alias("latitude"),
-        )
-    )
+    fixes = synthetic_fixes(table(spark, sf_dir, "events"))
     kept = (
         track_qc(fixes, "mmsi", "ts", "latitude", "longitude", max_speed_mps=26)
         .filter(F.col("speed_ok") == 1)
@@ -4256,6 +4229,49 @@ FROM voyaged GROUP BY mmsi, voyage_id
 
 
 ORACLE_Q86 = _q86_oracle()
+
+
+def q87_compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction ROW-IDENTITY gate (VERDICT r8 #3): fragment a copy of
+    the documents table into 64 tiny parquet files in a scratch dir, run
+    :func:`pincspark.operators.layout.compact_parquet` over it (the
+    crash-safe tmp -> aside -> rename rewrite), and return the FULL
+    read-back rows plus a ``compacted_ok`` literal asserting the file
+    count actually shrank to the byte-derived target. The oracle is the
+    original table + TRUE — so the driver's value hash certifies that a
+    physical rewrite preserved every row and column bit-for-bit, and a
+    compaction that loses/duplicates rows, perturbs a value, or fails to
+    merge files goes RED. The scratch copy is rebuilt per call
+    (idempotent; /tmp, never the shared testdata)."""
+    import math
+    import os
+    import shutil
+
+    from pincspark.operators.layout import _parquet_files, compact_parquet
+
+    scratch = os.path.join(
+        "/tmp", "pincspark_compact", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    table(spark, sf_dir, "documents").repartition(64).write.parquet(scratch)
+    stats = compact_parquet(spark, scratch, target_mb=128)
+    n_target = max(1, math.ceil(stats["bytes_before"] / (128 * 1024 * 1024)))
+    ok = (
+        stats["files_before"] == 64
+        and stats["files_after"] <= n_target
+        and len(_parquet_files(spark, scratch)) == stats["files_after"]
+    )
+    return spark.read.parquet(scratch).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).withColumn("compacted_ok", F.lit(bool(ok)))
+
+
+ORACLE_Q87 = """
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(TRUE AS BOOLEAN) AS compacted_ok
+FROM documents
+"""
 
 
 def q77_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5132,7 +5148,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q03_region_enrich": (q03_region_enrich, ORACLE_Q03),
     "q06_asof_enrich": (q06_asof_enrich, ORACLE_Q06),
-    "q17_lang_id": (q17_lang_id, ORACLE_Q17),
+    # NEW r9 (in-window at registration, per the no-ungated-query policy;
+    # q17_lang_id rotates out to make room — pure-SQL n-gram scoring with
+    # a green r8 row, text scoring stays in-window via q38 + q54 stage 1):
+    # compaction row-identity through the physical rewrite (VERDICT r8 #3)
+    "q87_compaction_identity": (q87_compaction_identity, ORACLE_Q87),
     "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
@@ -5197,6 +5217,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q14_dedup_exact": (q14_dedup_exact, ORACLE_Q14),
     "q15_text_quality": (q15_text_quality, ORACLE_Q15),
     "q16_token_stats": (q16_token_stats, ORACLE_Q16),
+    # rotated out r9 for q87 (compaction identity): pure-SQL n-gram
+    # language scoring, green r8 row, locally parity-tested; the text
+    # scoring tier stays in-window via q38 and q54's quality stage
+    "q17_lang_id": (q17_lang_id, ORACLE_Q17),
     "q18_knn_cosine": (q18_knn_cosine, ORACLE_Q18),
     "q19_minhash_lsh": (q19_minhash_lsh, ORACLE_Q19),
     "q20_ngram_jaccard": (q20_ngram_jaccard, ORACLE_Q20),

@@ -386,6 +386,8 @@ def test_harness_window_composition_is_pinned():
         "q75_kmv_distinct", "q79_funnel", "q80_cohort_retention",
         "q82_constraint_census", "q83_kmv_join_size", "q84_sample_quantiles",
         "q85_track_qc", "q86_voyage_stats",
+        "q87_compaction_identity",  # NEW r9: compaction row-identity,
+        # in-window at registration per the no-ungated-query policy
     ):
         assert newly_gated in window, f"{newly_gated} fell out of the window"
     # The highest-risk custom-machinery gates stay in: the from-scratch
