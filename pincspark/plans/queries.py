@@ -4242,23 +4242,44 @@ def q87_compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical rewrite preserved every row and column bit-for-bit, and a
     compaction that loses/duplicates rows, perturbs a value, or fails to
     merge files goes RED. The scratch copy is rebuilt per call
-    (idempotent; /tmp, never the shared testdata)."""
+    (idempotent; /tmp, never the shared testdata).
+
+    Scratch is keyed by PID (ADVICE r9): the returned DataFrame reads the
+    dir LAZILY, so a shared path let a concurrent invocation (bench + the
+    correctness driver, or a parallel harness) rmtree/rename it between
+    plan build and collection. Each call also sweeps leftovers — crash
+    residue (``.__tmp__``/``.__old__``) for this pid and whole scratch
+    trees belonging to dead pids — so /tmp never accumulates copies."""
     import math
     import os
     import shutil
 
     from pincspark.operators.layout import _parquet_files, compact_parquet
 
-    scratch = os.path.join(
-        "/tmp", "pincspark_compact", os.path.basename(os.path.normpath(sf_dir))
-    )
-    if os.path.exists(scratch):
-        shutil.rmtree(scratch)
+    root = os.path.join("/tmp", "pincspark_compact")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    scratch = os.path.join(root, f"{base}-{os.getpid()}")
+    if os.path.isdir(root):
+        for entry in os.listdir(root):
+            pid = entry.rsplit("-", 1)[-1].split(".")[0]
+            try:
+                os.kill(int(pid), 0)  # raises if the owning pid is gone
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except PermissionError:
+                pass  # live pid under another uid: leave it
+    for leftover in (scratch, scratch + ".__tmp__", scratch + ".__old__"):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     table(spark, sf_dir, "documents").repartition(64).write.parquet(scratch)
     stats = compact_parquet(spark, scratch, target_mb=128)
     n_target = max(1, math.ceil(stats["bytes_before"] / (128 * 1024 * 1024)))
+    # Gate the INVARIANT (fragmentation merged, nothing stranded), not an
+    # exact input file count — at a synthetic sf with <64 rows the
+    # round-robin write produces fewer than 64 files with no defect
+    # (ADVICE r9).
     ok = (
-        stats["files_before"] == 64
+        stats["files_before"] > stats["files_after"]
         and stats["files_after"] <= n_target
         and len(_parquet_files(spark, scratch)) == stats["files_after"]
     )

@@ -104,6 +104,45 @@ def test_replay_detector_over_recorded_history():
     assert frozen == [2, 18, 25, 28], frozen
 
 
+def test_recorded_median_ignores_contamination_once_resampled():
+    """VERDICT r9 #2: once adaptive resampling engages, the recorded value
+    is the median of the fastest majority — a resample taken to ESCAPE a
+    contended sample must never be averaged with the contamination it
+    escaped. Replays r9's actual recorded query_runs: the all-sample median
+    put q24 at 0.867 (2.26x flag vs best 0.384) when three of its five
+    samples sat at ~0.45s."""
+    r9 = {
+        "q24_nmea_validate": ([0.481, 0.96, 0.43, 1.528, 0.867], 0.384),
+        "q32_static_voyage_sql": ([0.484, 1.225, 0.449, 0.786, 0.644], 0.353),
+        "q34_static_report_sql": ([0.483, 2.165, 0.473, 0.909, 0.886], 0.4),
+        "q38_repetition_rules": ([1.79, 3.831, 2.064, 2.202, 1.858], 1.313),
+        "q29_rollup_summary": ([2.372, 0.957, 3.675, 1.012, 1.235], 0.74),
+        "q37_decontamination": ([2.188, 11.512, 1.98, 2.504, 1.957], 1.46),
+    }
+    for q, (runs, best) in r9.items():
+        rec = bench._recorded_median(runs)
+        assert rec <= 1.5 * best, (q, rec, best)  # none re-flags
+        # and never below the run minimum (no fabricated speed)
+        assert rec >= min(runs)
+
+
+def test_recorded_median_keeps_genuine_regressions_visible():
+    # A real steady-state slowdown shows in EVERY sample, including the
+    # fastest majority: the robust median must still record it.
+    assert bench._recorded_median([2.1, 2.3, 2.0, 2.2, 2.15]) >= 2.0
+    # Stable 3-sample runs (resampling never engaged) keep the plain median.
+    assert bench._recorded_median([1.0, 1.2, 1.1]) == 1.1
+
+
+def test_untimed_queries_are_registered_and_windowed():
+    """UNTIMED_QUERIES must name real catalog queries (a rename would
+    silently re-time them) and stay correctness-gated elsewhere."""
+    from pincspark.plans.queries import QUERIES
+
+    for q in bench.UNTIMED_QUERIES:
+        assert q in QUERIES, q
+
+
 def test_rebaselined_query_ignores_pre_epoch_bests(tmp_path):
     """A deliberate plan change (e.g. q27's r7 oversized-block guard)
     resets that query's regression baseline: history rows older than the
