@@ -202,6 +202,77 @@ def _cpu_calibration() -> float:
     return round(time.time() - t, 3)
 
 
+def _cpu_calibration_mt(workers: int) -> float:
+    """Multi-process busyloop wall time: every worker runs the same 5M-add
+    loop CONCURRENTLY (real processes — a thread version would serialize on
+    the GIL and measure nothing). Records effective MULTICORE throughput.
+
+    Why both calibrations (r10 drift forensics): on 2026-08-15 the same
+    code ran the catalog 1.17x slower than the previous day's row
+    (per-query median over 85 queries, reproduced across warmup modes AND
+    in a 6-query minimal session) while the single-thread calib moved only
+    1.05x — the box's aggregate throughput drifts more than one core's
+    (shared infra: turbo headroom, cgroup quota, co-tenants parked on
+    other cores). The single-thread loop under-adjudicates exactly the
+    drift class a 32-thread Spark catalog feels."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")  # no pickling, no fresh interpreter, and
+    # inherits no Spark state (called before the session exists)
+
+    def _once() -> float:
+        procs = [
+            ctx.Process(target=_busyloop, args=(i,)) for i in range(workers)
+        ]
+        t = time.time()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        return round(time.time() - t, 3)
+
+    return _median([_once() for _ in range(3)])  # single runs spread ~15%
+
+
+def _busyloop(_: int) -> int:
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return x
+
+
+def _calib_baseline(sf: float) -> tuple[float | None, float | None]:
+    """Minimum (single-thread, multi-process) calibration over CLEAN
+    official history rows at this sf — the fastest the box has been seen,
+    the denominator of the drift ratio."""
+    st = mt = None
+    for rec in _iter_history(sf, _hist_path()):
+        if rec.get("contended") or "suspect_uniform_inflation" in rec:
+            continue
+        if rec.get("warmup_mode", "at-sf") != "at-sf":
+            continue
+        s, m = rec.get("cpu_calib_s"), rec.get("cpu_calib_mt_s")
+        if s is not None and (st is None or s < st):
+            st = s
+        if m is not None and (mt is None or m < mt):
+            mt = m
+    return st, mt
+
+
+def _flag_regressions(
+    timings: dict[str, float], best: dict[str, float], calib_ratio: float = 1.0
+) -> dict[str, dict]:
+    """Per-query regression flags: >1.5x the best-known time, with the bar
+    scaled by the measured calibration drift ratio (1.0 = box at its
+    best-era speed). best <= 0.2s queries are scheduler-jitter-dominated
+    and never flagged (same floor as the uniform-inflation pool)."""
+    return {
+        q: {"now": t, "best": best[q], "ratio": round(t / best[q], 2)}
+        for q, t in timings.items()
+        if q in best and best[q] > 0.2 and t > 1.5 * best[q] * calib_ratio
+    }
+
+
 def _load_guard(ignore_l5: bool = False) -> tuple[float, bool]:
     """Pre-run load check (VERDICT r5 #3): three of five end-of-round r5
     bench rows were polluted by EXTERNAL box load, shipping a 1.62x
@@ -294,6 +365,8 @@ def _best_per_query(sf: float, hist_path: str) -> dict[str, float]:
     "ts" field existed count as epoch 0 — always pre-change)."""
     best: dict[str, float] = {}
     for rec in _iter_history(sf, hist_path):
+        if rec.get("warmup_mode", "at-sf") != "at-sf":
+            continue  # A/B experiment rows never set per-query bests
         for q, t in rec.get("queries", {}).items():
             if rec.get("ts", 0) < _REBASELINED.get(q, 0):
                 continue  # best predates a deliberate plan change
@@ -332,6 +405,8 @@ def _run_catalog_once(
     see _load_guard)."""
     loadavg, contended = _load_guard(ignore_l5=is_retry)
     cpu_calib = _cpu_calibration()
+
+    cpu_calib_mt = _cpu_calibration_mt(cpus)
 
     # Flagship FIRST, isolated, before the catalog session exists.
     flagship_runs: list[float] = []
@@ -390,13 +465,29 @@ def _run_catalog_once(
     # codecs, and after the LM tier all run 0.75-1.1 s with <70 ms GC.
     # Warming at sf_dir retires the whole first-at-scale class: builds,
     # AQE-shape codegen, and page cache are all hot before pass 1.
-    for name, (fn, _) in QUERIES.items():
-        if name in UNTIMED_QUERIES:
-            continue
-        try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        except Exception as e:
-            print(f"WARN warmup {name}: {e}", file=sys.stderr)
+    # SPARK_GRAFT_WARMUP_MODE (A/B knob, VERDICT r9 #1 — adjudicating
+    # whether the at-sf warmup's own residue inflates the timed passes):
+    #   at-sf (default) — warm the catalog at the timed sf_dir
+    #   small           — r8 methodology: warm at sf0.001 only
+    #   none            — skip the catalog warmup entirely
+    # Non-default modes are recorded in the history row and the stdout
+    # line so an experiment can never masquerade as an official number.
+    warmup_mode = os.environ.get("SPARK_GRAFT_WARMUP_MODE", "at-sf")
+    warmup_dir = {
+        "at-sf": sf_dir,
+        "small": "/root/testdata/sf0.001",
+        "none": None,
+    }[warmup_mode]
+    if warmup_dir is not None:
+        for name, (fn, _) in QUERIES.items():
+            if name in UNTIMED_QUERIES:
+                continue
+            try:
+                fn(spark, warmup_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception as e:
+                print(f"WARN warmup {name}: {e}", file=sys.stderr)
 
     # Three INTERLEAVED passes over the catalog; the per-query MEDIAN is the
     # recorded number (VERDICT r3 #1: a single sample per query let one
@@ -493,6 +584,28 @@ def _run_catalog_once(
     if len(shorts) != len(timings):
         def _short(name: str) -> str:  # noqa: F811 — collision fallback
             return name
+    # Calibration-adjusted flag threshold (r10, mechanizing the r8
+    # adjudication rule "now/best <= calib ratio => hardware, not code"):
+    # per-query bests are all-time minimums, mostly set in the box's
+    # fastest era — when today's measured throughput is X% below that era,
+    # every best is unreachable by X% with zero code change and the flags
+    # are pure drift noise (r9 shipped 10 such flags; the r10 forensics —
+    # warmup A/B, 6-query minimal-session probe, day-over-day identical-
+    # code comparison — pinned a 1.17x catalog-wide box drift that the
+    # single-thread calib saw only 1.05x of, hence the multi-process
+    # calibration). The ratio uses the mt calibration when both rows have
+    # it (it tracks what a 32-thread catalog feels), else single-thread;
+    # floor 1.0 (a slower-than-ever box never LOWERS the threshold), cap
+    # 1.35 (beyond that the uniform-inflation detector owns the signal
+    # and per-query flags should fire).
+    st_base, mt_base = _calib_baseline(sf)
+    calib_ratio = 1.0
+    if mt_base and cpu_calib_mt:
+        calib_ratio = cpu_calib_mt / mt_base
+    elif st_base and cpu_calib:
+        calib_ratio = cpu_calib / st_base
+    calib_ratio = min(max(calib_ratio, 1.0), 1.35)
+
     result = {
         "metric": "catalog_total_runtime",
         "value": total,
@@ -500,12 +613,20 @@ def _run_catalog_once(
         "queries": {_short(k): v for k, v in timings.items()},
         "sf": sf,
         "cpu_calib_s": cpu_calib,
+        "cpu_calib_mt_s": cpu_calib_mt,
         # Present in the catalog + correctness window but not timed here
         # (harness-I/O-dominated; see UNTIMED_QUERIES).
         "untimed_correctness_queries": sorted(
             _short(q) for q in UNTIMED_QUERIES
         ),
     }
+    if calib_ratio > 1.0:
+        # Box measurably slower than the best-clean era: per-query flag
+        # thresholds above were scaled by this (capped 1.35) — the
+        # driver-visible marker that ratios-vs-best carry hardware drift.
+        result["calib_drift_ratio"] = round(calib_ratio, 3)
+    if warmup_mode != "at-sf":
+        result["warmup_mode"] = warmup_mode  # experiment, not official
     if contended:
         # Explicit marker (VERDICT r5 #3): numbers below were recorded
         # under external box load despite a 60s backoff; per-query BESTS
@@ -521,11 +642,7 @@ def _run_catalog_once(
     # on stderr rather than failing the run; >1.5x vs the best-known time
     # is the flag threshold.
     best = _best_per_query(sf, _hist_path())
-    regressions = {
-        q: {"now": t, "best": best[q], "ratio": round(t / best[q], 2)}
-        for q, t in timings.items()
-        if q in best and best[q] > 0.2 and t > 1.5 * best[q]
-    }
+    regressions = _flag_regressions(timings, best, calib_ratio)
     if regressions:
         result["regression_count"] = len(regressions)
         result["worst_regression"] = max(
@@ -575,9 +692,12 @@ def _run_catalog_once(
         # the per-query truth is len(query_runs[name])
         # (ADVICE r5 #2 — the old hardcoded 3 misdescribed it).
         "median_of": "3-5 adaptive",
+        "warmup_mode": warmup_mode,
         "contended": contended,
         "loadavg_1min": round(loadavg, 2),
         "cpu_calib_s": cpu_calib,
+        "cpu_calib_mt_s": cpu_calib_mt,
+        "calib_drift_ratio": round(calib_ratio, 3),
         "query_runs": samples,
         "flagship_runs": flagship_runs,
         "failed": failed,
@@ -617,6 +737,8 @@ def _best_clean_history(sf: float, n_queries: int = 0) -> dict | None:
     for rec in _iter_history(sf, _hist_path()):
         if rec.get("contended") or "suspect_uniform_inflation" in rec:
             continue
+        if rec.get("warmup_mode", "at-sf") != "at-sf":
+            continue  # experiment rows are not comparable clean rows
         if rec.get("failed"):
             continue
         if n_queries and len(rec.get("queries", {})) < n_queries - 2:

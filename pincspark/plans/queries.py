@@ -1457,6 +1457,143 @@ FROM c
 ORACLE_Q24 = _nmea_oracle()
 
 
+# q88 corpus: a multi-part-heavy synthetic archive exercising every clause
+# of the batch reassembly contract (ST1-batch, VERDICT r9 #4). Checksums
+# are real XOR checksums (the corrupt one is annotated). Expected output:
+# exactly 5 reassembled messages — the singleton (seq 7), the golden
+# 2-part type 5 (seq 9), the synthetic 3-part (seq 4), the adjacent H pair
+# (seq 5, preceded by an orphan duplicate num=1), and the tagblock-less M
+# pair (seq 0, NULL epoch). Everything else drops: bad checksum (E pair),
+# incomplete (D), out-of-order adjacency (F), interleaved groups (I/J),
+# and the two non-adjacent halves (K with a garbage line between, L with
+# an interposed status line) that the splice guard must refuse to join —
+# the reference, one unsplit stream, would drop them too
+# (ais_ingressServer.py:84-106, ais_analysis.py:266-288).
+REASSEMBLY_ARCHIVE = [
+    r"\s:rGATE,c:1673222400*00!ABVDM,1,1,7,A,15R9eN001n7DHvT13w0TBSM>00Rm,0*54",
+    r"\s:rGATE,c:1673222401*00!ABVDM,2,1,9,A,58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l,0*19",
+    r"!ABVDM,2,2,9,A,PAiH8888880,2*16",
+    r"\s:rGATE,c:1673222402*00!ABVDM,3,1,4,A,A111111111,0*6B",
+    r"\s:rGATE,c:1673222403*00!ABVDM,3,2,4,A,B2222,0*5A",
+    r"\s:rGATE,c:1673222404*00!ABVDM,3,3,4,A,C33,2*58",
+    r"\s:rGATE,c:1673222410*00!ABVDM,2,1,1,B,D0000000,0*68",
+    r"!ABVDM,2,1,2,A,E1111111,0*68",
+    r"!ABVDM,2,2,2,A,E22,0*50",  # corrupt: true checksum is 5A
+    r"!ABVDM,2,2,3,B,F22,0*5B",
+    r"!ABVDM,2,1,3,B,F1111111,0*69",
+    r"!ABVDM,2,1,5,A,G0000000,0*6C",
+    r"\s:rGATE,c:1673222420*00!ABVDM,2,1,5,A,H1111111,0*62",
+    r"!ABVDM,2,2,5,A,H22,0*50",
+    r"!ABVDM,2,1,6,A,I1111111,0*60",
+    r"!ABVDM,2,1,7,B,J1111111,0*61",
+    r"!ABVDM,2,2,6,A,I22,0*52",
+    r"!ABVDM,2,2,7,B,J22,0*53",
+    r"\s:rGATE,c:1673222430*00!ABVDM,2,1,8,A,K1111111,0*6C",
+    r"garbage line without bang-prefix dropped by S1",
+    r"!ABVDM,2,2,8,A,K22,0*5E",
+    r"!ABVDM,2,1,9,B,L1111111,0*69",
+    r"STATUS heartbeat",
+    r"!ABVDM,2,2,9,B,L22,0*5B",
+    r"!ABVDM,2,1,0,A,M1111111,0*62",
+    r"!ABVDM,2,2,0,A,M22,2*52",
+]
+
+
+def q88_reassembly_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-batch reassembly contract gate: run the REAL
+    :func:`pincspark.sources.nmea_source.reassemble` (adjacency grouping,
+    checksum drop, exact 1..total sequence validation, splice guard) over
+    the synthetic multi-part archive above and emit one row per
+    reassembled message. The DuckDB oracle reimplements the documented
+    contract independently (adjacency key = line_no - (num-1), checksum
+    XOR, sorted fragment numbers == 1..total, num-ordered payload concat),
+    so the value hash pins the SEMANTICS — a splice-guard regression that
+    fabricates a message from two orphan halves, a lost fragment, or a
+    mis-ordered concat all go RED. line numbers are explicit (not
+    monotonically_increasing_id) so the gate is deterministic under any
+    parallelism; S1's mono-id adjacency + split-boundary repair stay
+    pinned by the flagship and tests/test_nmea_source.py."""
+    from pincspark.decode.kernel import routing_message_type
+    from pincspark.sources.nmea_source import (
+        reassemble,
+        tokenize_sentences,
+        with_tagblock_ts,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(REASSEMBLY_ARCHIVE)), "line_idx LONG, value STRING"
+    )
+    df = (
+        df.filter(F.col("value") != "")
+        .withColumn("bang", F.instr(F.col("value"), "!"))
+        .filter(F.col("bang") > 0)
+        .select(
+            "line_idx",
+            F.expr("substring(value, 1, bang - 1)").alias("tagblock"),
+            F.expr("substring(value, bang, 1000000)").alias("sentence"),
+        )
+    )
+    out = reassemble(
+        tokenize_sentences(with_tagblock_ts(df)),
+        repair_boundaries=True,
+        materialize=False,  # deterministic tiny input; keep the plan lazy
+    )
+    return out.select(
+        "seq_id",
+        "n_sentences",
+        "payload",
+        F.col("ts").cast("long").alias("epoch_s"),
+        routing_message_type(F.col("payload")).alias("message_type"),
+    )
+
+
+def _reassembly_oracle() -> str:
+    vals = ",\n  ".join(
+        "({}, '{}')".format(i, l.replace("'", "''"))
+        for i, l in enumerate(REASSEMBLY_ARCHIVE)
+    )
+    return f"""
+WITH raw(line_no, line) AS (VALUES
+  {vals}
+), t AS (
+  SELECT line_no,
+         substring(line, 1, instr(line, '!') - 1) AS tagblock,
+         substring(line, instr(line, '!')) AS sentence
+  FROM raw WHERE instr(line, '!') > 0
+), f AS (
+  SELECT line_no, tagblock,
+         COALESCE(TRY_CAST(string_split(sentence, ',')[2] AS INTEGER), 1) AS total,
+         COALESCE(TRY_CAST(string_split(sentence, ',')[3] AS INTEGER), 1) AS num,
+         COALESCE(TRY_CAST(string_split(sentence, ',')[4] AS INTEGER), 0) AS seq_id,
+         string_split(sentence, ',')[6] AS payload,
+         substring(split_part(sentence, '*', 1), 2) AS body,
+         split_part(sentence, '*', 2) AS declared
+  FROM t
+), v AS (
+  SELECT * FROM f
+  WHERE list_reduce(list_transform(generate_series(1, length(body)), i -> unicode(body[i])),
+                    (a, b) -> xor(a, b)) = ('0x' || declared)::INTEGER
+), g AS (
+  SELECT line_no - (num - 1) AS gkey, seq_id, total,
+         COUNT(*) AS n_frags,
+         list_sort(list(num)) AS nums,
+         string_agg(payload, '' ORDER BY num) AS payload,
+         max(CASE WHEN num = 1 THEN tagblock END) AS tb1,
+         max(CASE WHEN num = 1 THEN payload END) AS p1
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT seq_id, total AS n_sentences, payload,
+       TRY_CAST(regexp_extract(tb1, 'c:(\\d+)', 1) AS BIGINT) AS epoch_s,
+       CASE WHEN unicode(p1[1]) - 48 > 40 THEN unicode(p1[1]) - 56
+            ELSE unicode(p1[1]) - 48 END AS message_type
+FROM g
+WHERE n_frags = total AND nums = generate_series(1, total)
+"""
+
+
+ORACLE_Q88 = _reassembly_oracle()
+
+
 def q25_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6/A3: tumbling event-time windows (1 hour) per event type — the
     batch twin of the streaming windowed aggregation (same code path;
@@ -5192,7 +5329,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
     "q55_hybrid_retrieval": (q55_hybrid_retrieval, ORACLE_Q55),
     "q57_png_decode": (q57_png_decode, ORACLE_Q57),
-    "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
+    # NEW r10 (in-window at registration; q58_gif_decode rotates out — the
+    # codec tier keeps five in-window gates (q57/q60/q61/q63/q65) sharing
+    # the same mapInPandas plumbing, and GIF/LZW stays golden- and
+    # ImageIO-cross-validated locally): ST1-batch reassembly contract,
+    # the one streaming-twinned operator that had no hard oracle row
+    # (VERDICT r9 #4)
+    "q88_reassembly_contract": (q88_reassembly_contract, ORACLE_Q88),
     "q59_dup_spans": (q59_dup_spans, ORACLE_Q59),
     "q60_jpeg_decode": (q60_jpeg_decode, ORACLE_Q60),
     "q61_flac_decode": (q61_flac_decode, ORACLE_Q61),
@@ -5264,6 +5407,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
     "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
     "q56_media_decode": (q56_media_decode, ORACLE_Q56),
+    # rotated out r10 for q88 (reassembly contract): green r9 row; see
+    # the q88 registration note for the codec-tier subsumption
+    "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
     "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
 }
 

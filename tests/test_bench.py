@@ -134,6 +134,36 @@ def test_recorded_median_keeps_genuine_regressions_visible():
     assert bench._recorded_median([1.0, 1.2, 1.1]) == 1.1
 
 
+def test_calib_scaled_regression_threshold():
+    """r10: flag thresholds scale by the measured box-drift ratio so an
+    all-time best set in the box's fastest era cannot generate permanent
+    drift-noise flags (r9 shipped 10). A genuine >1.5x-beyond-drift
+    regression still flags."""
+    best = {"q1": 1.0, "q2": 1.0}
+    timings = {"q1": 1.6, "q2": 2.5}
+    # box at best-era speed: both flag as before
+    assert set(bench._flag_regressions(timings, best)) == {"q1", "q2"}
+    # 17% measured drift: 1.6 is inside 1.5*1.17, 2.5 is a real regression
+    assert set(bench._flag_regressions(timings, best, 1.17)) == {"q2"}
+
+
+def test_calib_baseline_skips_experiment_and_flagged_rows(tmp_path, monkeypatch):
+    import json
+
+    hist = tmp_path / "h.jsonl"
+    rows = [
+        {"sf": 0.1, "cpu_calib_s": 0.10, "cpu_calib_mt_s": 0.20,
+         "contended": True},               # flagged: excluded
+        {"sf": 0.1, "cpu_calib_s": 0.11, "cpu_calib_mt_s": 0.21,
+         "warmup_mode": "small"},          # experiment: excluded
+        {"sf": 0.1, "cpu_calib_s": 0.16, "cpu_calib_mt_s": 0.30},
+        {"sf": 0.1, "cpu_calib_s": 0.17, "cpu_calib_mt_s": 0.28},
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    monkeypatch.setattr(bench, "_hist_path", lambda: str(hist))
+    assert bench._calib_baseline(0.1) == (0.16, 0.28)
+
+
 def test_untimed_queries_are_registered_and_windowed():
     """UNTIMED_QUERIES must name real catalog queries (a rename would
     silently re-time them) and stay correctness-gated elsewhere."""
