@@ -401,7 +401,12 @@ def test_harness_window_composition_is_pinned():
         "q37_decontamination", "q42_dedup_keep_list", "q43_simhash_pairs",
         "q49_weather_decode_sql", "q50_type6_egress",
         "q51_pq_topk", "q52_ivfpq_topk", "q54_curation_pipeline",
-        "q55_hybrid_retrieval", "q57_png_decode", "q58_gif_decode",
+        "q55_hybrid_retrieval", "q57_png_decode",
+        # q58_gif_decode rotated out r10 for q88 (reassembly contract):
+        # green r9 row, re-simmed green on current code; GIF/LZW stays
+        # golden- and ImageIO-cross-validated locally while the codec
+        # tier keeps five in-window gates on the shared plumbing.
+        "q88_reassembly_contract",
         "q59_dup_spans", "q60_jpeg_decode", "q61_flac_decode",
         "q62_ivf_index_topk", "q63_webp_decode", "q64_span_removal",
         "q65_tiff_decode", "q66_semantic_dedup", "q67_lm_perplexity",
