@@ -56,6 +56,98 @@ def test_st1_streaming_reassembly(spark, tmp_path):
     assert out[7]["payload"] == "15R9eN001n7DHvT13w0TBSM>00Rm"
 
 
+def test_st1_stream_vs_batch_on_reassembly_contract_corpus(spark, tmp_path):
+    """Run the q88 adversarial corpus (REASSEMBLY_ARCHIVE) through the
+    STREAMING reassembly chain and pin, case by case, where the keyed-state
+    operator agrees with the batch adjacency operator and where the two
+    deliberately diverge:
+
+    - AGREE (emitted by both, identical payloads): the singleton, the
+      golden 2-part, the 3-part, the tagblock-less M pair; and neither
+      side emits the incomplete D orphan or the checksum-corrupt E pair.
+    - STREAM-ONLY: out-of-order (F), interleaved (I/J), and non-adjacent
+      (K, L) groups — keyed state buffers per (seq_id, channel) and does
+      not require adjacency; on a LIVE feed these are real messages
+      (interleaving across slots is normal on-air behavior), while the
+      batch operator's adjacency key + splice guard must drop them
+      because a file archive offers no per-connection framing.
+    - BATCH-ONLY: the H pair — its duplicate num=1 predecessor (G)
+      poisons the stream buffer for key (5, A) (exactly the reference
+      ingress behavior: a corrupt buffer drops wholesale,
+      ais_ingressServer.py:84-106), while batch adjacency pairs the two
+      H fragments and orphans G.
+    """
+    from pincspark.plans.queries import REASSEMBLY_ARCHIVE, QUERIES
+    from pincspark.sources.nmea_source import tokenize_sentences
+    from pincspark.decode.kernel import checksum_valid
+    from pincspark.streaming.reassembly import reassemble_stream
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    # one file, written in corpus order (single input split -> the state
+    # operator sees each key's fragments in arrival order)
+    (src / "feed.txt").write_text("\n".join(REASSEMBLY_ARCHIVE) + "\n")
+
+    raw = spark.readStream.format("text").load(str(src))
+    df = (
+        raw.filter(F.col("value") != "")
+        .withColumn("bang", F.instr(F.col("value"), "!"))
+        .filter(F.col("bang") > 0)
+        .select(
+            F.expr("substring(value, 1, bang - 1)").alias("tagblock"),
+            F.expr("substring(value, bang, 1000000)").alias("sentence"),
+        )
+    )
+    df = tokenize_sentences(df).filter(checksum_valid(F.col("sentence")))
+    q = (
+        reassemble_stream(df, timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("st1_corpus")
+        .outputMode("append")
+        .start()
+    )
+    _start_and_drain(q)
+    stream = {
+        (r["seq_id"], r["channel"]): r["payload"]
+        for r in spark.sql("SELECT * FROM st1_corpus").collect()
+    }
+
+    golden = (
+        "58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l"
+        "PAiH8888880"
+    )
+    assert stream == {
+        (7, "A"): "15R9eN001n7DHvT13w0TBSM>00Rm",
+        (9, "A"): golden,
+        (4, "A"): "A111111111B2222C33",
+        (0, "A"): "M1111111M22",
+        # stream-only: no adjacency requirement
+        (3, "B"): "F1111111F22",
+        (6, "A"): "I1111111I22",
+        (7, "B"): "J1111111J22",
+        (8, "A"): "K1111111K22",
+        (9, "B"): "L1111111L22",
+    }
+
+    batch = {
+        r["seq_id"]: r["payload"]
+        for r in QUERIES["q88_reassembly_contract"][0](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert batch == {
+        7: "15R9eN001n7DHvT13w0TBSM>00Rm",
+        9: golden,
+        4: "A111111111B2222C33",
+        0: "M1111111M22",
+        5: "H1111111H22",  # batch-only (stream buffer poisoned by G)
+    }
+    # the messages BOTH sides emit are payload-identical
+    common = {7: stream[(7, "A")], 9: stream[(9, "A")],
+              4: stream[(4, "A")], 0: stream[(0, "A")]}
+    assert all(batch[k] == v for k, v in common.items())
+
+
 @pytest.fixture(scope="module")
 def zone_points():
     zones = {z["zone_id"]: z["coordinates"] for z in load_zone_data()}
