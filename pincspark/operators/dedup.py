@@ -923,13 +923,16 @@ def dedup_clusters(
     step that turns near-dup PAIRS into the per-document keep/drop list a
     dedup pipeline actually applies.
 
-    Iterative min-label propagation: every node starts as its own label;
-    each round every node takes the min of its own and its neighbors'
-    labels; stop at fixpoint — detected type-agnostically as "zero labels
-    changed this round" (a sum-based check would be wrong for string doc
-    ids, where sum() is NULL every round). Rounds needed = component
-    diameter, and LSH components are shallow (pairs share bucket
-    signatures), so this is a handful of label-table shuffles.
+    Iterative min-label propagation with pointer jumping: every node
+    starts as its own label; each round every node takes the min of its
+    own label, its neighbors' labels, and (from round 3) its label's
+    label (the pointer-jumping shortcut — the Kiveris et al. 2014
+    "hash-to-min" family acceleration); stop at fixpoint — detected
+    type-agnostically as "zero labels changed this round" (a sum-based
+    check would be wrong for string doc ids, where sum() is NULL every
+    round). Rounds needed = O(log diameter); shallow LSH components
+    (diameter <= 2-3, the common case) converge before the jump engages
+    and pay no extra shuffles.
 
     Scale notes (100 TB): only the LABELS table (one row per node that
     appears in a pair — far smaller than the corpus) ever shuffles; the
@@ -1016,20 +1019,46 @@ def dedup_clusters(
         "label", F.col("node")
     )
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         msgs = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        cur = labels.join(msgs, labels["node"] == msgs["src"], "left")
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        )
+        # Pointer-jumping shortcut (r10), engaged from round 3: each node
+        # also adopts its LABEL's label. Labels are always member node ids
+        # of the same component (they start as self and only arrive over
+        # edges), so the jump is safe, and combined with the neighbor-min
+        # it halves the remaining label-tree depth per round — a
+        # diameter-d chain converges in O(log d) rounds instead of d (the
+        # plain neighbor-min form hit the max_iters warning on any
+        # component deeper than the cap; at 100 TB, near-dup CHAINS —
+        # doc A ~ B ~ C with A !~ C — are exactly the shape LSH hands
+        # this operator). The first two rounds stay jump-free: round 1's
+        # jump is an identity by construction (all labels = self), and
+        # shallow LSH components (diameter <= 2-3, the common case)
+        # converge before the jump could help — they pay ZERO extra
+        # shuffles for the deep-chain insurance. Fixpoint unchanged: we
+        # stop only when NO label moved, and any fixpoint of neighbor-min
+        # alone is already the component minimum, so acceleration cannot
+        # alter the result.
+        if it >= 2:
+            jmp = labels.select(
+                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+            )
+            cur = cur.join(jmp, cur["label"] == jmp["jnode"], "left")
+            new_label = F.least(
+                new_label, F.coalesce(F.col("jlabel"), F.col("label"))
+            )
         nxt = (
-            labels.join(msgs, labels["node"] == msgs["src"], "left")
-            .select(
+            cur.select(
                 "node",
                 F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
             )
             .localCheckpoint(eager=True)
         )

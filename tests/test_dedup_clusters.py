@@ -39,6 +39,27 @@ def test_string_ids_multi_hop(spark):
     assert got == {k: "docA" for k in ("docA", "docB", "docC", "docD", "docE")}
 
 
+def test_long_chain_converges_in_logarithmic_rounds(spark):
+    """r10 pointer jumping: a 300-node path (diameter 299) must converge
+    well inside 12 rounds on the DISTRIBUTED path (driver_threshold=0
+    forces it) — plain neighbor-min needed 299 rounds and shipped wrong,
+    silently-split components past the max_iters cap."""
+    import warnings
+
+    from pincspark.operators.dedup import dedup_clusters
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = dedup_clusters(pairs, max_iters=12, driver_threshold=0).collect()
+    assert not any("did not converge" in str(x.message) for x in w)
+    got = {r["node"]: r["cluster_id"] for r in rows}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_nonconvergence_warns(spark):
     import warnings
 
