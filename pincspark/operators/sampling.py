@@ -61,14 +61,37 @@ def stratified_fixed(
     n_per_stratum: int,
     salt: str = "s",
     rank_col: str = "sample_rank",
+    presplit: int = 0,
 ) -> DataFrame:
     """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
     smaller): the n smallest (hash, id) per strata key. One shuffle on the
-    strata columns; deterministic and partitioning-independent."""
+    strata columns; deterministic and partitioning-independent.
+
+    ``presplit`` (skew armor, r10): a single window over a Zipf-skewed key
+    (registrable domains, user ids) funnels the hottest stratum's rows
+    through ONE task's sort — the classic 100-TB window-skew trap. With
+    ``presplit=S`` the top-K runs in two exact phases: phase 1 ranks
+    within (strata, hash-bucket-of-id mod S) and keeps K per bucket —
+    bounding any task's sort to ~1/S of the hottest stratum — and phase 2
+    re-ranks the <= S*K survivors per stratum. Output is IDENTICAL to the
+    single-phase form: every global top-K row is within its own bucket's
+    top-K, so phase 1 never discards a final survivor. Costs one extra
+    (much smaller) shuffle; leave 0 for un-skewed strata."""
     h = sample_hash(F.col(id_col), salt)
+    df_in = df
+    if presplit > 1:
+        bucket = F.pmod(sample_hash(F.col(id_col), salt + ":bkt"), F.lit(presplit))
+        w1 = Window.partitionBy(*[F.col(c) for c in strata], bucket).orderBy(
+            h.asc(), F.col(id_col).asc()
+        )
+        df_in = (
+            df.withColumn("__pre_rank", F.row_number().over(w1))
+            .filter(F.col("__pre_rank") <= n_per_stratum)
+            .drop("__pre_rank")
+        )
     w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        df.withColumn(rank_col, F.row_number().over(w))
+        df_in.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n_per_stratum)
     )
 

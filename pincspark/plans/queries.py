@@ -4793,6 +4793,77 @@ FROM named
 """
 
 
+def q89_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/CCNet curation step that
+    stops one mirror-heavy site from dominating a crawl): mint each
+    document's host deterministically (the q77 minting, same doc_id % 6
+    mapping), extract the REGISTRABLE domain with the real
+    `pincspark.functions.url.registered_domain` (multi-label public
+    suffixes included), and keep at most 25 docs per domain — the 25
+    smallest md5(salt:doc_id) hashes, ties by doc_id, so the kept set is
+    reproducible on any cluster size/partitioning/corpus order.
+
+    Scale shape: domains are Zipf-skewed by nature, so the cap runs
+    through `stratified_fixed(presplit=8)` — the two-phase exact top-K
+    whose phase 1 bounds any single task's sort to ~1/8 of the hottest
+    domain (see the operator docstring for the exactness argument). The
+    oracle reimplements the minting->domain mapping as a literal CASE and
+    the cap as one ROW_NUMBER, pinning the semantics independently of
+    both the url functions and the two-phase rewrite."""
+    from pincspark.functions.url import registered_domain
+    from pincspark.operators.sampling import stratified_fixed
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.lit("Example.COM"))
+        .when(d % 6 == 1, F.lit("news.Example.co.uk"))
+        .when(d % 6 == 2, F.lit("WWW.Spam-Site.com"))
+        .when(d % 6 == 3, F.lit("blog.example.org"))
+        .when(d % 6 == 4, F.lit("tracker.Ads-Net.com"))
+        .otherwise(F.lit("docs.example.com.au"))
+    )
+    minted = docs.select(
+        "doc_id", registered_domain(F.lower(host)).alias("domain")
+    )
+    out = stratified_fixed(
+        minted, "doc_id", ("domain",), 25, salt="domcap",
+        rank_col="cap_rank", presplit=8,
+    )
+    return out.select(
+        "doc_id", "domain", F.col("cap_rank").cast("int").alias("cap_rank")
+    )
+
+
+def _q89_oracle() -> str:
+    from pincspark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "domcap")
+    return f"""
+SELECT doc_id, domain, CAST(rn AS INTEGER) AS cap_rank
+FROM (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM (
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'example.com'
+             WHEN 1 THEN 'example.co.uk'
+             WHEN 2 THEN 'spam-site.com'
+             WHEN 3 THEN 'example.org'
+             WHEN 4 THEN 'ads-net.com'
+             ELSE 'example.com.au'
+           END AS domain
+    FROM documents
+  )
+)
+WHERE rn <= 25
+"""
+
+
+ORACLE_Q89 = _q89_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -5304,7 +5375,6 @@ ORACLE_Q50 = _q50_oracle()
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
-    "q03_region_enrich": (q03_region_enrich, ORACLE_Q03),
     "q06_asof_enrich": (q06_asof_enrich, ORACLE_Q06),
     # NEW r9 (in-window at registration, per the no-ungated-query policy;
     # q17_lang_id rotates out to make room — pure-SQL n-gram scoring with
@@ -5347,6 +5417,12 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
     "q71_incremental_dedup": (q71_incremental_dedup, ORACLE_Q71),
     "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
+    # NEW r10 (in-window at registration; q03_region_enrich rotates out —
+    # a native broadcast-equi enrichment with a green r9 row; broadcast
+    # enrichment stays exercised in-window via q71's snapshot joins and
+    # q55's dimension joins, and q03 stays full-catalog parity-tested):
+    # per-domain document cap through the skew-safe two-phase top-K
+    "q89_domain_cap": (q89_domain_cap, ORACLE_Q89),
     "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
     "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
     # --- r9 gate-debt retirement: the 14 never-driver-gated rows ---
@@ -5369,6 +5445,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # committed CORRECTNESS_r* history and stays parity-tested over the
     # FULL catalog by tests/test_oracle_parity.py) ---
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
+    # rotated out r10 for q89 (domain cap): native broadcast-equi
+    # enrichment, green r9 row; see the q89 registration note
+    "q03_region_enrich": (q03_region_enrich, ORACLE_Q03),
     "q04_event_route": (q04_event_route, ORACLE_Q04),
     "q05_json_props": (q05_json_props, ORACLE_Q05),
     "q07_latest_state": (q07_latest_state, ORACLE_Q07),

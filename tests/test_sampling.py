@@ -108,3 +108,37 @@ def test_temperature_sample_membership_is_stable_under_growth(spark):
     )
     joined = out.join(expect, "doc_id")
     assert joined.filter("kept <> e").count() == 0
+
+
+def test_stratified_fixed_presplit_is_exact(spark):
+    """The two-phase skew-safe top-K (presplit=S) must produce IDENTICAL
+    rows and ranks to the single-phase form on a Zipf-skewed key: every
+    global top-K row is inside its own bucket's top-K, so phase 1 never
+    drops a final survivor."""
+    from pincspark.operators.sampling import stratified_fixed
+
+    # skewed strata: one hot key with 800 rows, tails with 40/7/1
+    rows = (
+        [(i, "hot") for i in range(800)]
+        + [(1000 + i, "warm") for i in range(40)]
+        + [(2000 + i, "cool") for i in range(7)]
+        + [(3000, "cold")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def result(presplit):
+        out = stratified_fixed(
+            df, "doc_id", ("domain",), 10, salt="x", presplit=presplit
+        )
+        return sorted(
+            (r["domain"], r["sample_rank"], r["doc_id"]) for r in out.collect()
+        )
+
+    single = result(0)
+    assert result(4) == single
+    assert result(16) == single  # more buckets than some strata have rows
+    # caps honored: 10 for big strata, full stratum when smaller
+    per = {}
+    for dom, _, _ in single:
+        per[dom] = per.get(dom, 0) + 1
+    assert per == {"hot": 10, "warm": 10, "cool": 7, "cold": 1}
