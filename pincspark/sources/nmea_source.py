@@ -11,9 +11,9 @@ Reference behavior re-expressed:
 
 Batch grouping trick: multi-part fragments are adjacent lines, so
 ``line_idx - (num - 1)`` is constant within a group — grouping on that key
-plus seq id reassembles without any stateful pass. ONE shuffle, and only
-rows from multi-part groups carry any grouping cost (singletons pass
-through a cheap aggregate of size 1).
+plus seq id reassembles without any stateful pass. Singletons (total == 1,
+the overwhelming majority of AIS traffic) bypass the shuffle entirely on a
+narrow branch; ONE shuffle carries only the multi-part sliver.
 """
 
 from __future__ import annotations
@@ -143,19 +143,63 @@ def reassemble(
     into a fabricated message that the reference — one unsplit stream —
     would drop.
 
-    ``materialize`` (default: follows ``repair_boundaries``): the repair
-    makes ``grouped`` a two-consumer subtree (complete + leftovers), and
-    Spark re-executes the archive scan per consumer (common-subtree reuse
-    is not guaranteed across the union). Eagerly ``localCheckpoint``-ing
-    the grouped frame stages it once, so the archive is scanned exactly
-    once regardless of how many frames fan out above. On a multi-executor
-    cluster prefer ``.checkpoint()`` to reliable storage or staging to
-    parquet — localCheckpoint trades executor-loss tolerance for speed.
+    ``materialize`` (default: follows ``repair_boundaries``): the
+    singleton bypass, the grouped branch, and the repair branch are three
+    consumers of the validated tokenized frame, and Spark re-executes the
+    archive scan per consumer (common-subtree reuse is not guaranteed
+    across the union). Eagerly ``localCheckpoint``-ing that frame (r10 —
+    previously the staged frame was ``grouped``, before singletons
+    bypassed the shuffle) stages it once, so the archive is scanned
+    exactly once regardless of how many frames fan out above. On a
+    multi-executor cluster prefer ``.checkpoint()`` to reliable storage
+    or staging to parquet — localCheckpoint trades executor-loss
+    tolerance for speed.
     """
     if materialize is None:
         materialize = repair_boundaries
-    valid = df.filter(checksum_valid(F.col("sentence")))
-    keyed = valid.withColumn(
+    # Project to exactly what reassembly consumes BEFORE staging: the raw
+    # sentence (the widest column) never leaves the scan stage.
+    valid = df.filter(checksum_valid(F.col("sentence"))).select(
+        "line_idx", "tagblock", "ts", "seq_id", "total", "num", "payload"
+    )
+    if materialize:
+        # Stage the validated tokenized frame ONCE: the singleton branch,
+        # the grouped branch, and the repair branch all fan out from it,
+        # so the archive executes exactly one FileScan regardless of how
+        # many consumers sit above (the same single-scan policy
+        # test_plans.py pins for the whole flagship). On a multi-executor
+        # cluster prefer .checkpoint() to reliable storage.
+        if plan_sink is not None:
+            plan_sink.append(valid._jdf.queryExecution().executedPlan().toString())
+        # eager=False: the first action over the union materializes the
+        # staged frame in-job (no separate job barrier); later consumers
+        # in the same and subsequent actions read the stored blocks.
+        valid = valid.localCheckpoint(eager=False)
+    # Singleton bypass (r10): total == 1 messages — the overwhelming
+    # majority of AIS traffic — need no grouping at all, so they take a
+    # NARROW map-only branch (emit iff num == 1, exactly what the
+    # sequence check would decide) and never enter the shuffle. Only
+    # multi-part fragments ride the groupBy, which shrinks the one big
+    # exchange to the few percent of rows that actually need reassembly —
+    # at sf0.1 this took the flagship's reassembly stage from ~0.9s to
+    # the shuffle cost of the multi-part sliver alone; at 100 TB it is
+    # the difference between shuffling the archive and shuffling its
+    # multi-part sliver. Semantics unchanged: total == 1 groups are never
+    # repair leftovers (n_frags == 1 == total), a num != 1 singleton
+    # fails the 1..total sequence check on both paths, and malformed
+    # total <= 0 rows stay on the grouped path where the existing checks
+    # drop them.
+    singles = (
+        valid.filter((F.col("total") == 1) & (F.col("num") == 1))
+        .select(
+            "tagblock",
+            "ts",
+            "seq_id",
+            F.col("total").alias("n_sentences"),
+            "payload",
+        )
+    )
+    keyed = valid.filter(F.col("total") != 1).withColumn(
         "group_key", F.col("line_idx") - (F.col("num") - 1).cast("bigint")
     )
     grouped = (
@@ -167,11 +211,7 @@ def reassemble(
             F.count(F.lit(1)).alias("n_frags"),
         )
     )
-    if repair_boundaries and materialize:
-        if plan_sink is not None:
-            plan_sink.append(grouped._jdf.queryExecution().executedPlan().toString())
-        grouped = grouped.localCheckpoint(eager=True)
-    out = _emit_groups(grouped)
+    out = singles.unionByName(_emit_groups(grouped))
     if not repair_boundaries:
         return out
 
