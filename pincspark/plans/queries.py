@@ -4864,6 +4864,85 @@ WHERE rn <= 25
 ORACLE_Q89 = _q89_oracle()
 
 
+def q90_link_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority prior (PageRank) as a corpus-quality feature:
+    mint a deterministic citation graph over the documents (each doc
+    cites doc_id div 2 and doc_id div 3; self-loops dropped, duplicate
+    edges kept as a multiset) and run THREE power iterations at damping
+    85/100 through `pincspark.operators.graph.pagerank_int` — entirely in
+    BIGINT micro-units with truncating division, so the DuckDB oracle
+    (the same three iterations unrolled as CTEs) reproduces every rank
+    bit-for-bit. A floating-point formulation would sum in shuffle order
+    and go driver-red on the last ulp (the q59 class); the integer form
+    makes an ITERATIVE graph algorithm value-hash gateable."""
+    from pincspark.operators.graph import pagerank_int
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 3").alias("dst")
+    )
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank_int(edges, iters=3)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("rank_micro")
+    )
+
+
+def _q90_oracle() -> str:
+    from pincspark.operators.graph import SCALE
+
+    base = f"{15 * SCALE} // (100 * n.n)"
+    return f"""
+WITH e AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id // 2 <> doc_id
+  UNION ALL
+  SELECT doc_id AS src, doc_id // 3 AS dst FROM documents WHERE doc_id // 3 <> doc_id
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+), n AS (SELECT COUNT(*) AS n FROM nodes),
+od AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+r0 AS (
+  SELECT node, {SCALE} // n.n AS rank FROM nodes CROSS JOIN n
+),
+c1 AS (
+  SELECT e.dst AS node, SUM(r0.rank // od.out_deg) AS inflow
+  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src GROUP BY e.dst
+),
+r1 AS (
+  SELECT nodes.node,
+         CAST({base} + (85 * COALESCE(c1.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(r1.rank // od.out_deg) AS inflow
+  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src GROUP BY e.dst
+),
+r2 AS (
+  SELECT nodes.node,
+         CAST({base} + (85 * COALESCE(c2.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.node
+),
+c3 AS (
+  SELECT e.dst AS node, SUM(r2.rank // od.out_deg) AS inflow
+  FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src GROUP BY e.dst
+),
+r3 AS (
+  SELECT nodes.node,
+         CAST({base} + (85 * COALESCE(c3.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.node
+)
+SELECT node AS doc_id, rank AS rank_micro FROM r3
+"""
+
+
+ORACLE_Q90 = _q90_oracle()
+
+
 def q64_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup REWRITE (Lee et al. 2022 ExactSubstr removal):
     the operator that ACTS on q59's census — every duplicated 8-token span
@@ -5385,7 +5464,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
     "q31_position_decode_sql": (q31_position_decode_sql, ORACLE_Q31),
-    "q32_static_voyage_sql": (q32_static_voyage_sql, ORACLE_Q32),
+    # NEW r10 (in-window at registration; q32_static_voyage_sql rotates
+    # out — green r9 row, golden-pinned locally, and the decode SQL-twin
+    # tier keeps four in-window gates (q31/q33/q34/q49) plus q50's
+    # DAC533 egress; type-5 voyage decode also rides the flagship's
+    # static frame): iterative integer PageRank over a minted citation
+    # graph — the first ITERATIVE graph algorithm with a bit-exact
+    # value-hash oracle (3 unrolled power iterations in BIGINT)
+    "q90_link_authority": (q90_link_authority, ORACLE_Q90),
     "q33_classb_longrange_sql": (q33_classb_longrange_sql, ORACLE_Q33),
     "q34_static_report_sql": (q34_static_report_sql, ORACLE_Q34),
     "q37_decontamination": (q37_decontamination, ORACLE_Q37),
@@ -5486,6 +5572,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q48_bm25_scores": (q48_bm25_scores, ORACLE_Q48),
     "q53_lsh_verify": (q53_lsh_verify, ORACLE_Q53),
     "q56_media_decode": (q56_media_decode, ORACLE_Q56),
+    # rotated out r10 for q90 (link authority): type-5 voyage SQL twin,
+    # green r9 row; see the q90 registration note
+    "q32_static_voyage_sql": (q32_static_voyage_sql, ORACLE_Q32),
     # rotated out r10 for q88 (reassembly contract): green r9 row; see
     # the q88 registration note for the codec-tier subsumption
     "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),

@@ -396,7 +396,11 @@ def test_harness_window_composition_is_pinned():
     # in a native rollup call.
     for flagship in (
         "q24_nmea_validate", "q27_embedding_dups",
-        "q31_position_decode_sql", "q32_static_voyage_sql",
+        "q31_position_decode_sql",
+        # q32_static_voyage_sql rotated out r10 for q90 (link authority):
+        # green r9 row, re-simmed on current code; the decode SQL-twin
+        # tier keeps q31/q33/q34/q49 + q50 in-window.
+        "q90_link_authority",
         "q33_classb_longrange_sql", "q34_static_report_sql",
         "q37_decontamination", "q42_dedup_keep_list", "q43_simhash_pairs",
         "q49_weather_decode_sql", "q50_type6_egress",
