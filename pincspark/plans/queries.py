@@ -1340,24 +1340,28 @@ def q23_zone_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pip_crossings_sql(verts) -> str:
+    """DuckDB ray-casting crossing count over columns ``lon``/``lat``,
+    with slopes precomputed in Python — the SAME double literals the
+    Spark predicate plants (geo.point_in_polygon_static), so boundary
+    decisions are bit-identical across engines."""
+    terms = []
+    for (px, py), (qx, qy) in zip(verts[:-1], verts[1:]):
+        slope = (qx - px) / (qy - py)
+        terms.append(
+            f"(CASE WHEN (({py!r} > lat) <> ({qy!r} > lat)) AND "
+            f"(lon < {slope!r} * (lat - {py!r}) + {px!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def _zone_oracle() -> str:
     from pincspark.operators.geo import load_zone_data
 
     zone_sqls = []
     for z in load_zone_data():
-        terms = []
-        verts = z["coordinates"]
-        for (px, py), (qx, qy) in zip(verts[:-1], verts[1:]):
-            # slope precomputed in Python — the SAME double literal the
-            # Spark predicate plants (geo.point_in_polygon_static), so
-            # boundary decisions are bit-identical across engines
-            slope = (qx - px) / (qy - py)
-            terms.append(
-                f"(CASE WHEN (({py!r} > lat) <> ({qy!r} > lat)) AND "
-                f"(lon < {slope!r} * (lat - {py!r}) + {px!r}) "
-                f"THEN 1 ELSE 0 END)"
-            )
-        crossings = " + ".join(terms)
+        crossings = _pip_crossings_sql(z["coordinates"])
         zone_sqls.append(
             f"SELECT {z['zone_id']} AS zone_id, '{z['zone_name']}' AS zone_name, "
             f"user_id FROM pts WHERE ({crossings}) % 2 = 1"
@@ -1380,6 +1384,83 @@ FROM m GROUP BY zone_id, zone_name
 
 
 ORACLE_Q23 = _zone_oracle()
+
+
+def q91_zone_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2-batch zone ENTRY/EXIT transitions, oracle-gated (the zone
+    state machine previously carried only local stream==batch parity):
+    deterministic moving fixes minted from events (lon from value, lat
+    from event_id so vessels actually cross zone boundaries, ts =
+    timestamp_micros(event_id) so per-vessel ordering is strict and the
+    lag() is deterministic), flagged with the codegen ray-casting PIP,
+    then `pincspark.streaming.zones.track_zone_transitions_batch` — a
+    transition is any report whose zone membership differs from the
+    vessel's previous report, first-report-inside counts as 'enter'
+    (reference counters: ais_webSocketServerDb.py:226-260). The oracle
+    reimplements the PIP (shared slope literals) and the state machine
+    as LAG() over (mmsi, event order) in SQL."""
+    from pincspark.operators.geo import load_zone_data, point_in_polygon_static
+    from pincspark.streaming.zones import track_zone_transitions_batch
+
+    ev = table(spark, sf_dir, "events")
+    fixes = ev.select(
+        F.col("user_id").alias("mmsi"),
+        F.timestamp_micros(F.col("event_id")).alias("ts"),
+        (F.lit(100.5) + F.col("value") % F.lit(2.5)).alias("longitude"),
+        (
+            F.lit(1.0)
+            + (F.col("event_id") % F.lit(21)).cast("double") / F.lit(10.0)
+        ).alias("latitude"),
+    )
+    flags = {1: "in_north", 2: "in_south"}
+    for z in load_zone_data():
+        fixes = fixes.withColumn(
+            flags[z["zone_id"]],
+            point_in_polygon_static(
+                "`longitude`", "`latitude`", z["coordinates"]
+            ),
+        )
+    out = track_zone_transitions_batch(fixes)
+    return out.select(
+        "mmsi",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("zone_id").cast("int").alias("zone_id"),
+        "event",
+    )
+
+
+def _q91_oracle() -> str:
+    from pincspark.operators.geo import load_zone_data
+
+    zones = {z["zone_id"]: _pip_crossings_sql(z["coordinates"]) for z in load_zone_data()}
+    return f"""
+WITH pts AS (
+  SELECT user_id AS mmsi, event_id,
+         100.5 + (value % 2.5) AS lon,
+         1.0 + CAST(event_id % 21 AS DOUBLE) / 10.0 AS lat
+  FROM events
+), f AS (
+  SELECT mmsi, event_id,
+         (({zones[1]}) % 2 = 1) AS in_north,
+         (({zones[2]}) % 2 = 1) AS in_south
+  FROM pts
+), t AS (
+  SELECT mmsi, event_id, in_north, in_south,
+         COALESCE(LAG(in_north) OVER w, FALSE) AS prev_north,
+         COALESCE(LAG(in_south) OVER w, FALSE) AS prev_south
+  FROM f WINDOW w AS (PARTITION BY mmsi ORDER BY event_id ASC)
+)
+SELECT mmsi, event_id AS ts_us, CAST(1 AS INTEGER) AS zone_id,
+       CASE WHEN in_north THEN 'enter' ELSE 'exit' END AS event
+FROM t WHERE in_north <> prev_north
+UNION ALL
+SELECT mmsi, event_id AS ts_us, CAST(2 AS INTEGER) AS zone_id,
+       CASE WHEN in_south THEN 'enter' ELSE 'exit' END AS event
+FROM t WHERE in_south <> prev_south
+"""
+
+
+ORACLE_Q91 = _q91_oracle()
 
 # The reference's own golden sentence corpus (ais_nmea.py:114-133) plus
 # negative fixtures — P1 tokenize + P2 checksum as engine-level SQL.
@@ -5460,7 +5541,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # a green r8 row, text scoring stays in-window via q38 + q54 stage 1):
     # compaction row-identity through the physical rewrite (VERDICT r8 #3)
     "q87_compaction_identity": (q87_compaction_identity, ORACLE_Q87),
-    "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
+    # NEW r10 (in-window at registration; q23_zone_occupancy rotates out —
+    # green r9 row; q91 exercises the SAME minted points + codegen PIP
+    # predicate per-row and is strictly stronger on the geo machinery:
+    # the order-sensitive entry/exit state machine vs q23's
+    # order-insensitive counts; the native distinct-vessel agg stays
+    # gated via q10/q75): ST2-batch zone transitions
+    "q91_zone_transitions": (q91_zone_transitions, ORACLE_Q91),
     "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
     "q31_position_decode_sql": (q31_position_decode_sql, ORACLE_Q31),
@@ -5575,6 +5662,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r10 for q90 (link authority): type-5 voyage SQL twin,
     # green r9 row; see the q90 registration note
     "q32_static_voyage_sql": (q32_static_voyage_sql, ORACLE_Q32),
+    # rotated out r10 for q91 (zone transitions): PIP occupancy counts,
+    # green r9 row; see the q91 registration note
+    "q23_zone_occupancy": (q23_zone_occupancy, ORACLE_Q23),
     # rotated out r10 for q88 (reassembly contract): green r9 row; see
     # the q88 registration note for the codec-tier subsumption
     "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),

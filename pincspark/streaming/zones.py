@@ -192,22 +192,41 @@ def occupancy_summary(transitions: DataFrame) -> DataFrame:
 def track_zone_transitions_batch(flagged: DataFrame) -> DataFrame:
     """Batch twin of ST2 (same semantics, one window pass): a transition is
     any row whose zone membership differs from the previous report of the
-    same vessel (first report inside a zone is an 'enter')."""
+    same vessel (first report inside a zone is an 'enter').
+
+    The two zone flags MELT into (zone_id, flag) rows before a single
+    lag() window over (mmsi, zone_id) — one scan and one shuffle for both
+    zones (r10; the previous per-zone union re-scanned the input per
+    zone), and the finer partition key parallelizes better than per-mmsi
+    windows at fleet scale."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("mmsi").orderBy(F.col("ts").asc())
-    out = []
-    for zone_id, flag in ((1, "in_north"), (2, "in_south")):
-        prev = F.lag(flag).over(w)
-        df = (
-            flagged.withColumn("__prev", F.coalesce(prev, F.lit(False)))
-            .filter(F.col(flag) != F.col("__prev"))
-            .select(
-                "mmsi",
-                "ts",
-                F.lit(zone_id).alias("zone_id"),
-                F.when(F.col(flag), F.lit("enter")).otherwise(F.lit("exit")).alias("event"),
+    melted = flagged.select(
+        "mmsi",
+        "ts",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("zone_id"), F.col("in_north").alias("flag")
+                ),
+                F.struct(
+                    F.lit(2).alias("zone_id"), F.col("in_south").alias("flag")
+                ),
             )
+        ).alias("z"),
+    ).select("mmsi", "ts", F.col("z.zone_id").alias("zone_id"), F.col("z.flag").alias("flag"))
+    w = Window.partitionBy("mmsi", "zone_id").orderBy(F.col("ts").asc())
+    return (
+        melted.withColumn(
+            "__prev", F.coalesce(F.lag("flag").over(w), F.lit(False))
         )
-        out.append(df)
-    return out[0].unionByName(out[1])
+        .filter(F.col("flag") != F.col("__prev"))
+        .select(
+            "mmsi",
+            "ts",
+            "zone_id",
+            F.when(F.col("flag"), F.lit("enter"))
+            .otherwise(F.lit("exit"))
+            .alias("event"),
+        )
+    )
