@@ -59,7 +59,9 @@ def pagerank_int(
     e = edges.select(
         F.col(src).cast("bigint").alias("e_src"),
         F.col(dst).cast("bigint").alias("e_dst"),
-    )
+    ).localCheckpoint(eager=False)
+    # staged once, read by every round's join + out_deg + nodes — without
+    # this the final action re-derives the edge scan ~2x per iteration
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .union(e.select(F.col("e_dst").alias("node")))
