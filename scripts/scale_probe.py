@@ -83,6 +83,11 @@ DEFAULT_QUERIES = [
     "q55_hybrid_retrieval",
     "q59_dup_spans",
     "q62_ivf_index_topk",
+    # r10 additions with data-dependent cost shapes (q88 is fixed-size
+    # synthetic input, so it is deliberately NOT probed):
+    "q89_domain_cap",
+    "q90_link_authority",
+    "q91_zone_transitions",
 ]
 
 
