@@ -168,3 +168,94 @@ def test_model_matches_q88_corpus():
 def test_batch_reassembly_matches_model(spark, entries):
     lines = _render(entries)
     assert spark_reassemble(spark, lines) == model_reassemble(lines)
+
+
+def model_reassemble_stream(lines: list[str]) -> list[tuple[int, int, str]]:
+    """Executable model of the STREAMING keyed-state contract
+    (pincspark/streaming/reassembly.py): per (seq_id, channel) in arrival
+    order — singletons emit immediately; a fragment whose total differs
+    from the buffered partial drops the stale partial; when the buffer
+    reaches ``total`` it emits iff the nums are exactly 1..total (any
+    arrival order) and resets either way. Checksum-invalid and non-bang
+    lines never reach the operator."""
+    state: dict = {}
+    out = []
+    for line in lines:
+        bang = line.find("!")
+        if bang < 0:
+            continue
+        sentence = line[bang:]
+        body, _, declared = sentence.partition("*")
+        if _cks(body[1:]) != declared[:2].upper():
+            continue
+        parts = sentence.split(",")
+        total = int(parts[1]) if parts[1] else 1
+        num = int(parts[2]) if parts[2] else 1
+        seq = int(parts[3]) if parts[3] else 0
+        chan = parts[4]
+        payload = parts[5]
+        if total <= 1:
+            out.append((seq, chan, 1, payload))
+            continue
+        key = (seq, chan)
+        nums, payloads, btotal = state.get(key, ([], [], 0))
+        if btotal and total != btotal:
+            nums, payloads = [], []
+        nums = nums + [num]
+        payloads = payloads + [payload]
+        if len(nums) >= total:
+            if sorted(nums) == list(range(1, total + 1)):
+                order = sorted(range(total), key=lambda i: nums[i])
+                out.append(
+                    (seq, chan, total, "".join(payloads[i] for i in order))
+                )
+            state.pop(key, None)
+        else:
+            state[key] = (nums, payloads, total)
+    return sorted(out)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(line_strategy, min_size=1, max_size=25))
+def test_stream_reassembly_matches_model(spark, tmp_path_factory, entries):
+    from pyspark.sql import functions as F
+
+    from pincspark.decode.kernel import checksum_valid
+    from pincspark.sources.nmea_source import tokenize_sentences
+    from pincspark.streaming.reassembly import reassemble_stream
+
+    lines = _render(entries)
+    src = tmp_path_factory.mktemp("st1prop")
+    (src / "feed.txt").write_text("\n".join(lines) + "\n")
+    raw = spark.readStream.format("text").load(str(src))
+    df = (
+        raw.filter(F.col("value") != "")
+        .withColumn("bang", F.instr(F.col("value"), "!"))
+        .filter(F.col("bang") > 0)
+        .select(
+            F.expr("substring(value, 1, bang - 1)").alias("tagblock"),
+            F.expr("substring(value, bang, 1000000)").alias("sentence"),
+        )
+    )
+    df = tokenize_sentences(df).filter(checksum_valid(F.col("sentence")))
+    name = f"st1prop_{abs(hash(tuple(lines))) % 10**9}"
+    q = (
+        reassemble_stream(df, timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["seq_id"], r["channel"], r["n_sentences"], r["payload"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert got == model_reassemble_stream(lines)
