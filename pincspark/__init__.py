@@ -12,7 +12,8 @@ re-expresses every capability idiomatically on Spark:
                               pure column-expression fast paths)
 - ``pincspark.operators``   — relational operators as DataFrame->DataFrame
                               functions (as-of join, latest-per-key, dedup,
-                              similarity search, geo joins, ...)
+                              similarity search, geo joins, graph ranking,
+                              sampling/caps, layout, sketches, ...)
 - ``pincspark.sources``     — batch/streaming source readers
 - ``pincspark.streaming``   — stateful streaming operators (fragment
                               reassembly, zone entry/exit) and sinks
