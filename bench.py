@@ -383,7 +383,17 @@ def _uniform_inflation(
     or too few queries are comparable. Replayed against the recorded r6
     history this separates the observed clean runs (median 1.0-1.2,
     including cold-page-cache first passes after a reboot) from the
-    observed wave runs (median 1.43+)."""
+    observed wave runs (median 1.43+).
+
+    Threshold-creep caveat (r10 forensics): bests are all-time MINIMUMS,
+    so as clean rounds accumulate the expected clean-row median ratio
+    rises mechanically — the measured structural floor (per-query
+    median-of-clean-rows vs own minimum, >=8 samples each) is already
+    1.255 (p25 1.193, p75 1.316), and the cleanest r10 rows read
+    1.20-1.33 against a wave onset of ~1.37. If a quiet-box row ever
+    trips 1.35, re-derive this detector against a per-query
+    MEDIAN-of-clean-history baseline (replayed r10: clean rows 0.74-1.08,
+    waves 1.09-1.30 on that baseline) instead of raising the constant."""
     ratios = sorted(
         t / best[q] for q, t in timings.items() if q in best and best[q] > 0.2
     )
