@@ -69,3 +69,53 @@ def test_null_bearing_right_rows_attach_as_one_row(spark, impl):
     }
     assert rows[15] == ("ANNA", None)   # matched row = part A
     assert rows[30] == (None, 60)       # matched row = part B, name stays null
+
+
+def test_random_frames_match_backward_inclusive_model(spark):
+    """Property coverage for J1 beyond the fixed fixtures: random
+    left/right frames (duplicate left timestamps, keys with no right
+    rows, dense ties) must match the documented backward-inclusive
+    contract — for each left (k, t), attach the right row with the
+    largest rt <= t, whole-row, else nulls. Right (k, rt) pairs are
+    unique by construction: with duplicate right timestamps the winner
+    is unspecified (pandas merge_asof shares that caveat)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                 min_size=1, max_size=25),
+        st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                 min_size=0, max_size=25),
+    )
+    def inner(left_rows, right_rows):
+        right_uniq = {}
+        for i, (k, t) in enumerate(right_rows):
+            right_uniq[(k, t)] = f"v{i}"
+        left = spark.createDataFrame(
+            [(k, t) for k, t in left_rows], "k BIGINT, t INT"
+        ).withColumn("t", F.timestamp_seconds("t"))
+        if right_uniq:
+            right = spark.createDataFrame(
+                [(k, t, v) for (k, t), v in right_uniq.items()],
+                "k BIGINT, t INT, v STRING",
+            ).withColumn("t", F.timestamp_seconds("t"))
+        else:
+            right = spark.createDataFrame(
+                [], "k BIGINT, t TIMESTAMP, v STRING"
+            )
+        got = sorted(
+            (r["k"], int(r["t"].timestamp()), r["v"])
+            for r in asof_join(left, right, on="t", by="k",
+                               right_cols=["v"]).collect()
+        )
+        expect = []
+        for k, t in left_rows:
+            cands = [(rt, v) for (rk, rt), v in right_uniq.items()
+                     if rk == k and rt <= t]
+            expect.append((k, t, max(cands)[1] if cands else None))
+        assert got == sorted(expect)
+
+    inner()
