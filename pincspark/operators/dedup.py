@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pincspark.functions.text import fingerprint, normalize_text
+from pincspark.planhooks import record_staged_plan
 
 # Fixed MinHash permutation parameters (a*h + b) mod P over the 31-bit prime.
 # Generated once from a fixed seed; hardcoded so Spark and the SQL oracle
@@ -868,7 +869,9 @@ def simhash_hamming_pairs(
     # would each re-run the simhash fold otherwise — same single-scan
     # policy as q54's shingle staging. At cluster scale swap for
     # checkpoint() on reliable storage.
-    banded = banded.localCheckpoint(eager=False)
+    banded = record_staged_plan(banded, "simhash:banded").localCheckpoint(
+        eager=False
+    )
     # bands * 2^width rows at most — always broadcastable
     sizes = (
         banded.groupBy("band", "slice")
@@ -959,11 +962,11 @@ def dedup_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        # Materialized ONCE: every propagation round joins against edges, and
-        # without this the full upstream pair-generation pipeline (MinHash,
-        # shingling, ...) would re-execute per round.
-        .localCheckpoint(eager=True)
     )
+    # Materialized ONCE: every propagation round joins against edges, and
+    # without this the full upstream pair-generation pipeline (MinHash,
+    # shingling, ...) would re-execute per round.
+    edges = record_staged_plan(edges, "cc:edges").localCheckpoint(eager=True)
     n_edges = edges.count()
     use_driver = n_edges <= driver_threshold
     if use_driver and n_edges > 0 and isinstance(
@@ -1054,14 +1057,14 @@ def dedup_clusters(
             new_label = F.least(
                 new_label, F.coalesce(F.col("jlabel"), F.col("label"))
             )
-        nxt = (
+        nxt = record_staged_plan(
             cur.select(
                 "node",
                 F.col("label").alias("old_label"),
                 new_label.alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+            ),
+            f"cc:iter{it}",
+        ).localCheckpoint(eager=True)
         changed = nxt.filter(F.col("label") != F.col("old_label")).count()
         labels = nxt.drop("old_label")
         if changed == 0:
@@ -1202,7 +1205,9 @@ def semantic_dedup(
             F.col("__best.cell").alias("cell"),
             F.col("__best.cs").alias("cent_sim"),
         )
-        .localCheckpoint(eager=False)
+    )
+    assigned = record_staged_plan(assigned, "semdedup:assigned").localCheckpoint(
+        eager=False
     )
     if max_cluster_size is not None:
         sizes = assigned.groupBy(F.col("cell").alias("__c")).agg(
@@ -1480,7 +1485,9 @@ def incremental_dedup(
     # Staged once: the exact-match branch and the banded LSH branch below
     # both consume it, and each pushes different projections under the
     # signature aggregate (same policy as semantic_dedup's assignment).
-    new_snap = new_snap.localCheckpoint(eager=False)
+    new_snap = record_staged_plan(new_snap, "incdedup:new_snap").localCheckpoint(
+        eager=False
+    )
 
     prior_fps = snap.select(F.col("fingerprint").alias("__pfp")).distinct()
     exact = new_snap.join(

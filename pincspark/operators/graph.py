@@ -3,11 +3,16 @@
 feature (alongside the CCNet/DSIR content signals in `operators/lm.py`).
 
 Design notes (100 TB):
-- Power iteration is joins + aggregations only: each round shuffles the
-  RANKS table (one row per node — far smaller than the corpus) against the
-  edge table; partial aggregation combines a hot destination's inflow
-  map-side, so a celebrity node never funnels raw contribution rows
-  through one task.
+- Power iteration is joins + aggregations only: the edge table is staged
+  ONCE, hash-partitioned on its source key (the checkpoint's LogicalRDD
+  preserves outputPartitioning), and every round's rank join co-locates
+  against it with no edge exchange; the previous round's ranks checkpoint
+  is already hash(node)-partitioned from its own join, so the steady-state
+  iteration runs with exactly ONE exchange — the contribution groupBy on
+  the destination key (node-sized after partial aggregation; pinned by
+  tests/test_graph.py::test_pagerank_iteration_never_reshuffles_edges).
+  Partial aggregation combines a hot destination's inflow map-side, so a
+  celebrity node never funnels raw contribution rows through one task.
 - **Integer fixed-point arithmetic** (BIGINT micro-units, truncating
   division): floating-point PageRank sums in shuffle order, so two runs —
   or two engines — disagree in the last ulp and a value-hash oracle goes
@@ -26,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pincspark.planhooks import record_staged_plan
 
 SCALE = 10**12  # 1.0 of rank mass == 10^12 micro-units
 
@@ -56,31 +63,48 @@ def pagerank_int(
 
     Returns (node, rank) with ranks in micro-units (BIGINT).
     """
-    e = edges.select(
-        F.col(src).cast("bigint").alias("e_src"),
-        F.col(dst).cast("bigint").alias("e_dst"),
+    e = record_staged_plan(
+        edges.select(
+            F.col(src).cast("bigint").alias("e_src"),
+            F.col(dst).cast("bigint").alias("e_dst"),
+        ).repartition(F.col("e_src")),
+        "pagerank:edges",
     ).localCheckpoint(eager=False)
-    # staged once, read by every round's join + out_deg + nodes — without
-    # this the final action re-derives the edge scan ~2x per iteration
+    # Staged once, read by every round's join + out_deg + nodes — without
+    # this the final action re-derives the edge scan ~2x per iteration.
+    # Hash-partitioned on e_src BEFORE the checkpoint (LogicalRDD preserves
+    # outputPartitioning), so each power iteration's rank join exchanges
+    # only the node-sized ranks table, never the corpus-sized edge table —
+    # at 100 TB of edges that is the difference between one staging shuffle
+    # and `iters` full-table shuffles (VERDICT r10 #1).
     nodes = (
-        e.select(F.col("e_src").alias("node"))
-        .union(e.select(F.col("e_dst").alias("node")))
-        .distinct()
+        record_staged_plan(
+            e.select(F.col("e_src").alias("node"))
+            .union(e.select(F.col("e_dst").alias("node")))
+            .distinct(),
+            "pagerank:nodes",
+        )
         .localCheckpoint(eager=False)  # consumed by n_df + ranks
     )
     # n as a 1-row broadcast (the q67/q68 bounded cross-join idiom):
     # bounded by construction, never a corpus-scale nested loop.
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    out_deg = e.groupBy(F.col("e_src").alias("d_node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    # Derived from the e_src-partitioned edges — the groupBy needs no
+    # exchange; checkpointed so iterations rescan a node-sized local RDD
+    # (hash(d_node)-partitioned, alias-aware) instead of re-aggregating.
+    out_deg = record_staged_plan(
+        e.groupBy(F.col("e_src").alias("d_node")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        ),
+        "pagerank:out_deg",
+    ).localCheckpoint(eager=False)
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"{SCALE} div __n").alias("rank"), "__n"
     )
     base_expr = F.expr(
         f"{SCALE * (damping_den - damping_num)} div ({damping_den} * __n)"
     )
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(ranks.select(F.col("node").alias("r_node"), "rank"),
                    F.col("e_src") == F.col("r_node"))
@@ -92,7 +116,7 @@ def pagerank_int(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
+        ranks = record_staged_plan(
             ranks.select("node", "__n")
             .join(contrib, "node", "left")
             .select(
@@ -105,7 +129,7 @@ def pagerank_int(
                     )
                 ).cast("bigint").alias("rank"),
                 "__n",
-            )
-            .localCheckpoint(eager=False)
-        )
+            ),
+            f"pagerank:iter{it}",
+        ).localCheckpoint(eager=False)
     return ranks.select("node", "rank")

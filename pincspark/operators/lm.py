@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pincspark.functions.text import ws_tokens
+from pincspark.planhooks import record_staged_plan
 
 
 def _bigrams(toks: Column) -> Column:
@@ -123,7 +124,9 @@ def dsir_log_weights(
         .withColumn("b", _bucket(F.col("f"), n_buckets))
         .groupBy(id_col, "is_target", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+    )
+    pdc = record_staged_plan(pdc, "dsir:bucket_counts").localCheckpoint(
+        eager=False
     )
     tgt = (
         pdc.filter(F.col("is_target"))
@@ -200,9 +203,9 @@ def ngram_lm_perplexity(
     # side), so exchange reuse cannot collapse them. Same staging policy
     # as q53/q54's shingle arrays; at cluster scale swap localCheckpoint
     # for checkpoint() (reliable storage).
-    pdc = doc_bigram_counts(df, id_col, text_col, train_filter).localCheckpoint(
-        eager=False
-    )
+    pdc = record_staged_plan(
+        doc_bigram_counts(df, id_col, text_col, train_filter), "lm:bigram_counts"
+    ).localCheckpoint(eager=False)
 
     model = (
         pdc.filter(F.col("is_train"))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pincspark.functions.text import ws_tokens
 from pincspark.operators.dedup import ngram_array
+from pincspark.planhooks import record_staged_plan
 
 
 def vocab_topk(
@@ -163,7 +164,9 @@ def bpe_train(
     words = word_freq_table(df, text_col, lowercase).withColumn(
         "sym", symbolize(F.col("word"))
     )
-    words = words.select("sym", "cnt").localCheckpoint()
+    words = record_staged_plan(
+        words.select("sym", "cnt"), "bpe:words"
+    ).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for it in range(n_merges):
         pair = F.struct(
@@ -190,7 +193,8 @@ def bpe_train(
         merges.append((a, b, c))
         words = words.select(_merge_pair_expr(F.col("sym"), a, b).alias("sym"), "cnt")
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_merges:
-            words = words.localCheckpoint()  # cut lineage; checkpoint() at scale
+            # cut lineage; checkpoint() at scale
+            words = record_staged_plan(words, f"bpe:iter{it}").localCheckpoint()
     return merges
 
 

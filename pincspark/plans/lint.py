@@ -187,6 +187,19 @@ def lint_broadcast_hints(df: DataFrame) -> list[Finding]:
     return findings
 
 
+def lint_plan_text(plan: str) -> list[Finding]:
+    """Hard-pattern lint over a plan STRING — for staged (pre-localCheckpoint)
+    plans captured via ``pincspark.planhooks``, where only the rendered text
+    survives (the broadcast-hint rule needs a live logical plan and stays on
+    the final frame)."""
+    findings: list[Finding] = []
+    for code, pat in HARD_PATTERNS.items():
+        n = plan.count(pat)
+        if n:
+            findings.append(Finding(code, "hard", f"{pat} x{n}"))
+    return findings
+
+
 def lint_plan(df: DataFrame) -> list[Finding]:
     plan = plan_string(df)
     findings: list[Finding] = lint_broadcast_hints(df)

@@ -34,6 +34,7 @@ from pincspark.operators.dedup import (
     simhash,
 )
 from pincspark.operators.keyed import latest_per_key, sessionize, validity_intervals
+from pincspark.planhooks import record_staged_plan
 from pincspark.operators.normalize import union_normalize
 from pincspark.operators.similarity import cosine_topk, ivf_topk
 from pincspark.sources.tables import table
@@ -769,11 +770,11 @@ def q53_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    arrs = (
+    arrs = record_staged_plan(
         _spread(docs, "doc_id")
-        .select("doc_id", shingle_hash_array_py("text", 3, 15).alias("__arr"))
-        .localCheckpoint(eager=False)
-    )
+        .select("doc_id", shingle_hash_array_py("text", 3, 15).alias("__arr")),
+        "q53:shingles",
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_perms=16, bands=4, shingles=arrs
     ).filter(F.col("est_jaccard") >= 0.3)
@@ -894,11 +895,11 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the quality scan + fingerprint window + Arrow shingle kernel each —
     # same single-scan policy as the AIS flagship. At cluster scale swap
     # localCheckpoint for checkpoint() (reliable storage).
-    arrs = (
+    arrs = record_staged_plan(
         _spread(edocs, "doc_id")
-        .select("doc_id", shingle_hash_array_py("text", 3, 15).alias("__arr"))
-        .localCheckpoint(eager=False)
-    )
+        .select("doc_id", shingle_hash_array_py("text", 3, 15).alias("__arr")),
+        "q54:shingles",
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_pairs(
         edocs, "doc_id", "text", n=3, num_perms=16, bands=4, shingles=arrs
     ).filter(F.col("est_jaccard") >= 0.3)
@@ -4707,13 +4708,13 @@ def q81_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1.5 s at sf0.1. Narrow (id, 48-char head) rows persist.
     from pincspark.operators.dedup import _spread
 
-    docs = (
+    docs = record_staged_plan(
         _spread(table(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id", F.substring(normalize_text(F.col("text")), 1, 48).alias("head")
-        )
-        .localCheckpoint(eager=False)
-    )
+        ),
+        "q81:heads",
+    ).localCheckpoint(eager=False)
     return fuzzy_dup_pairs(
         docs, "doc_id", "head", max_dist=3, prefix_len=6, max_block_size=4096
     )

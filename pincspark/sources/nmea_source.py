@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pincspark.decode.kernel import checksum_valid
+from pincspark.planhooks import record_staged_plan
 
 
 def read_archive(spark: SparkSession, path: str) -> DataFrame:
@@ -174,7 +175,9 @@ def reassemble(
         # eager=False: the first action over the union materializes the
         # staged frame in-job (no separate job barrier); later consumers
         # in the same and subsequent actions read the stored blocks.
-        valid = valid.localCheckpoint(eager=False)
+        valid = record_staged_plan(valid, "reassemble:valid").localCheckpoint(
+            eager=False
+        )
     # Singleton bypass (r10): total == 1 messages — the overwhelming
     # majority of AIS traffic — need no grouping at all, so they take a
     # NARROW map-only branch (emit iff num == 1, exactly what the
@@ -297,7 +300,9 @@ def read_and_decode(
     if materialize:
         if plan_sink is not None:
             plan_sink.append(decoded._jdf.queryExecution().executedPlan().toString())
-        decoded = decoded.localCheckpoint(eager=True)
+        decoded = record_staged_plan(decoded, "decode:staged").localCheckpoint(
+            eager=True
+        )
     return decoded
 
 

@@ -76,6 +76,53 @@ def test_random_graphs_match_integer_model(spark):
     inner()
 
 
+def test_pagerank_iteration_never_reshuffles_edges(spark):
+    """The VERDICT r10 scale-killer, pinned: with the edge table staged
+    hash(e_src)-partitioned, every steady-state power iteration must plan
+    exactly ONE exchange — the contribution groupBy on the destination key
+    (node-sized after partial agg) — and NEVER re-exchange the edge table.
+    iter0 additionally carries the bounded 1-row ``__n`` broadcast plumbing
+    (SinglePartition + IdentityBroadcast of a count aggregate), so the hard
+    bound there is "no hash exchange keyed on an edge-table column".
+
+    AQE and auto-broadcast are disabled for the inspection so the initial
+    physical plan is deterministic (the tiny test graph would otherwise BHJ
+    everything and hide the partitioning contract this test exists to pin).
+    """
+    from pincspark.planhooks import capture_staged_plans
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = [(i, i // 2) for i in range(2, 40)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        with capture_staged_plans() as sink:
+            pagerank_int(df, iters=3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    plans = dict(sink)
+    assert set(plans) >= {"pagerank:edges", "pagerank:out_deg",
+                          "pagerank:iter0", "pagerank:iter1", "pagerank:iter2"}
+    # staging: the ONE edge shuffle, on the join key
+    assert "Exchange hashpartitioning(e_src" in plans["pagerank:edges"]
+    # out_deg rides the staged partitioning — zero exchanges
+    assert "Exchange" not in plans["pagerank:out_deg"]
+    for it in ("iter0", "iter1", "iter2"):
+        plan = plans[f"pagerank:{it}"]
+        # the edge table (e_src/e_dst columns) is never re-exchanged
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "e_src" not in line and "e_dst" not in line, (it, line)
+    # steady-state iterations: exactly one exchange total, on `node`
+    for it in ("iter1", "iter2"):
+        plan = plans[f"pagerank:{it}"]
+        ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+        assert len(ex_lines) == 1 and "hashpartitioning(node" in ex_lines[0], (
+            it, ex_lines)
+
+
 def test_partitioning_invariance(spark):
     edges = [(i, i // 2) for i in range(2, 40)] + [(i, i // 3) for i in range(4, 40)]
     df = spark.createDataFrame(edges, ["src", "dst"])

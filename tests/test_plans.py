@@ -239,8 +239,14 @@ def test_entire_catalog_is_scale_safe(spark):
     with the corpus. That nested-loop is all-pairs by definition and
     LINEAR in the corpus; the linter cannot see the bound, so it is
     allowed explicitly here and the boundedness is what the recall/plan
-    tests in test_scale.py pin."""
-    from pincspark.plans.lint import assert_scalable
+    tests in test_scale.py pin.
+
+    r11: the sweep also lints every STAGED (pre-localCheckpoint) plan the
+    query build records via pincspark.planhooks — the final frame's plan is
+    lineage-truncated at each checkpoint, and the q90 edge re-shuffle hid
+    exactly there (VERDICT r10 #2)."""
+    from pincspark.planhooks import capture_staged_plans
+    from pincspark.plans.lint import assert_scalable, lint_plan_text
     from pincspark.plans.queries import QUERIES
 
     BOUNDED_QUERY_BATCH = {
@@ -257,12 +263,20 @@ def test_entire_catalog_is_scale_safe(spark):
         "q68_dsir_weights",  # 1-row totals aggregate crossed on
         "q69_temperature_sample",  # 1-row count totals crossed on
         "q70_zorder_layout",  # 1-row dimension min/max stats crossed on
+        "q90_link_authority",  # 1-row node-count aggregate crossed on
+        # (pagerank:iter0 staged plan; later iterations reuse the
+        # checkpointed ranks and carry no cross at all)
     }
     for name, (fn, _) in QUERIES.items():
         allow = (
             {"nested_loop_join"} if name in BOUNDED_QUERY_BATCH else frozenset()
         )
-        assert_scalable(fn(spark, SF_DIR), allow=allow)
+        with capture_staged_plans() as sink:
+            df = fn(spark, SF_DIR)
+        assert_scalable(df, allow=allow)
+        for label, staged_plan in sink:
+            hard = [f for f in lint_plan_text(staged_plan) if f.code not in allow]
+            assert not hard, (name, label, hard)
 
 
 def test_linter_flags_forced_broadcast_of_fact_table(spark):
