@@ -630,6 +630,28 @@ def _run_catalog_once(
             _short(q) for q in UNTIMED_QUERIES
         ),
     }
+    # Measured reference baseline (r11): scripts/reference_baseline.py times
+    # the reference's own single-process pandas batch job on the SAME
+    # synthetic archive the flagship consumes and records the median in
+    # REFERENCE_BASELINE.json; the ratio makes "flagship vs BASELINE" a
+    # measured number instead of a proxy. Context for reading it: at sf0.1
+    # (~50k messages) Spark pays its fixed DAG overhead against a ~1.4s
+    # pandas loop, so ~2x here is expected; the crossover is measured at
+    # sf1.0 (pandas 12.5s vs flagship 5.7s — see BASELINE.md).
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "REFERENCE_BASELINE.json")
+    flagship_t = timings.get("ais_flagship")
+    if flagship_t and os.path.exists(ref_path):
+        try:
+            with open(ref_path) as f:
+                ref = json.load(f)
+            if ref.get("sf") == sf and ref.get("reference_batch_seconds"):
+                result["reference_batch_seconds"] = ref["reference_batch_seconds"]
+                result["flagship_vs_reference_ratio"] = round(
+                    flagship_t / ref["reference_batch_seconds"], 3
+                )
+        except (ValueError, OSError):
+            pass
     if calib_ratio > 1.0:
         # Box measurably slower than the best-clean era: per-query flag
         # thresholds above were scaled by this (capped 1.35) — the
