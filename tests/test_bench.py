@@ -251,3 +251,90 @@ def test_scale_probe_query_list_tracks_catalog():
 
     missing = [q for q in probe.DEFAULT_QUERIES if q not in QUERIES]
     assert not missing, f"scale_probe names unknown queries: {missing}"
+
+
+def test_flag_regressions_prefers_rolling_median():
+    """r11 (VERDICT r10 #4): queries with a rolling-median baseline flag
+    against it WITHOUT calib scaling (the last-k-clean median already
+    absorbs box drift); queries too new for one fall back to best x calib.
+    This closes the drift-cap blind spot: at calib 1.341 the old bar sat
+    at 2.01x best — indistinguishable from the driver's own 2x bar."""
+    best = {"q_old": 1.0, "q_new": 1.0}
+    rolling = {"q_old": 1.3}  # healthy rounds sit ~1.26x above best here
+    # 1.9x best but only 1.46x the rolling median: drift-class, no flag
+    # even at a calib ratio that would have hidden real regressions.
+    timings = {"q_old": 1.9, "q_new": 1.2}
+    assert bench._flag_regressions(timings, best, 1.341, rolling) == {}
+    # 2.0x the rolling median: flags regardless of calib drift.
+    timings = {"q_old": 2.6, "q_new": 1.2}
+    flags = bench._flag_regressions(timings, best, 1.341, rolling)
+    assert set(flags) == {"q_old"} and flags["q_old"]["rolling_median"] == 1.3
+    # no rolling baseline: the calib-scaled best bar still applies.
+    timings = {"q_old": 1.0, "q_new": 2.5}
+    assert set(bench._flag_regressions(timings, best, 1.341, rolling)) == {"q_new"}
+
+
+def test_rolling_median_replay_of_committed_history(tmp_path):
+    """CAUSAL replay of the new flag scheme over the committed history
+    (the VERDICT r10 #4 done-criterion): for each official round row, build
+    the rolling baseline from the rows BEFORE it, re-estimate the row's
+    per-query values with the current fastest-majority estimator over its
+    raw samples, and flag at 1.5x.
+
+    Expected classification (adjudicated in r10's forensics):
+    - r8 official: q27's bimodal IVF cold-build (the one real measurement
+      defect of that era, fixed in r9 by at-sf warmup) flags at ~1.67x.
+    - r9 official: the shipped q24/q34 flags were resample contamination +
+      drift — re-estimated they sit <=1.3x; NO flags. q54's 'step'
+      re-estimates to ~1.17x: drift-class, consistent with its clean
+      stage profile.
+    - r10 official (calib_drift 1.341, the blind-spot row): NO flags.
+    """
+    import json
+
+    hist = os.path.join(os.path.dirname(__file__), "..", "bench_history.jsonl")
+    rows = [json.loads(l) for l in open(hist) if l.strip()]
+    sf_rows = [r for r in rows if r.get("sf") == 0.1]
+    officials = {  # frozen history rows, keyed by their immutable ts
+        1786786048.2: "r8",
+        1786795657.6: "r9",
+        1786816722.7: "r10",
+    }
+    seen = {}
+    for i, r in enumerate(sf_rows):
+        if r.get("ts") not in officials:
+            continue
+        tag = officials[r["ts"]]
+        prior = tmp_path / f"prior_{tag}.jsonl"
+        prior.write_text("".join(json.dumps(x) + "\n" for x in sf_rows[:i]))
+        rolling = bench._rolling_median_baseline(0.1, str(prior))
+        qr = r.get("query_runs", {})
+        timings = {
+            q: bench._recorded_median(qr[q]) if qr.get(q) else t
+            for q, t in r.get("queries", {}).items()
+        }
+        flags = bench._flag_regressions(timings, {}, 1.0, rolling)
+        seen[tag] = set(flags)
+    assert seen["r8"] == {"q27_embedding_dups"}, seen["r8"]
+    assert seen["r9"] == set(), seen["r9"]
+    assert seen["r10"] == set(), seen["r10"]
+
+
+def test_prior_intersection_totals(tmp_path):
+    """ADVICE r10 #2: totals compared across rounds must be restricted to
+    the common query set — a query moved to UNTIMED or newly added must
+    not read as a speedup/slowdown."""
+    import json
+
+    hist = tmp_path / "h.jsonl"
+    prior = {
+        "ts": 1.0, "sf": 0.1, "value": 3.0,
+        "queries": {"qa": 1.0, "qb": 1.0, "q_untimed_now": 1.0},
+    }
+    hist.write_text(json.dumps(prior) + "\n")
+    # current run dropped q_untimed_now and added q_new
+    timings = {"qa": 1.1, "qb": 0.9, "q_new": 5.0}
+    out = bench._prior_intersection_totals(timings, 0.1, str(hist))
+    assert out["n_common"] == 2
+    assert out["prior_total_common"] == 2.0
+    assert out["total_common"] == 2.0  # like-for-like: flat, not 2x slower
