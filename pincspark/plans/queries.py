@@ -1463,6 +1463,53 @@ FROM t WHERE in_south <> prev_south
 
 ORACLE_Q91 = _q91_oracle()
 
+
+def q92_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: session windows per user over the events table — the batch twin
+    of the streaming session aggregation (`streaming/windows.py:
+    session_counts`, the NATIVE ``session_window`` operator; streams add a
+    watermark on the same code path). One row per gap-merged session:
+    (user_id, session_start_us, session_end_us = last event + gap,
+    n_events). Gap 8 hours against the table's ~7.3 h median inter-event
+    spacing, so the corpus exercises both multi-event merging and
+    singleton sessions.
+
+    This retires the last local-only family with an SQL-expressible twin
+    (VERDICT r10 #5): the oracle reimplements gap-session semantics
+    independently via LAG + running session ids — including the D10
+    exact-gap boundary (an event landing exactly ``gap`` after its
+    predecessor STAYS in the session, hence ``> gap`` starts a new one).
+    Reference intent: the commented per-mmsi ts-shift windowing in
+    ais_analysis.py:445-453."""
+    from pincspark.streaming.windows import session_counts
+
+    ev = table(spark, sf_dir, "events")
+    return session_counts(ev, ts_col="ts", gap="8 hours", keys=("user_id",))
+
+
+ORACLE_Q92 = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > 28800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM s
+)
+SELECT user_id,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) + 28800000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
 # The reference's own golden sentence corpus (ais_nmea.py:114-133) plus
 # negative fixtures — P1 tokenize + P2 checksum as engine-level SQL.
 AIS_SENTENCES = [
@@ -5572,7 +5619,16 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q52_ivfpq_topk": (q52_ivfpq_topk, ORACLE_Q52),
     "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
     "q55_hybrid_retrieval": (q55_hybrid_retrieval, ORACLE_Q55),
-    "q57_png_decode": (q57_png_decode, ORACLE_Q57),
+    # NEW r11 (in-window at registration; q57_png_decode rotates out —
+    # green r10 row, re-simmed on current code; the codec tier keeps four
+    # in-window gates (q60 JPEG / q61 FLAC / q63 WebP-VP8L / q65 TIFF) on
+    # the same mapInPandas Arrow plumbing, q63 exercises the same
+    # predictor+entropy image-decode shape, and PNG itself stays golden-
+    # and ImageIO-cross-validated in test_png.py + the cross-impl suite):
+    # native session_window gap sessions with an independent LAG+running-
+    # session-id SQL oracle — the last local-only family (ST6 session
+    # tier) with an SQL-expressible twin gains a hard driver gate
+    "q92_session_windows": (q92_session_windows, ORACLE_Q92),
     # NEW r10 (in-window at registration; q58_gif_decode rotates out — the
     # codec tier keeps five in-window gates (q57/q60/q61/q63/q65) sharing
     # the same mapInPandas plumbing, and GIF/LZW stays golden- and
@@ -5669,6 +5725,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r10 for q88 (reassembly contract): green r9 row; see
     # the q88 registration note for the codec-tier subsumption
     "q58_gif_decode": (q58_gif_decode, ORACLE_Q58),
+    # rotated out r11 for q92 (session windows): green r10 row, re-simmed
+    # on current code; see the q92 registration note for the codec-tier
+    # subsumption (q60/q61/q63/q65 stay in-window)
+    "q57_png_decode": (q57_png_decode, ORACLE_Q57),
     "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
 }
 

@@ -419,7 +419,12 @@ def test_harness_window_composition_is_pinned():
         "q37_decontamination", "q42_dedup_keep_list", "q43_simhash_pairs",
         "q49_weather_decode_sql", "q50_type6_egress",
         "q51_pq_topk", "q52_ivfpq_topk", "q54_curation_pipeline",
-        "q55_hybrid_retrieval", "q57_png_decode",
+        "q55_hybrid_retrieval",
+        # q57_png_decode rotated out r11 for q92 (session windows): green
+        # r10 row, re-simmed green on current code; the codec tier keeps
+        # four in-window gates (q60/q61/q63/q65) on the shared plumbing
+        # and PNG stays golden- and ImageIO-cross-validated locally.
+        "q92_session_windows",
         # q58_gif_decode rotated out r10 for q88 (reassembly contract):
         # green r9 row, re-simmed green on current code; GIF/LZW stays
         # golden- and ImageIO-cross-validated locally while the codec
