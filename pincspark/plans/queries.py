@@ -1401,7 +1401,7 @@ def q91_zone_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     reimplements the PIP (shared slope literals) and the state machine
     as LAG() over (mmsi, event order) in SQL."""
     from pincspark.operators.geo import load_zone_data, point_in_polygon_static
-    from pincspark.streaming.zones import track_zone_transitions_batch
+    from pincspark.streaming.zones import track_zone_transitions_batch, zone_flag_cols
 
     ev = table(spark, sf_dir, "events")
     fixes = ev.select(
@@ -1413,7 +1413,7 @@ def q91_zone_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("event_id") % F.lit(21)).cast("double") / F.lit(10.0)
         ).alias("latitude"),
     )
-    flags = {1: "in_north", 2: "in_south"}
+    flags = dict(zone_flag_cols())  # derived from the zone table (ADVICE r10 #5)
     for z in load_zone_data():
         fixes = fixes.withColumn(
             flags[z["zone_id"]],
@@ -1625,6 +1625,11 @@ REASSEMBLY_ARCHIVE = [
     r"!ABVDM,2,2,9,B,L22,0*5B",
     r"!ABVDM,2,1,0,A,M1111111,0*62",
     r"!ABVDM,2,2,0,A,M22,2*52",
+    # malformed: total==1 but num==2 — falls through BOTH engine branches
+    # (singles require num==1, keyed grouping requires total!=1) and the
+    # oracle's nums==1..total check; pinned here so engine and oracle
+    # agree on dropping it (ADVICE r10 #3)
+    r"\s:rGATE,c:1673222440*00!ABVDM,1,2,0,A,N1,0*61",
 ]
 
 
@@ -4518,6 +4523,7 @@ def q87_compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees belonging to dead pids — so /tmp never accumulates copies."""
     import math
     import os
+    import re
     import shutil
 
     from pincspark.operators.layout import _parquet_files, compact_parquet
@@ -4526,11 +4532,22 @@ def q87_compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.basename(os.path.normpath(sf_dir))
     scratch = os.path.join(root, f"{base}-{os.getpid()}")
     if os.path.isdir(root):
+        # Sweep ONLY entries matching this query's own naming scheme,
+        # '<base>-<digits>' plus crash-residue suffixes (ADVICE r10 #4:
+        # the old ValueError branch rmtree'd ANY unrecognized name under
+        # the shared root — a concurrent process using a different scheme
+        # would have had its directory deleted). A recycled pid keeps its
+        # dir one round longer; the per-pid pre-clean below handles it.
+        swept = re.compile(
+            re.escape(base) + r"-(\d+)(?:\.__tmp__|\.__old__)?$"
+        )
         for entry in os.listdir(root):
-            pid = entry.rsplit("-", 1)[-1].split(".")[0]
+            m = swept.match(entry)
+            if m is None:
+                continue  # not ours: leave it alone
             try:
-                os.kill(int(pid), 0)  # raises if the owning pid is gone
-            except (ValueError, ProcessLookupError):
+                os.kill(int(m.group(1)), 0)  # raises if the pid is gone
+            except ProcessLookupError:
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
             except PermissionError:
                 pass  # live pid under another uid: leave it

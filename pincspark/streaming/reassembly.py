@@ -64,7 +64,13 @@ def _make_reassemble_group(timeout_ms: int | None):
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
                 if row.total <= 1:
-                    out.append((seq_id, channel, row.tagblock, 1, row.payload))
+                    # a malformed singleton claiming num != 1 drops, like
+                    # the batch twin's singles branch and the oracle's
+                    # nums == 1..total check (ADVICE r10 #3 — this exact
+                    # shape, total==1/num==2, was unexercised and the
+                    # stream path emitted it)
+                    if int(row.num) == 1:
+                        out.append((seq_id, channel, row.tagblock, 1, row.payload))
                     continue
                 if total and row.total != total:
                     # id reused with a different total: drop the stale partial

@@ -28,12 +28,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from pincspark.operators.geo import point_in_polygon
+from pincspark.operators.geo import load_zone_data, point_in_polygon
 
-STATE_SCHEMA = T.StructType([
-    T.StructField("in_north", T.BooleanType(), True),
-    T.StructField("in_south", T.BooleanType(), True),
-])
+
+def zone_flag_cols() -> list[tuple[int, str]]:
+    """(zone_id, flag column name) for every zone in the zone table — the
+    single melt structure every ST2 variant derives from (ADVICE r10 #5:
+    the operators previously hardcoded exactly two zones with ids 1/2 and
+    columns in_north/in_south, so a zone added to the table silently
+    produced no transitions in the batch twin and KeyError'd q91's
+    flagging loop). The column name lives IN the zone table
+    (``flag_col``); entries without one default to ``in_zone<id>``."""
+    return [
+        (z["zone_id"], z.get("flag_col", f"in_zone{z['zone_id']}"))
+        for z in load_zone_data()
+    ]
+
+
+def _state_schema() -> T.StructType:
+    return T.StructType([
+        T.StructField(flag, T.BooleanType(), True)
+        for _, flag in zone_flag_cols()
+    ])
+
+
+STATE_SCHEMA = _state_schema()
 
 TRANSITION_SCHEMA = T.StructType([
     T.StructField("mmsi", T.LongType(), True),
@@ -44,20 +63,25 @@ TRANSITION_SCHEMA = T.StructType([
 
 
 def with_zone_flags(points: DataFrame, zones: DataFrame) -> DataFrame:
-    """Attach in_north/in_south booleans via the broadcast PIP predicate."""
-    zrows = {r["zone_id"]: r["verts"] for r in zones.collect()}
+    """Attach one membership boolean per zone via the broadcast PIP
+    predicate; flag names come from the zone table's ``flag_col``."""
+    names = dict(zone_flag_cols())
     out = points
-    for zone_id, name in ((1, "in_north"), (2, "in_south")):
+    for r in sorted(zones.collect(), key=lambda r: r["zone_id"]):
+        zone_id = r["zone_id"]
         verts = F.array(*[
-            F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in zrows[zone_id]
+            F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in r["verts"]
         ])
         out = out.withColumn(
-            name, point_in_polygon(F.col("longitude"), F.col("latitude"), verts)
+            names.get(zone_id, f"in_zone{zone_id}"),
+            point_in_polygon(F.col("longitude"), F.col("latitude"), verts),
         )
     return out
 
 
 def _make_track_group(timeout_ms: int | None):
+    flags = zone_flag_cols()
+
     def _track_group(
         key: tuple,
         pdfs: Iterable[pd.DataFrame],
@@ -67,23 +91,21 @@ def _make_track_group(timeout_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
-        in_n, in_s = state.get if state.exists else (False, False)
+        prev = list(state.get) if state.exists else [False] * len(flags)
 
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
             for row in pdf.itertuples(index=False):
-                for zone_id, now, prev in (
-                    (1, bool(row.in_north), in_n),
-                    (2, bool(row.in_south), in_s),
-                ):
-                    if now and not prev:
+                cur = [bool(getattr(row, flag)) for _, flag in flags]
+                for (zone_id, _), now, was in zip(flags, cur, prev):
+                    if now and not was:
                         rows.append((int(mmsi), row.ts, zone_id, "enter"))
-                    elif prev and not now:
+                    elif was and not now:
                         rows.append((int(mmsi), row.ts, zone_id, "exit"))
-                in_n, in_s = bool(row.in_north), bool(row.in_south)
+                prev = cur
 
-        state.update((in_n, in_s))
+        state.update(tuple(prev))
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)
         if rows:
@@ -130,31 +152,34 @@ def track_zone_transitions_tws(flagged: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
+    flags = zone_flag_cols()
+
     class ZoneProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
-                "membership", "in_north BOOLEAN, in_south BOOLEAN"
+                "membership",
+                ", ".join(f"{flag} BOOLEAN" for _, flag in flags),
             )
 
         def handleInputRows(self, key, rows, timerValues):
             (mmsi,) = key
-            in_n, in_s = (
-                tuple(self._state.get()) if self._state.exists() else (False, False)
+            prev = (
+                list(self._state.get())
+                if self._state.exists()
+                else [False] * len(flags)
             )
             out = []
             for pdf in rows:
                 pdf = pdf.sort_values("ts")
                 for row in pdf.itertuples(index=False):
-                    for zone_id, now, prev in (
-                        (1, bool(row.in_north), in_n),
-                        (2, bool(row.in_south), in_s),
-                    ):
-                        if now and not prev:
+                    cur = [bool(getattr(row, flag)) for _, flag in flags]
+                    for (zone_id, _), now, was in zip(flags, cur, prev):
+                        if now and not was:
                             out.append((int(mmsi), row.ts, zone_id, "enter"))
-                        elif prev and not now:
+                        elif was and not now:
                             out.append((int(mmsi), row.ts, zone_id, "exit"))
-                    in_n, in_s = bool(row.in_north), bool(row.in_south)
-            self._state.update((in_n, in_s))
+                    prev = cur
+            self._state.update(tuple(prev))
             if out:
                 yield pd.DataFrame(out, columns=["mmsi", "ts", "zone_id", "event"])
 
@@ -194,25 +219,25 @@ def track_zone_transitions_batch(flagged: DataFrame) -> DataFrame:
     any row whose zone membership differs from the previous report of the
     same vessel (first report inside a zone is an 'enter').
 
-    The two zone flags MELT into (zone_id, flag) rows before a single
-    lag() window over (mmsi, zone_id) — one scan and one shuffle for both
+    The per-zone flags MELT into (zone_id, flag) rows before a single
+    lag() window over (mmsi, zone_id) — one scan and one shuffle for all
     zones (r10; the previous per-zone union re-scanned the input per
     zone), and the finer partition key parallelizes better than per-mmsi
-    windows at fleet scale."""
+    windows at fleet scale. The melt structs derive from the zone table
+    (zone_flag_cols, ADVICE r10 #5) so a zone added there is tracked
+    automatically."""
     from pyspark.sql import Window
 
     melted = flagged.select(
         "mmsi",
         "ts",
         F.explode(
-            F.array(
+            F.array(*[
                 F.struct(
-                    F.lit(1).alias("zone_id"), F.col("in_north").alias("flag")
-                ),
-                F.struct(
-                    F.lit(2).alias("zone_id"), F.col("in_south").alias("flag")
-                ),
-            )
+                    F.lit(zone_id).alias("zone_id"), F.col(flag).alias("flag")
+                )
+                for zone_id, flag in zone_flag_cols()
+            ])
         ).alias("z"),
     ).select("mmsi", "ts", F.col("z.zone_id").alias("zone_id"), F.col("z.flag").alias("flag"))
     w = Window.partitionBy("mmsi", "zone_id").orderBy(F.col("ts").asc())

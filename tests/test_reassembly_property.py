@@ -117,7 +117,10 @@ def spark_reassemble(spark, lines: list[str]):
 line_strategy = st.one_of(
     st.tuples(
         st.integers(1, 3),          # total
-        st.integers(1, 3),          # num (clamped to total below)
+        st.integers(1, 4),          # num — may EXCEED total (ADVICE r10 #3:
+        # the old clamp num<=total meant malformed shapes like total==1,
+        # num==2 — which fall through both engine branches — were never
+        # exercised against the model)
         st.integers(0, 3),          # seq id (small: force reuse collisions)
         st.text(ALPHABET, min_size=1, max_size=3),  # payload
         st.booleans(),              # valid checksum?
@@ -133,7 +136,6 @@ def _render(entries) -> list[str]:
             lines.append(e)
         else:
             total, num, seq, payload, valid = e
-            num = min(num, total)
             lines.append(make_line(total, num, seq, payload, valid))
     return lines
 

@@ -583,3 +583,50 @@ def test_checkpoint_restart_no_double_count(spark, tmp_path):
         ).collect()
     )
     assert hashes_after == expect
+
+
+def test_zone_table_drives_all_st2_variants(spark, monkeypatch, zone_points):
+    """ADVICE r10 #5: the melt structs / state schema / flag columns all
+    derive from the zone table — a zone ADDED to load_zone_data is tracked
+    by the batch twin automatically (previously: silently no transitions
+    for it, and q91's flagging loop would KeyError)."""
+    import pincspark.streaming.zones as Z
+    from pincspark.operators.geo import load_zone_data
+
+    extra = {
+        "zone_id": 3,
+        "zone_name": "TSS-Test",
+        # a unit square around (10, 10), ring closed like the stock zones
+        "coordinates": [[9, 9], [11, 9], [11, 11], [9, 11], [9, 9]],
+    }
+    zones3 = load_zone_data() + [extra]
+    monkeypatch.setattr(Z, "load_zone_data", lambda: zones3)
+    flags = Z.zone_flag_cols()
+    assert flags[:2] == [(1, "in_north"), (2, "in_south")]
+    assert flags[2] == (3, "in_zone3")  # no flag_col in the entry: default
+
+    n = zone_points["north"]
+    rows = [(999, 1700000000, *n), (999, 1700000060, 10.0, 10.0)]
+    df = (
+        spark.createDataFrame(
+            rows, "mmsi BIGINT, epoch BIGINT, longitude DOUBLE, latitude DOUBLE"
+        )
+        .withColumn("ts", F.timestamp_seconds("epoch"))
+        .drop("epoch")
+    )
+    zdf = spark.createDataFrame(
+        [
+            (z["zone_id"], z["zone_name"],
+             [(float(x), float(y)) for x, y in z["coordinates"]])
+            for z in zones3
+        ],
+        "zone_id INT, zone_name STRING, verts ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+    )
+    flagged = Z.with_zone_flags(df, zdf)
+    assert "in_zone3" in flagged.columns
+    got = {
+        (r["zone_id"], r["event"])
+        for r in Z.track_zone_transitions_batch(flagged).collect()
+    }
+    # north enter, then north exit + zone-3 enter on the second fix
+    assert got == {(1, "enter"), (1, "exit"), (3, "enter")}
