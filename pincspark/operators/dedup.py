@@ -1140,6 +1140,7 @@ def semantic_dedup(
     tau: float = 0.95,
     max_cluster_size: int | None = 4096,
     warn_excluded: bool = True,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
@@ -1163,10 +1164,26 @@ def semantic_dedup(
     (all members kept) — the |cluster|^2 pair join is the cost bound,
     same guard class and warning contract as :func:`embedding_dup_pairs`
     — at 100 TB you raise ``num_clusters`` so clusters stay small, which
-    is exactly the paper's regime (50k clusters)."""
+    is exactly the paper's regime (50k clusters).
+
+    ``target_cluster_size`` (r11): pass it to make the cluster count TRACK
+    the corpus — ``num_clusters = max(num_clusters, ceil(N / target))``,
+    one cheap count() at build. With a fixed cluster count the per-cluster
+    pair join grows quadratically as the corpus grows (the r11 scale probe
+    measured q66 at 22.7x runtime for 16x data: 16 clusters of 125 grew to
+    16 clusters of 2000, still under the skip cap), which is exactly the
+    regime SemDeDup avoids by scaling cluster count with data. With the
+    target set, expected cluster size stays constant, so total pair work
+    is ~N x target — linear."""
     from pincspark.functions.vectors import cosine, dot, norm
 
     if centroids is None:
+        if target_cluster_size is not None:
+            import math
+
+            num_clusters = max(
+                num_clusters, math.ceil(df.count() / target_cluster_size)
+            )
         centroids = (
             df.orderBy(id_col)
             .limit(num_clusters)
@@ -1174,7 +1191,13 @@ def semantic_dedup(
                 F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
             )
         )
-    e = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    # _spread before the K-way broadcast cross: the N x K cosine fold is
+    # the operator's CPU bound, and a compact embedding table arriving as
+    # a couple of parquet splits would serialize it onto as many cores
+    # (measured r11 at 16x/K=256: 147s on 2 tasks -> ~11s spread; same
+    # q61-lesson guard as the shingle stages — no-op when the input is
+    # already well-split, so a 100-TB corpus is never re-shuffled).
+    e = _spread(df.select(F.col(id_col), F.col(vec_col).alias("__v")), id_col)
     scored = e.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         "__v",

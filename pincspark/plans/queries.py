@@ -3511,12 +3511,20 @@ def q66_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-the-furthest-from-centroid rule -> (vec_id, cell, cent_sim,
     kept). tau=0.4 (not the paper's 0.95) so the synthetic embeddings
     actually produce drops to gate; the operator is
-    `pincspark.operators.dedup.semantic_dedup`."""
+    `pincspark.operators.dedup.semantic_dedup`.
+
+    target_cluster_size=125 (r11): the cluster count tracks the corpus —
+    max(16, ceil(N/125)), mirrored in the oracle's windowed centroid
+    pick — so per-cluster pair work stays bounded as the corpus grows
+    (at sf0.01/sf0.1 this resolves to the same first-16 centroids as
+    before; the r11 scale probe measured the FIXED-16 form at 22.7x
+    runtime for 16x data — quadratic within growing clusters)."""
     from pincspark.operators.dedup import semantic_dedup
 
     emb = table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, "vec_id", "embedding", tau=0.4, warn_excluded=False
+        emb, "vec_id", "embedding", tau=0.4, warn_excluded=False,
+        target_cluster_size=125,
     ).select("vec_id", "cell", "cent_sim", "kept")
 
 
@@ -3524,7 +3532,13 @@ ORACLE_Q66 = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), cent AS (
-  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16
+  -- first max(16, ceil(N/125)) vectors by id (mirrors target_cluster_size)
+  SELECT vec_id AS cell, v AS cv FROM (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY vec_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM e
+  ) WHERE rn <= GREATEST(16, CAST(CEIL(n / 125.0) AS BIGINT))
 ), assign AS (
   SELECT vec_id, v, cell, cs FROM (
     SELECT e.vec_id, e.v, cent.cell,
