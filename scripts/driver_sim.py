@@ -35,6 +35,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--queries", default=None, help="comma list; default = the 50-query window")
+    ap.add_argument("--all", action="store_true", help="sweep the FULL catalog, not just the window")
+    ap.add_argument("--json", default=None, metavar="OUT",
+                    help="also write a machine-readable sweep artifact "
+                         "(VERDICT r10 #6: the no-stale-greens guarantee as "
+                         "a committed SWEEP_rN.json instead of a prose claim)")
     args = ap.parse_args()
 
     import duckdb
@@ -43,10 +48,10 @@ def main() -> int:
     from pincspark.session import get_spark
     from tests.test_oracle_parity import _arrow_type_class, _spark_type_class
 
-    names = list(QUERIES)[:50]
+    names = list(QUERIES) if getattr(args, "all", False) else list(QUERIES)[:50]
     if args.queries:
         want = args.queries.split(",")
-        names = [n for n in names + list(QUERIES)[50:] if n in want or n.split("_")[0] in want]
+        names = [n for n in list(QUERIES) if n in want or n.split("_")[0] in want]
 
     spark = get_spark("driver-sim", cpus=16)
     con = duckdb.connect()
@@ -58,6 +63,7 @@ def main() -> int:
         )
 
     failures = []
+    report: dict[str, dict] = {}
     for name in names:
         fn, sql = QUERIES[name]
         t0 = time.time()
@@ -66,6 +72,8 @@ def main() -> int:
             scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
             if sql is None:
                 print(f"{name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+                report[name] = {"status": "rows_only", "rows": len(srows),
+                                "secs": round(time.time() - t0, 1)}
                 continue
             arrow = con.execute(sql).fetch_arrow_table()
             ocols = arrow.schema.names
@@ -87,12 +95,33 @@ def main() -> int:
                 problems.append(f"hash diff at sorted row {first}: {a[first]} vs {b[first]}")
             status = "OK" if not problems else "FAIL " + "; ".join(p[:300] for p in problems)
             print(f"{name}: {status} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            report[name] = {"status": "ok" if not problems else "fail",
+                            "rows": len(srows),
+                            "secs": round(time.time() - t0, 1)}
             if problems:
+                report[name]["problems"] = [p[:300] for p in problems]
                 failures.append(name)
         except Exception as e:
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:200]} [{time.time()-t0:.1f}s]")
+            report[name] = {"status": "error",
+                            "error": f"{type(e).__name__}: {str(e)[:200]}",
+                            "secs": round(time.time() - t0, 1)}
             failures.append(name)
     print(f"\n{len(names) - len(failures)}/{len(names)} green" + (f"; FAILURES: {failures}" if failures else ""))
+    if args.json:
+        import json as _json
+
+        payload = {
+            "sf_dir": args.sf_dir,
+            "n_queries": len(names),
+            "n_green": len(names) - len(failures),
+            "failures": failures,
+            "comparison": "%.17g canon + arrow type classes (driver-strength)",
+            "queries": report,
+        }
+        with open(args.json, "w") as f:
+            _json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 

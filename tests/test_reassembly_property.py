@@ -197,7 +197,11 @@ def model_reassemble_stream(lines: list[str]) -> list[tuple[int, int, str]]:
         chan = parts[4]
         payload = parts[5]
         if total <= 1:
-            out.append((seq, chan, 1, payload))
+            # a malformed singleton claiming num != 1 drops (the batch
+            # twin's singles branch and the oracle's 1..total check —
+            # ADVICE r10 #3; the stream operator gained the same guard)
+            if num == 1:
+                out.append((seq, chan, 1, payload))
             continue
         key = (seq, chan)
         nums, payloads, btotal = state.get(key, ([], [], 0))
