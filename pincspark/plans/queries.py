@@ -1510,6 +1510,87 @@ SELECT user_id,
 FROM g GROUP BY user_id, sid
 """
 
+def q93_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed fact-to-fact join, oracle-gated: orders and
+    lineitem are WRITTEN bucketed on the order key (8 buckets each,
+    bucket-sorted, external parquet under a pid-keyed /tmp scratch) and
+    the revenue rollup joins them with ZERO join-time exchange — the
+    pay-once-at-write layout tool alongside broadcast (small side) and
+    shuffle (pay per query); at 100 TB a daily fact-to-fact join stops
+    re-clustering the warehouse every run. The operator surface is
+    `pincspark.operators.bucketing` (write_bucketed / cobucketed_join /
+    register_existing_bucketed); the exchange-free plan is pinned by
+    tests/test_bucketing.py, and this gate pins the RESULTS against a
+    plain DuckDB join of the same tables. Scratch hygiene mirrors q87:
+    pid-keyed dir, dead-pid sweep restricted to our own naming scheme.
+
+    Reference tie-in: the reference re-reads its gold parquet per
+    analysis with no layout control (ais_analysis.py:477-486); this is
+    the Spark-idiomatic layout answer alongside Z-order (q70) and
+    compaction (q87)."""
+    import os
+    import re
+    import shutil
+
+    from pincspark.operators.bucketing import cobucketed_join, write_bucketed
+
+    root = os.path.join("/tmp", "pincspark_buckets")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    pid = os.getpid()
+    scratch = os.path.join(root, f"{base}-{pid}")
+    if os.path.isdir(root):
+        swept = re.compile(re.escape(base) + r"-(\d+)$")
+        for entry in os.listdir(root):
+            m = swept.match(entry)
+            if m is None:
+                continue  # not our naming scheme: leave it alone
+            try:
+                os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except PermissionError:
+                pass
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    lt, rt = f"pinc_orders_bkt_{pid}", f"pinc_lineitem_bkt_{pid}"
+    write_bucketed(
+        table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderstatus"
+        ),
+        lt, ["okey"], 8, os.path.join(scratch, "orders"), sort_keys=["okey"],
+    )
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+        ),
+        rt, ["okey"], 8, os.path.join(scratch, "lineitem"), sort_keys=["okey"],
+    )
+    j = cobucketed_join(spark, lt, rt, "okey")
+    disc = F.expr(
+        f"CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) - "
+        f"CAST(l_discount AS {D2})) AS DECIMAL(18,4))"
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(F.sum(disc).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "o_orderstatus",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+ORACLE_Q93 = f"""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) -
+            CAST(l_discount AS {D2})) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 # The reference's own golden sentence corpus (ais_nmea.py:114-133) plus
 # negative fixtures — P1 tokenize + P2 checksum as engine-level SQL.
 AIS_SENTENCES = [
@@ -5627,7 +5708,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # order-insensitive counts; the native distinct-vessel agg stays
     # gated via q10/q75): ST2-batch zone transitions
     "q91_zone_transitions": (q91_zone_transitions, ORACLE_Q91),
-    "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
+    # NEW r11 (in-window at registration; q24_nmea_validate rotates out —
+    # green r10 row, re-simmed on current code, and the most-subsumed row
+    # in the window: its P1 tokenize / P2 checksum / F5 validity surfaces
+    # are all independently gated by q88's reassembly-contract oracle,
+    # which reimplements tokenize+checksum+sequence validation in SQL):
+    # co-located bucketed fact join — zero join-time exchange, results
+    # pinned against a plain DuckDB join
+    "q93_bucketed_join": (q93_bucketed_join, ORACLE_Q93),
     "q27_embedding_dups": (q27_embedding_dups, ORACLE_Q27),
     "q31_position_decode_sql": (q31_position_decode_sql, ORACLE_Q31),
     # NEW r10 (in-window at registration; q32_static_voyage_sql rotates
@@ -5760,6 +5848,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # on current code; see the q92 registration note for the codec-tier
     # subsumption (q60/q61/q63/q65 stay in-window)
     "q57_png_decode": (q57_png_decode, ORACLE_Q57),
+    # rotated out r11 for q93 (bucketed join): green r10 row, re-simmed
+    # on current code; see the q93 registration note (P1/P2/F5 all gated
+    # by q88's independent SQL contract)
+    "q24_nmea_validate": (q24_nmea_validate, ORACLE_Q24),
     "q76_kmv_overlap": (q76_kmv_overlap, ORACLE_Q76),
 }
 

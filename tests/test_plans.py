@@ -409,7 +409,11 @@ def test_harness_window_composition_is_pinned():
     # flagships — a silent bug hides in hand-written bit twiddling, not
     # in a native rollup call.
     for flagship in (
-        "q24_nmea_validate", "q27_embedding_dups",
+        # q24_nmea_validate rotated out r11 for q93 (bucketed join):
+        # green r10 row, re-simmed green on current code; its P1/P2/F5
+        # surfaces are all independently gated by q88's SQL contract.
+        "q93_bucketed_join",
+        "q27_embedding_dups",
         "q31_position_decode_sql",
         # q32_static_voyage_sql rotated out r10 for q90 (link authority):
         # green r9 row, re-simmed on current code; the decode SQL-twin
