@@ -46,23 +46,62 @@ def write_bucketed(
     key: str | Sequence[str],
     buckets: int = 32,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and bucket-sorted) managed table: joins and
+    """Persist as a bucketed (and bucket-sorted) table: joins and
     aggregations on ``key`` between tables bucketed the same way need no
-    exchange and no sort."""
+    exchange and no sort. Default is a managed table under the session
+    warehouse; pass ``path`` (r11) for an EXTERNAL table whose storage
+    root the caller controls — the q93 driver gate uses a pid-keyed /tmp
+    scratch this way. Bucket counts must MATCH across tables meant to
+    co-join (unequal counts fall back to a shuffle — pinned in
+    tests/test_bucketing.py)."""
     keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if path is not None:
+        w = w.format("parquet").option("path", path)
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table_name)
 
 
+def register_existing_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    schema_ddl: str,
+    key: str | Sequence[str],
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Re-attach an already-written bucketed directory to a fresh session's
+    catalog (r11): the in-memory catalog forgets tables on restart, a
+    Hive/Glue metastore would not — this is the restart path that keeps
+    the exchange-free property without rewriting the data. The DDL must
+    match what :func:`write_bucketed` produced."""
+    keys = [key] if isinstance(key, str) else list(key)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    sorted_clause = f"SORTED BY ({', '.join(keys)}) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE {table_name} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(keys)}) {sorted_clause}"
+        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str | Sequence[str],
+    how: str = "inner",
 ) -> DataFrame:
     """Join two same-bucketed tables — the physical plan is exchange-free
-    (verified in tests/test_scale.py)."""
-    return spark.table(left_table).join(spark.table(right_table), key, how)
+    (verified in tests/test_scale.py and tests/test_bucketing.py)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return spark.table(left_table).join(spark.table(right_table), keys, how)
 
 
 # ---------------------------------------------------------------------------

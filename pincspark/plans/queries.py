@@ -1518,7 +1518,7 @@ def q93_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay-once-at-write layout tool alongside broadcast (small side) and
     shuffle (pay per query); at 100 TB a daily fact-to-fact join stops
     re-clustering the warehouse every run. The operator surface is
-    `pincspark.operators.bucketing` (write_bucketed / cobucketed_join /
+    `pincspark.operators.scale` (write_bucketed / bucketed_join /
     register_existing_bucketed); the exchange-free plan is pinned by
     tests/test_bucketing.py, and this gate pins the RESULTS against a
     plain DuckDB join of the same tables. Scratch hygiene mirrors q87:
@@ -1532,7 +1532,7 @@ def q93_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import shutil
 
-    from pincspark.operators.bucketing import cobucketed_join, write_bucketed
+    from pincspark.operators.scale import bucketed_join, write_bucketed
 
     root = os.path.join("/tmp", "pincspark_buckets")
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -1557,15 +1557,15 @@ def q93_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("okey"), "o_orderstatus"
         ),
-        lt, ["okey"], 8, os.path.join(scratch, "orders"), sort_keys=["okey"],
+        lt, "okey", buckets=8, path=os.path.join(scratch, "orders"),
     )
     write_bucketed(
         table(spark, sf_dir, "lineitem").select(
             F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
         ),
-        rt, ["okey"], 8, os.path.join(scratch, "lineitem"), sort_keys=["okey"],
+        rt, "okey", buckets=8, path=os.path.join(scratch, "lineitem"),
     )
-    j = cobucketed_join(spark, lt, rt, "okey")
+    j = bucketed_join(spark, lt, rt, "okey")
     disc = F.expr(
         f"CAST(CAST(l_extendedprice AS {D2}) * (CAST(1 AS {D2}) - "
         f"CAST(l_discount AS {D2})) AS DECIMAL(18,4))"

@@ -1,4 +1,4 @@
-"""Bucketed co-located joins (operators/bucketing.py): the pay-once-at-
+"""Bucketed co-located joins (operators/scale.py — r11 additions): the pay-once-at-
 write layout tool. The whole point is the PLAN property — a fact-to-fact
 equi-join on the bucket keys must contain zero shuffle exchanges — so
 that is pinned here alongside result parity with a plain join and the
@@ -11,8 +11,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from pincspark.operators.bucketing import (
-    cobucketed_join,
+from pincspark.operators.scale import (
+    bucketed_join,
     register_existing_bucketed,
     write_bucketed,
 )
@@ -38,12 +38,12 @@ def test_cobucketed_join_plans_zero_exchanges(spark, facts, tmp_path):
     directly on co-located buckets — NO Exchange anywhere in the join
     plan. AQE/broadcast disabled so the initial plan is the final word."""
     left, right = facts
-    write_bucketed(left, "tb_left", ["k"], 4, str(tmp_path / "l"), ["k"])
-    write_bucketed(right, "tb_right", ["k"], 4, str(tmp_path / "r"), ["k"])
+    write_bucketed(left, "tb_left", "k", 4, path=str(tmp_path / "l"))
+    write_bucketed(right, "tb_right", "k", 4, path=str(tmp_path / "r"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = cobucketed_join(spark, "tb_left", "tb_right", "k")
+        j = bucketed_join(spark, "tb_left", "tb_right", "k")
         plan = _plan(j)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, plan
@@ -65,7 +65,7 @@ def test_bucketed_aggregation_skips_exchange(spark, facts, tmp_path):
     """A groupBy on the bucket key rides the scan's partitioning too —
     bucketing amortizes aggregations, not just joins."""
     left, _ = facts
-    write_bucketed(left, "tb_agg", ["k"], 4, str(tmp_path / "a"), ["k"])
+    write_bucketed(left, "tb_agg", "k", 4, path=str(tmp_path / "a"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan = _plan(spark.table("tb_agg").groupBy("k").agg(F.sum("grp")))
@@ -80,24 +80,22 @@ def test_register_existing_bucketed_survives_catalog_loss(spark, facts, tmp_path
     SAME directory with the SAME bucket DDL restores the exchange-free
     property (the metastore path on a real deployment)."""
     left, right = facts
-    write_bucketed(left, "tb_l2", ["k"], 4, str(tmp_path / "l2"), ["k"])
-    write_bucketed(right, "tb_r2", ["k"], 4, str(tmp_path / "r2"), ["k"])
-    n_before = cobucketed_join(spark, "tb_l2", "tb_r2", "k").count()
+    write_bucketed(left, "tb_l2", "k", 4, path=str(tmp_path / "l2"))
+    write_bucketed(right, "tb_r2", "k", 4, path=str(tmp_path / "r2"))
+    n_before = bucketed_join(spark, "tb_l2", "tb_r2", "k").count()
     # simulate a fresh session's empty catalog
     spark.sql("DROP TABLE tb_l2")
     spark.sql("DROP TABLE tb_r2")
     register_existing_bucketed(
-        spark, "tb_l2", str(tmp_path / "l2"), "k BIGINT, grp BIGINT",
-        ["k"], 4, ["k"],
+        spark, "tb_l2", str(tmp_path / "l2"), "k BIGINT, grp BIGINT", "k", 4
     )
     register_existing_bucketed(
-        spark, "tb_r2", str(tmp_path / "r2"), "k BIGINT, val BIGINT",
-        ["k"], 4, ["k"],
+        spark, "tb_r2", str(tmp_path / "r2"), "k BIGINT, val BIGINT", "k", 4
     )
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = cobucketed_join(spark, "tb_l2", "tb_r2", "k")
+        j = bucketed_join(spark, "tb_l2", "tb_r2", "k")
         assert "Exchange" not in _plan(j)
         assert j.count() == n_before
     finally:
@@ -112,12 +110,12 @@ def test_mismatched_bucket_counts_fall_back_to_shuffle(spark, facts, tmp_path):
     — Spark shuffles at least one side. Pinned so the 'bucket counts must
     match' doc claim stays true against Spark upgrades."""
     left, right = facts
-    write_bucketed(left, "tb_l3", ["k"], 4, str(tmp_path / "l3"), ["k"])
-    write_bucketed(right, "tb_r3", ["k"], 8, str(tmp_path / "r3"), ["k"])
+    write_bucketed(left, "tb_l3", "k", 4, path=str(tmp_path / "l3"))
+    write_bucketed(right, "tb_r3", "k", 8, path=str(tmp_path / "r3"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = _plan(cobucketed_join(spark, "tb_l3", "tb_r3", "k"))
+        plan = _plan(bucketed_join(spark, "tb_l3", "tb_r3", "k"))
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
