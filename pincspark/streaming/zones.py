@@ -125,7 +125,10 @@ def track_zone_transitions(
         .applyInPandasWithState(
             _make_track_group(timeout_ms),
             outputStructType=TRANSITION_SCHEMA,
-            stateStructType=STATE_SCHEMA,
+            # derived at CALL time, not import time: the state width must
+            # match the flag list the tracker closure iterates (a zone
+            # table change after import would otherwise desync them)
+            stateStructType=_state_schema(),
             outputMode="append",
             timeoutConf=(
                 GroupStateTimeout.ProcessingTimeTimeout

@@ -630,3 +630,29 @@ def test_zone_table_drives_all_st2_variants(spark, monkeypatch, zone_points):
     }
     # north enter, then north exit + zone-3 enter on the second fix
     assert got == {(1, "enter"), (1, "exit"), (3, "enter")}
+
+    # the STREAMING tracker must track the third zone too — its state
+    # schema is derived at CALL time (an import-time schema with a
+    # call-time flag list would desync width 2 vs 3 and crash the state
+    # update)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tdir:
+        flagged.write.parquet(f"{tdir}/b1")
+        stream = spark.readStream.schema(flagged.schema).parquet(f"{tdir}/*")
+        q = (
+            Z.track_zone_transitions(stream, timeout_ms=None)
+            .writeStream.format("memory")
+            .queryName("st2_zone3")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got_s = {
+            (r["zone_id"], r["event"])
+            for r in spark.sql("SELECT * FROM st2_zone3").collect()
+        }
+        assert got_s == got
