@@ -280,3 +280,68 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in batch.select(vb["u"].alias("u"), "c_ts").collect()
     }
     assert got == want == {("a", "2024-01-01 10:30:00"), ("c", "2024-01-01 11:05:00")}
+
+
+def test_session_windows_match_python_model_on_random_data(spark):
+    """Property: the native session_window aggregation (the q92 gate's
+    engine side) matches a pure-Python gap-merge model on random event
+    sets — duplicate timestamps, multi-key interleavings, exact-gap
+    chains, and singleton bursts included. The model IS the documented
+    contract: per key, sort by ts; an event starts a new session iff it
+    lands MORE than ``gap`` after its predecessor (exact-gap stays, D10);
+    session end = last event + gap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from pincspark.streaming.windows import session_counts
+
+    GAP_US = 60_000_000  # 60 seconds
+
+    def model(events):
+        out = []
+        by_key: dict = {}
+        for k, t in events:
+            by_key.setdefault(k, []).append(t)
+        for k, ts in by_key.items():
+            ts.sort()
+            start, prev, n = ts[0], ts[0], 1
+            for t in ts[1:]:
+                if t - prev > GAP_US:
+                    out.append((k, start, prev + GAP_US, n))
+                    start, n = t, 0
+                prev = t
+                n += 1
+            out.append((k, start, prev + GAP_US, n))
+        return sorted(out)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),
+                # micros; offsets cluster around multiples of the gap so
+                # exact-gap adjacency actually occurs
+                st.integers(0, 8).flatmap(
+                    lambda m: st.sampled_from(
+                        [m * GAP_US, m * GAP_US + 1, m * GAP_US + 12345]
+                    )
+                ),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def inner(events):
+        df = spark.createDataFrame(events, "k BIGINT, t_us BIGINT").select(
+            "k", F.timestamp_micros("t_us").alias("ts")
+        )
+        got = sorted(
+            (r["k"], r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in session_counts(df, "ts", "60 seconds", keys=("k",)).collect()
+        )
+        assert got == model(events)
+
+    inner()
