@@ -88,6 +88,17 @@ DEFAULT_QUERIES = [
     "q89_domain_cap",
     "q90_link_authority",
     "q91_zone_transitions",
+    # r11 additions: the heavy LM/dedup tier re-probed in r11 plus the
+    # round's catch (q66 was 22.7x at 16x before the cluster-count fix —
+    # keep it in the default sweep so a regression to superlinear shows),
+    # and the two new gates with data-dependent shapes:
+    "q64_span_removal",
+    "q66_semantic_dedup",
+    "q67_lm_perplexity",
+    "q68_dsir_weights",
+    "q72_bloom_decontam",
+    "q92_session_windows",
+    "q93_bucketed_join",
 ]
 
 
