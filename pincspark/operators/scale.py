@@ -59,6 +59,15 @@ def write_bucketed(
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # Repartition onto the bucket key BEFORE the bucketed write (r11): a
+    # bucketed write does not shuffle by itself, so without this every
+    # write task emits a file into every bucket — num_tasks x buckets
+    # small files, the 100-TB small-files anti-pattern (and measured 1.6x
+    # slower end-to-end at bench scale). One task per bucket writes ONE
+    # file per bucket, which also lets sorted bucket scans skip their
+    # merge-join sorts. Size ``buckets`` so a bucket ~= a healthy file
+    # (same rule as any partitioned write); write parallelism == buckets.
+    df = df.repartition(buckets, *keys)
     w = df.write.mode("overwrite").bucketBy(buckets, *keys)
     if path is not None:
         w = w.format("parquet").option("path", path)
