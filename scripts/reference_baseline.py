@@ -25,8 +25,8 @@ flagship-vs-reference ratio is conservative):
   the same role as the reference's per-sentence pyais ``ais_decode`` call,
   with identical field semantics (so occupancy is directly comparable).
 - zone join: geopandas is not in this environment; a vectorized numpy
-  even-odd ray cast stands in for ``gpd.sjoin`` — vvectorized numpy is
-  FASTER than a geopandas sjoin at these row counts, and it mirrors the
+  even-odd ray cast stands in for ``gpd.sjoin`` — vectorized numpy is
+  FASTER than a geopandas sjoin at these row counts, and mirrors the
   engine's predicate exactly (pincspark/operators/geo.py:53-79:
   consecutive-edge fold, ``(py>y) != (qy>y)`` span test, eastward
   crossing), so occupancy counts cross-check bit-for-bit.
@@ -149,8 +149,6 @@ def decode_archive(path: str):
                 continue
             if num == 1:
                 pending[seq] = [_tag_epoch(tag), total, 2, [payload]]
-                if total == 1:
-                    emit(payload, _tag_epoch(tag))
             elif seq in pending and pending[seq][2] == num and pending[seq][1] == total:
                 g = pending[seq]
                 g[3].append(payload)
