@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pincspark.functions.text import fingerprint, normalize_text
-from pincspark.planhooks import record_staged_plan
+from pincspark.staging import stage
 
 # Fixed MinHash permutation parameters (a*h + b) mod P over the 31-bit prime.
 # Generated once from a fixed seed; hardcoded so Spark and the SQL oracle
@@ -869,9 +869,7 @@ def simhash_hamming_pairs(
     # would each re-run the simhash fold otherwise — same single-scan
     # policy as q54's shingle staging. At cluster scale swap for
     # checkpoint() on reliable storage.
-    banded = record_staged_plan(banded, "simhash:banded").localCheckpoint(
-        eager=False
-    )
+    banded = stage(banded, "simhash:banded", eager=False)
     # bands * 2^width rows at most — always broadcastable
     sizes = (
         banded.groupBy("band", "slice")
@@ -966,7 +964,7 @@ def dedup_clusters(
     # Materialized ONCE: every propagation round joins against edges, and
     # without this the full upstream pair-generation pipeline (MinHash,
     # shingling, ...) would re-execute per round.
-    edges = record_staged_plan(edges, "cc:edges").localCheckpoint(eager=True)
+    edges = stage(edges, "cc:edges", eager=True)
     n_edges = edges.count()
     use_driver = n_edges <= driver_threshold
     if use_driver and n_edges > 0 and isinstance(
@@ -1057,14 +1055,15 @@ def dedup_clusters(
             new_label = F.least(
                 new_label, F.coalesce(F.col("jlabel"), F.col("label"))
             )
-        nxt = record_staged_plan(
+        nxt = stage(
             cur.select(
                 "node",
                 F.col("label").alias("old_label"),
                 new_label.alias("label"),
             ),
             f"cc:iter{it}",
-        ).localCheckpoint(eager=True)
+            eager=True,
+        )
         changed = nxt.filter(F.col("label") != F.col("old_label")).count()
         labels = nxt.drop("old_label")
         if changed == 0:
@@ -1229,9 +1228,7 @@ def semantic_dedup(
             F.col("__best.cs").alias("cent_sim"),
         )
     )
-    assigned = record_staged_plan(assigned, "semdedup:assigned").localCheckpoint(
-        eager=False
-    )
+    assigned = stage(assigned, "semdedup:assigned", eager=False)
     if max_cluster_size is not None:
         sizes = assigned.groupBy(F.col("cell").alias("__c")).agg(
             F.count(F.lit(1)).alias("__n")
@@ -1508,9 +1505,7 @@ def incremental_dedup(
     # Staged once: the exact-match branch and the banded LSH branch below
     # both consume it, and each pushes different projections under the
     # signature aggregate (same policy as semantic_dedup's assignment).
-    new_snap = record_staged_plan(new_snap, "incdedup:new_snap").localCheckpoint(
-        eager=False
-    )
+    new_snap = stage(new_snap, "incdedup:new_snap", eager=False)
 
     prior_fps = snap.select(F.col("fingerprint").alias("__pfp")).distinct()
     exact = new_snap.join(

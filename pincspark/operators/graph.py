@@ -19,8 +19,11 @@ Design notes (100 TB):
   red (the q59 driver-red class). With integer contributions the sum is
   exact and associative: Spark and DuckDB produce bit-identical ranks,
   making the operator value-hash gateable at ANY scale.
-- Lineage per round is truncated the same way dedup_clusters does
-  (localCheckpoint; swap for checkpoint() on a real cluster).
+- Lineage per round is truncated the same way dedup_clusters does,
+  through ``pincspark.staging.stage`` — localCheckpoint by default,
+  reliable ``checkpoint()`` when the session sets
+  ``spark.pincspark.staging=reliable`` (tests/test_staging.py pins
+  result equality across modes).
 
 Related public art: the PageRank example shipped with Spark and the
 GraphX/Pregel formulation; this is the DataFrame-native, deterministic
@@ -32,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pincspark.planhooks import record_staged_plan
+from pincspark.staging import stage
 
 SCALE = 10**12  # 1.0 of rank mass == 10^12 micro-units
 
@@ -63,13 +66,14 @@ def pagerank_int(
 
     Returns (node, rank) with ranks in micro-units (BIGINT).
     """
-    e = record_staged_plan(
+    e = stage(
         edges.select(
             F.col(src).cast("bigint").alias("e_src"),
             F.col(dst).cast("bigint").alias("e_dst"),
         ).repartition(F.col("e_src")),
         "pagerank:edges",
-    ).localCheckpoint(eager=False)
+        eager=False,
+    )
     # Staged once, read by every round's join + out_deg + nodes — without
     # this the final action re-derives the edge scan ~2x per iteration.
     # Hash-partitioned on e_src BEFORE the checkpoint (LogicalRDD preserves
@@ -77,27 +81,26 @@ def pagerank_int(
     # only the node-sized ranks table, never the corpus-sized edge table —
     # at 100 TB of edges that is the difference between one staging shuffle
     # and `iters` full-table shuffles (VERDICT r10 #1).
-    nodes = (
-        record_staged_plan(
-            e.select(F.col("e_src").alias("node"))
-            .union(e.select(F.col("e_dst").alias("node")))
-            .distinct(),
-            "pagerank:nodes",
-        )
-        .localCheckpoint(eager=False)  # consumed by n_df + ranks
-    )
+    nodes = stage(
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct(),
+        "pagerank:nodes",
+        eager=False,
+    )  # consumed by n_df + ranks
     # n as a 1-row broadcast (the q67/q68 bounded cross-join idiom):
     # bounded by construction, never a corpus-scale nested loop.
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
     # Derived from the e_src-partitioned edges — the groupBy needs no
     # exchange; checkpointed so iterations rescan a node-sized local RDD
     # (hash(d_node)-partitioned, alias-aware) instead of re-aggregating.
-    out_deg = record_staged_plan(
+    out_deg = stage(
         e.groupBy(F.col("e_src").alias("d_node")).agg(
             F.count(F.lit(1)).alias("out_deg")
         ),
         "pagerank:out_deg",
-    ).localCheckpoint(eager=False)
+        eager=False,
+    )
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"{SCALE} div __n").alias("rank"), "__n"
     )
@@ -116,7 +119,7 @@ def pagerank_int(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = record_staged_plan(
+        ranks = stage(
             ranks.select("node", "__n")
             .join(contrib, "node", "left")
             .select(
@@ -131,5 +134,6 @@ def pagerank_int(
                 "__n",
             ),
             f"pagerank:iter{it}",
-        ).localCheckpoint(eager=False)
+            eager=False,
+        )
     return ranks.select("node", "rank")

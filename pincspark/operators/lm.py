@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pincspark.functions.text import ws_tokens
-from pincspark.planhooks import record_staged_plan
+from pincspark.staging import stage
 
 
 def _bigrams(toks: Column) -> Column:
@@ -125,9 +125,7 @@ def dsir_log_weights(
         .groupBy(id_col, "is_target", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    pdc = record_staged_plan(pdc, "dsir:bucket_counts").localCheckpoint(
-        eager=False
-    )
+    pdc = stage(pdc, "dsir:bucket_counts", eager=False)
     tgt = (
         pdc.filter(F.col("is_target"))
         .groupBy("b")
@@ -203,9 +201,11 @@ def ngram_lm_perplexity(
     # side), so exchange reuse cannot collapse them. Same staging policy
     # as q53/q54's shingle arrays; at cluster scale swap localCheckpoint
     # for checkpoint() (reliable storage).
-    pdc = record_staged_plan(
-        doc_bigram_counts(df, id_col, text_col, train_filter), "lm:bigram_counts"
-    ).localCheckpoint(eager=False)
+    pdc = stage(
+        doc_bigram_counts(df, id_col, text_col, train_filter),
+        "lm:bigram_counts",
+        eager=False,
+    )
 
     model = (
         pdc.filter(F.col("is_train"))

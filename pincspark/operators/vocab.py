@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from pincspark.functions.text import ws_tokens
 from pincspark.operators.dedup import ngram_array
-from pincspark.planhooks import record_staged_plan
+from pincspark.staging import stage
 
 
 def vocab_topk(
@@ -164,9 +164,7 @@ def bpe_train(
     words = word_freq_table(df, text_col, lowercase).withColumn(
         "sym", symbolize(F.col("word"))
     )
-    words = record_staged_plan(
-        words.select("sym", "cnt"), "bpe:words"
-    ).localCheckpoint()
+    words = stage(words.select("sym", "cnt"), "bpe:words", eager=True)
     merges: list[tuple[str, str, int]] = []
     for it in range(n_merges):
         pair = F.struct(
@@ -193,8 +191,8 @@ def bpe_train(
         merges.append((a, b, c))
         words = words.select(_merge_pair_expr(F.col("sym"), a, b).alias("sym"), "cnt")
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_merges:
-            # cut lineage; checkpoint() at scale
-            words = record_staged_plan(words, f"bpe:iter{it}").localCheckpoint()
+            # cut lineage (reliable-mode swap via staging conf)
+            words = stage(words, f"bpe:iter{it}", eager=True)
     return merges
 
 

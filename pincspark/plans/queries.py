@@ -34,7 +34,7 @@ from pincspark.operators.dedup import (
     simhash,
 )
 from pincspark.operators.keyed import latest_per_key, sessionize, validity_intervals
-from pincspark.planhooks import record_staged_plan
+from pincspark.staging import stage
 from pincspark.operators.normalize import union_normalize
 from pincspark.operators.similarity import cosine_topk, ivf_topk
 from pincspark.sources.tables import table
@@ -770,11 +770,12 @@ def q53_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    arrs = record_staged_plan(
+    arrs = stage(
         _spread(docs, "doc_id")
         .select("doc_id", shingle_hash_array_py("text", 3, 15).alias("__arr")),
         "q53:shingles",
-    ).localCheckpoint(eager=False)
+        eager=False,
+    )
     cands = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_perms=16, bands=4, shingles=arrs
     ).filter(F.col("est_jaccard") >= 0.3)
@@ -895,11 +896,12 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the quality scan + fingerprint window + Arrow shingle kernel each —
     # same single-scan policy as the AIS flagship. At cluster scale swap
     # localCheckpoint for checkpoint() (reliable storage).
-    arrs = record_staged_plan(
+    arrs = stage(
         _spread(edocs, "doc_id")
         .select("doc_id", shingle_hash_array_py("text", 3, 15).alias("__arr")),
         "q54:shingles",
-    ).localCheckpoint(eager=False)
+        eager=False,
+    )
     cands = minhash_lsh_pairs(
         edocs, "doc_id", "text", n=3, num_perms=16, bands=4, shingles=arrs
     ).filter(F.col("est_jaccard") >= 0.3)
@@ -4867,13 +4869,14 @@ def q81_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1.5 s at sf0.1. Narrow (id, 48-char head) rows persist.
     from pincspark.operators.dedup import _spread
 
-    docs = record_staged_plan(
+    docs = stage(
         _spread(table(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id", F.substring(normalize_text(F.col("text")), 1, 48).alias("head")
         ),
         "q81:heads",
-    ).localCheckpoint(eager=False)
+        eager=False,
+    )
     return fuzzy_dup_pairs(
         docs, "doc_id", "head", max_dist=3, prefix_len=6, max_block_size=4096
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pincspark.decode.kernel import checksum_valid
-from pincspark.planhooks import record_staged_plan
+from pincspark.staging import stage
 
 
 def read_archive(spark: SparkSession, path: str) -> DataFrame:
@@ -175,9 +175,7 @@ def reassemble(
         # eager=False: the first action over the union materializes the
         # staged frame in-job (no separate job barrier); later consumers
         # in the same and subsequent actions read the stored blocks.
-        valid = record_staged_plan(valid, "reassemble:valid").localCheckpoint(
-            eager=False
-        )
+        valid = stage(valid, "reassemble:valid", eager=False)
     # Singleton bypass (r10): total == 1 messages — the overwhelming
     # majority of AIS traffic — need no grouping at all, so they take a
     # NARROW map-only branch (emit iff num == 1, exactly what the
@@ -300,9 +298,7 @@ def read_and_decode(
     if materialize:
         if plan_sink is not None:
             plan_sink.append(decoded._jdf.queryExecution().executedPlan().toString())
-        decoded = record_staged_plan(decoded, "decode:staged").localCheckpoint(
-            eager=True
-        )
+        decoded = stage(decoded, "decode:staged", eager=True)
     return decoded
 
 

@@ -1,0 +1,54 @@
+"""Materialization barriers ("staging") with a cluster-readiness knob.
+
+Every iterative/staged operator here (dedup connected components, BPE,
+PageRank, the shingle/LM stagings, flagship decode) cuts lineage with
+``localCheckpoint`` — fast, but blocks live on executors, so an executor
+loss on a real cluster forces a full upstream recompute (or fails the
+job for a truncated lineage). Through r10 the cluster story was a
+docstring note ("swap for checkpoint() on a real cluster"); r11 makes it
+a TESTED code path instead: every operator stages through this module's
+:func:`stage`, and one session conf flips the whole engine:
+
+    spark.conf.set("spark.pincspark.staging", "reliable")
+    spark.sparkContext.setCheckpointDir("hdfs://.../checkpoints")
+
+- ``local`` (default): ``localCheckpoint`` — executor-memory blocks,
+  single-machine speed, the right choice on local[...] and for tests.
+- ``reliable``: ``checkpoint`` to the SparkContext checkpoint dir —
+  survives executor loss; requires ``setCheckpointDir`` first (Spark
+  raises otherwise).
+
+Results are IDENTICAL under both modes (pinned by tests/test_staging.py
+on the iterative operators), and both modes record the pre-checkpoint
+plan through ``pincspark.planhooks`` so the staged-plan audit sees
+through the lineage cut either way.
+
+Why a conf and not a parameter: staging happens deep inside operators
+(often several layers below the public call), and the choice is an
+ENVIRONMENT property, not a per-call one — exactly what session conf is
+for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pincspark.planhooks import record_staged_plan
+
+STAGING_CONF = "spark.pincspark.staging"
+
+
+def stage(df: DataFrame, label: str, eager: bool = False) -> DataFrame:
+    """Cut lineage at ``df``: record the pre-checkpoint plan for audits,
+    then checkpoint per the session's ``spark.pincspark.staging`` mode
+    (``local`` default / ``reliable``). ``eager`` materializes now instead
+    of at the first downstream action."""
+    record_staged_plan(df, label)
+    mode = df.sparkSession.conf.get(STAGING_CONF, "local")
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    if mode != "local":
+        raise ValueError(
+            f"{STAGING_CONF} must be 'local' or 'reliable', got {mode!r}"
+        )
+    return df.localCheckpoint(eager=eager)
