@@ -1173,7 +1173,18 @@ def semantic_dedup(
     16 clusters of 2000, still under the skip cap), which is exactly the
     regime SemDeDup avoids by scaling cluster count with data. With the
     target set, expected cluster size stays constant, so total pair work
-    is ~N x target — linear."""
+    is ~N x target — linear.
+
+    Honest cost curve: the nearest-centroid ASSIGNMENT is N x K exact
+    cosines, and with K = N/target that term is N^2/target — measured
+    6.9x runtime at 16x data and 65.9x at 64x (the crossover: at-linear
+    there, superlinear beyond). That is the SemDeDup paper's own shape —
+    they brute-force N x 50k on GPUs. Past the crossover the production
+    paths are (a) trained centroids with FIXED K sized to the memory/
+    recall budget (assignment back to linear; oversized clusters then hit
+    the ``max_cluster_size`` skip, trading pruning recall — the guard
+    warns), or (b) the approximate ANN ladder (``similarity.py`` IVF/PQ)
+    for the candidate step, outside this operator's exact-oracle scope."""
     from pincspark.functions.vectors import cosine, dot, norm
 
     if centroids is None:
