@@ -1531,28 +1531,15 @@ def q93_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark-idiomatic layout answer alongside Z-order (q70) and
     compaction (q87)."""
     import os
-    import re
-    import shutil
 
     from pincspark.operators.scale import bucketed_join, write_bucketed
+    from pincspark.scratch import pid_scratch
 
-    root = os.path.join("/tmp", "pincspark_buckets")
-    base = os.path.basename(os.path.normpath(sf_dir))
     pid = os.getpid()
-    scratch = os.path.join(root, f"{base}-{pid}")
-    if os.path.isdir(root):
-        swept = re.compile(re.escape(base) + r"-(\d+)$")
-        for entry in os.listdir(root):
-            m = swept.match(entry)
-            if m is None:
-                continue  # not our naming scheme: leave it alone
-            try:
-                os.kill(int(m.group(1)), 0)
-            except ProcessLookupError:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-            except PermissionError:
-                pass
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = pid_scratch(
+        os.path.join("/tmp", "pincspark_buckets"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
 
     lt, rt = f"pinc_orders_bkt_{pid}", f"pinc_lineitem_bkt_{pid}"
     write_bucketed(
@@ -4620,37 +4607,15 @@ def q87_compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees belonging to dead pids — so /tmp never accumulates copies."""
     import math
     import os
-    import re
-    import shutil
 
     from pincspark.operators.layout import _parquet_files, compact_parquet
+    from pincspark.scratch import pid_scratch
 
-    root = os.path.join("/tmp", "pincspark_compact")
-    base = os.path.basename(os.path.normpath(sf_dir))
-    scratch = os.path.join(root, f"{base}-{os.getpid()}")
-    if os.path.isdir(root):
-        # Sweep ONLY entries matching this query's own naming scheme,
-        # '<base>-<digits>' plus crash-residue suffixes (ADVICE r10 #4:
-        # the old ValueError branch rmtree'd ANY unrecognized name under
-        # the shared root — a concurrent process using a different scheme
-        # would have had its directory deleted). A recycled pid keeps its
-        # dir one round longer; the per-pid pre-clean below handles it.
-        swept = re.compile(
-            re.escape(base) + r"-(\d+)(?:\.__tmp__|\.__old__)?$"
-        )
-        for entry in os.listdir(root):
-            m = swept.match(entry)
-            if m is None:
-                continue  # not ours: leave it alone
-            try:
-                os.kill(int(m.group(1)), 0)  # raises if the pid is gone
-            except ProcessLookupError:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-            except PermissionError:
-                pass  # live pid under another uid: leave it
-    for leftover in (scratch, scratch + ".__tmp__", scratch + ".__old__"):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    scratch = pid_scratch(
+        os.path.join("/tmp", "pincspark_compact"),
+        os.path.basename(os.path.normpath(sf_dir)),
+        suffixes=(".__tmp__", ".__old__"),  # compact_parquet crash residue
+    )
     table(spark, sf_dir, "documents").repartition(64).write.parquet(scratch)
     stats = compact_parquet(spark, scratch, target_mb=128)
     n_target = max(1, math.ceil(stats["bytes_before"] / (128 * 1024 * 1024)))
