@@ -1187,6 +1187,16 @@ def semantic_dedup(
     for the candidate step, outside this operator's exact-oracle scope."""
     from pincspark.functions.vectors import cosine, dot, norm
 
+    if centroids is not None and target_cluster_size is not None:
+        # target_cluster_size only sizes the DEFAULT centroid pick; with
+        # explicit (e.g. kmeans-trained) centroids the cluster count is
+        # fixed by the caller and corpus-tracking cannot apply — raising
+        # beats silently ignoring the knob (ADVICE r11 #3).
+        raise ValueError(
+            "semantic_dedup: target_cluster_size sizes the default centroid "
+            "selection and cannot be combined with explicit centroids; size "
+            "the trained centroid count instead"
+        )
     if centroids is None:
         if target_cluster_size is not None:
             import math

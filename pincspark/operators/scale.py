@@ -59,6 +59,18 @@ def write_bucketed(
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if path is not None:
+        # DROP on an EXTERNAL table leaves its data files behind, so a
+        # repeat write to the same path would be a CTAS into a non-empty
+        # location, which Spark rejects (ADVICE r11 #2). Clear the
+        # location so the rewrite semantics match the managed-table
+        # overwrite path.
+        import shutil
+
+        local = path[5:].lstrip("/") if path.startswith("file:") else path
+        if path.startswith("file:"):
+            local = "/" + local
+        shutil.rmtree(local, ignore_errors=True)
     # Repartition onto the bucket key BEFORE the bucketed write (r11): a
     # bucketed write does not shuffle by itself, so without this every
     # write task emits a file into every bucket — num_tasks x buckets

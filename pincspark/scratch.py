@@ -43,6 +43,12 @@ def pid_scratch(root: str, base: str, suffixes: tuple[str, ...] = ()) -> str:
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
             except PermissionError:
                 pass  # live pid under another uid: leave it
+            except (OverflowError, ValueError):
+                # A digit suffix too large for the OS pid type (someone
+                # else's '<base>-99999999999999999999' under the shared
+                # /tmp root) is not ours: skip it rather than crash the
+                # sweep (ADVICE r11 #1).
+                pass
     for leftover in [scratch] + [scratch + s for s in suffixes]:
         if os.path.exists(leftover):
             shutil.rmtree(leftover)

@@ -122,3 +122,26 @@ def test_mismatched_bucket_counts_fall_back_to_shuffle(spark, facts, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS tb_l3")
         spark.sql("DROP TABLE IF EXISTS tb_r3")
+
+
+def test_rewrite_to_same_external_path_succeeds(spark, facts, tmp_path):
+    """ADVICE r11 #2: DROP TABLE on an external table leaves data files
+    behind, so a second write_bucketed(path=...) to the same location
+    used to become a CTAS into a non-empty directory (rejected by
+    Spark). write_bucketed must clear the location first — a rewrite is
+    a rewrite, matching the managed-table overwrite semantics."""
+    left, right = facts
+    loc = str(tmp_path / "rw")
+    write_bucketed(left, "tb_rw", "k", 4, path=loc)
+    n_first = spark.table("tb_rw").count()
+    try:
+        # second write: DIFFERENT data, same table name + same path
+        write_bucketed(left.filter(F.col("k") < 100), "tb_rw", "k", 4,
+                       path=loc)
+        assert spark.table("tb_rw").count() == 100 != n_first
+        # stale files from the first write must not leak into scans
+        assert (
+            spark.table("tb_rw").agg(F.max("k")).collect()[0][0] == 99
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_rw")

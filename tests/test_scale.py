@@ -555,3 +555,22 @@ def test_semantic_dedup_keep_rule_and_cap(spark):
             df, num_clusters=2, tau=0.95, max_cluster_size=2,
             warn_excluded=False,
         ).collect()
+
+
+def test_semantic_dedup_rejects_centroids_plus_target_size(spark):
+    """ADVICE r11 #3: target_cluster_size sizes the DEFAULT centroid
+    pick; combined with explicit centroids it has nothing to act on and
+    used to be silently ignored — now a ValueError."""
+    import pytest as _pytest
+
+    from pincspark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    with _pytest.raises(ValueError, match="target_cluster_size"):
+        semantic_dedup(df, centroids=cents, target_cluster_size=100)
