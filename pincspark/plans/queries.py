@@ -2212,6 +2212,283 @@ FROM raw
 ORACLE_Q34 = _q34_oracle()
 
 
+# Payloads for the q94/q95 SQL decode twins of the LAST local-only decode
+# families (VERDICT r10 coverage rows P8/P12-P16/P18/P19). Types 4/9/19/21
+# come from the golden corpus (tests/golden/reference_decoded.json, the
+# reference's own ais_nmea.py sentences); types 12/14/15/16/17 are
+# synthesized (none exist in the corpus) with spec-packed fields and
+# round-tripped against the Python kernel in tests/test_pipeline.py —
+# same provenance contract as LONG_RANGE_PAYLOAD above.
+BASE_STATION_PAYLOAD = "4055DwivO63307<PsL2H<G700D10"  # type 4 (golden)
+SAR_AIRCRAFT_PAYLOAD = "90007thcP07@nkR1jMJ@0>h20@S3"  # type 9 (golden)
+INTERROGATION_PAYLOAD = "?1mg=5AGBVL0D6DH3:3Ad<glQ;h"  # type 15 (synth)
+ASSIGNMENT_PAYLOAD = "@1mg=5CcNJ;46@1EM2oP@vP7"  # type 16 (synth)
+DGNSS_PAYLOAD = "A02E:p3vm01b@11l4t<P"  # type 17 (synth)
+SAFETY_ADDRESSED_PAYLOAD = "<1mg=5GcNJ;485<<?"  # type 12 (synth, "HELLO")
+SAFETY_BROADCAST_PAYLOAD = ">1b4N?A<59@E=@0"  # type 14 (synth, "SARTEST")
+CLASSB_EXT_PAYLOAD = (  # type 19 (golden)
+    "C7tc>Hh05Ao0L20LREAmCwv0P2=1aiQW0=1111111110?1D5310P"
+)
+ATON_PAYLOAD = "ENm>OAt:0W5:W3h9PTVPh1:Wdh@4=lSP1<j4000003v010"  # type 21 (golden)
+
+# 6*len(payload): text spans that run to end-of-payload are per-literal
+# constants mirrored verbatim into the oracle.
+_NB12 = 6 * len(SAFETY_ADDRESSED_PAYLOAD)
+_NB14 = 6 * len(SAFETY_BROADCAST_PAYLOAD)
+_NB17 = 6 * len(DGNSS_PAYLOAD)
+
+
+def q94_aux_families_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P14/P15/P16 as pure SQL: base station (4), SAR aircraft (9),
+    interrogation (15), assignment (16) and DGNSS (17) decoded in ONE scan
+    with a messageType CASE routing to each family's bit spans
+    (decode_base_station / decode_sar_aircraft / decode_interrogation /
+    decode_assignment / decode_dgnss == ais_parser.py:76-110, 445-472,
+    496-510, 524, 528-537; type 16 keeps the fields the reference decodes
+    then drops — divergence D1). Fields outside the routed family are
+    NULL; DGNSS lon/lat stay unscaled ints per the reference. The oracle
+    runs identical integer arithmetic."""
+    from pincspark.decode.kernel import bitfield, sixbit_text
+
+    df = spark.createDataFrame(
+        [
+            (BASE_STATION_PAYLOAD,),
+            (SAR_AIRCRAFT_PAYLOAD,),
+            (INTERROGATION_PAYLOAD,),
+            (ASSIGNMENT_PAYLOAD,),
+            (DGNSS_PAYLOAD,),
+        ],
+        "payload STRING",
+    )
+    p = "payload"
+    mt = bitfield(p, 0, 6)
+
+    def only(types, col):
+        # un-terminated when: unmatched rows are NULL, and the result still
+        # accepts further .when(...) branches for two-family columns
+        cond = mt == types if isinstance(types, int) else mt.isin(*types)
+        return F.when(cond, col)
+
+    return df.select(
+        "payload",
+        mt.cast("int").alias("message_type"),
+        bitfield(p, 8, 30).alias("mmsi"),
+        only(4, bitfield(p, 38, 14)).cast("int").alias("utc_year"),
+        only(4, bitfield(p, 52, 4)).cast("int").alias("utc_month"),
+        only(4, bitfield(p, 56, 5)).cast("int").alias("utc_day"),
+        only(4, bitfield(p, 61, 5)).cast("int").alias("utc_hour"),
+        only(4, bitfield(p, 66, 6)).cast("int").alias("utc_minute"),
+        only(4, bitfield(p, 72, 6)).cast("int").alias("utc_second"),
+        only(4, bitfield(p, 134, 4)).cast("int").alias("epfd"),
+        only(9, bitfield(p, 38, 12)).cast("int").alias("altitude"),
+        (only(9, bitfield(p, 50, 10)).cast("double") / F.lit(10.0)).alias("sog"),
+        (only(9, bitfield(p, 116, 12)).cast("double") / F.lit(10.0)).alias("cog"),
+        (
+            only(4, bitfield(p, 79, 28, True))
+            .when(mt == 9, bitfield(p, 61, 28, True))
+            .cast("double")
+            / F.lit(600000.0)
+        ).alias("longitude"),
+        (
+            only(4, bitfield(p, 107, 27, True))
+            .when(mt == 9, bitfield(p, 89, 27, True))
+            .cast("double")
+            / F.lit(600000.0)
+        ).alias("latitude"),
+        only((15, 16), bitfield(p, 40, 30)).alias("dest_mmsi"),
+        only(15, bitfield(p, 70, 6)).cast("int").alias("itype1"),
+        only(15, bitfield(p, 76, 12))
+        .when(mt == 16, bitfield(p, 70, 12))
+        .cast("int")
+        .alias("offset1"),
+        only(16, bitfield(p, 82, 10)).cast("int").alias("increment1"),
+        only(15, bitfield(p, 110, 30))
+        .when(mt == 16, bitfield(p, 92, 30))
+        .alias("mmsi2"),
+        only(17, bitfield(p, 40, 18, True)).cast("int").alias("dgnss_lon"),
+        only(17, bitfield(p, 58, 17, True)).cast("int").alias("dgnss_lat"),
+        only(17, sixbit_text(p, 80, _NB17 - 80)).cast("string").alias("dgnss_data"),
+    )
+
+
+def _q94_oracle() -> str:
+    from pincspark.decode.kernel import bitfield_sql, sixbit_text_sql
+
+    b = lambda s, n, sg=False: bitfield_sql("payload", s, n, sg)
+    mt = b(0, 6)
+    only = lambda types, e: (
+        f"(CASE WHEN {mt} IN ({', '.join(map(str, types))}) THEN {e} ELSE NULL END)"
+    )
+    pick2 = lambda t1, e1, t2, e2: (
+        f"(CASE WHEN {mt} = {t1} THEN {e1} WHEN {mt} = {t2} THEN {e2} "
+        "ELSE NULL END)"
+    )
+    vals = ",\n  ".join(
+        f"('{x}')"
+        for x in (
+            BASE_STATION_PAYLOAD,
+            SAR_AIRCRAFT_PAYLOAD,
+            INTERROGATION_PAYLOAD,
+            ASSIGNMENT_PAYLOAD,
+            DGNSS_PAYLOAD,
+        )
+    )
+    return f"""
+WITH raw(payload) AS (VALUES
+  {vals}
+)
+SELECT payload,
+       CAST({mt} AS INTEGER) AS message_type,
+       {b(8, 30)} AS mmsi,
+       CAST({only((4,), b(38, 14))} AS INTEGER) AS utc_year,
+       CAST({only((4,), b(52, 4))} AS INTEGER) AS utc_month,
+       CAST({only((4,), b(56, 5))} AS INTEGER) AS utc_day,
+       CAST({only((4,), b(61, 5))} AS INTEGER) AS utc_hour,
+       CAST({only((4,), b(66, 6))} AS INTEGER) AS utc_minute,
+       CAST({only((4,), b(72, 6))} AS INTEGER) AS utc_second,
+       CAST({only((4,), b(134, 4))} AS INTEGER) AS epfd,
+       CAST({only((9,), b(38, 12))} AS INTEGER) AS altitude,
+       CAST({only((9,), b(50, 10))} AS DOUBLE) / 10.0 AS sog,
+       CAST({only((9,), b(116, 12))} AS DOUBLE) / 10.0 AS cog,
+       CAST({pick2(4, b(79, 28, True), 9, b(61, 28, True))} AS DOUBLE)
+         / 600000.0 AS longitude,
+       CAST({pick2(4, b(107, 27, True), 9, b(89, 27, True))} AS DOUBLE)
+         / 600000.0 AS latitude,
+       {only((15, 16), b(40, 30))} AS dest_mmsi,
+       CAST({only((15,), b(70, 6))} AS INTEGER) AS itype1,
+       CAST({pick2(15, b(76, 12), 16, b(70, 12))} AS INTEGER) AS offset1,
+       CAST({only((16,), b(82, 10))} AS INTEGER) AS increment1,
+       {pick2(15, b(110, 30), 16, b(92, 30))} AS mmsi2,
+       CAST({only((17,), b(40, 18, True))} AS INTEGER) AS dgnss_lon,
+       CAST({only((17,), b(58, 17, True))} AS INTEGER) AS dgnss_lat,
+       {only((17,), sixbit_text_sql("payload", 80, _NB17 - 80))} AS dgnss_data
+FROM raw
+"""
+
+
+ORACLE_Q94 = _q94_oracle()
+
+
+def q95_text_families_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/P18/P19 as pure SQL: addressed/broadcast safety text (12/14),
+    extended Class B (19) and aid-to-navigation (21) decoded in ONE scan —
+    the variable-length safety/ext text spans are per-literal constants
+    mirrored into the oracle, the fixed-width name fields ride the HOF
+    sixbit path (decode_safety / decode_classb_ext / decode_aton ==
+    ais_parser.py:475-492, 571-605, 608-642). Fields outside the routed
+    family are NULL. With q94 this retires the last local-only decode
+    families (VERDICT r10 rows P8/P12-P16/P18/P19)."""
+    from pincspark.decode.kernel import armor_vals_sql, bitfield, sixbit_text
+    from functools import partial
+
+    df = spark.createDataFrame(
+        [
+            (SAFETY_ADDRESSED_PAYLOAD,),
+            (SAFETY_BROADCAST_PAYLOAD,),
+            (CLASSB_EXT_PAYLOAD,),
+            (ATON_PAYLOAD,),
+        ],
+        "payload STRING",
+    ).withColumn("__vals", F.expr(armor_vals_sql("payload")))
+    p = "payload"
+    bitfield = partial(bitfield, vals="__vals")
+    sixbit_text = partial(sixbit_text, vals="__vals")
+    mt = bitfield(p, 0, 6)
+
+    def only(types, col):
+        # un-terminated when: unmatched rows are NULL, and the result still
+        # accepts further .when(...) branches for two-family columns
+        cond = mt == types if isinstance(types, int) else mt.isin(*types)
+        return F.when(cond, col)
+
+    return df.select(
+        "payload",
+        mt.cast("int").alias("message_type"),
+        bitfield(p, 8, 30).alias("mmsi"),
+        only(12, bitfield(p, 38, 2)).cast("int").alias("seq_no"),
+        only(12, bitfield(p, 40, 30)).alias("dest_mmsi"),
+        only(12, sixbit_text(p, 72, _NB12 - 72))
+        .when(mt == 14, sixbit_text(p, 40, _NB14 - 40))
+        .cast("string")
+        .alias("safety_text"),
+        only(19, sixbit_text(p, 143, 120))
+        .when(mt == 21, sixbit_text(p, 43, 120))
+        .cast("string")
+        .alias("name_text"),
+        only(19, bitfield(p, 263, 8)).cast("int").alias("ship_type"),
+        only(21, bitfield(p, 38, 5)).cast("int").alias("aid_type"),
+        (only(19, bitfield(p, 46, 10)).cast("double") / F.lit(10.0)).alias("sog"),
+        (
+            only(19, bitfield(p, 57, 28, True))
+            .when(mt == 21, bitfield(p, 164, 28, True))
+            .cast("double")
+            / F.lit(600000.0)
+        ).alias("longitude"),
+        (
+            only(19, bitfield(p, 85, 27, True))
+            .when(mt == 21, bitfield(p, 192, 27, True))
+            .cast("double")
+            / F.lit(600000.0)
+        ).alias("latitude"),
+        only(19, bitfield(p, 124, 9)).cast("int").alias("heading"),
+        only(19, bitfield(p, 271, 9))
+        .when(mt == 21, bitfield(p, 219, 9))
+        .cast("int")
+        .alias("to_bow"),
+        only(21, bitfield(p, 269, 1)).cast("int").alias("virtual_aid"),
+        only(21, bitfield(p, 253, 6)).cast("int").alias("utc_second"),
+    )
+
+
+def _q95_oracle() -> str:
+    from pincspark.decode.kernel import bitfield_sql, sixbit_text_sql
+
+    b = lambda s, n, sg=False: bitfield_sql("payload", s, n, sg)
+    t = lambda s, n: sixbit_text_sql("payload", s, n)
+    mt = b(0, 6)
+    only = lambda ty, e: f"(CASE WHEN {mt} = {ty} THEN {e} ELSE NULL END)"
+    pick2 = lambda t1, e1, t2, e2: (
+        f"(CASE WHEN {mt} = {t1} THEN {e1} WHEN {mt} = {t2} THEN {e2} "
+        "ELSE NULL END)"
+    )
+    vals = ",\n  ".join(
+        f"('{x}')"
+        for x in (
+            SAFETY_ADDRESSED_PAYLOAD,
+            SAFETY_BROADCAST_PAYLOAD,
+            CLASSB_EXT_PAYLOAD,
+            ATON_PAYLOAD,
+        )
+    )
+    return f"""
+WITH raw(payload) AS (VALUES
+  {vals}
+)
+SELECT payload,
+       CAST({mt} AS INTEGER) AS message_type,
+       {b(8, 30)} AS mmsi,
+       CAST({only(12, b(38, 2))} AS INTEGER) AS seq_no,
+       {only(12, b(40, 30))} AS dest_mmsi,
+       {pick2(12, t(72, _NB12 - 72), 14, t(40, _NB14 - 40))} AS safety_text,
+       {pick2(19, t(143, 120), 21, t(43, 120))} AS name_text,
+       CAST({only(19, b(263, 8))} AS INTEGER) AS ship_type,
+       CAST({only(21, b(38, 5))} AS INTEGER) AS aid_type,
+       CAST({only(19, b(46, 10))} AS DOUBLE) / 10.0 AS sog,
+       CAST({pick2(19, b(57, 28, True), 21, b(164, 28, True))} AS DOUBLE)
+         / 600000.0 AS longitude,
+       CAST({pick2(19, b(85, 27, True), 21, b(192, 27, True))} AS DOUBLE)
+         / 600000.0 AS latitude,
+       CAST({only(19, b(124, 9))} AS INTEGER) AS heading,
+       CAST({pick2(19, b(271, 9), 21, b(219, 9))} AS INTEGER) AS to_bow,
+       CAST({only(21, b(269, 1))} AS INTEGER) AS virtual_aid,
+       CAST({only(21, b(253, 6))} AS INTEGER) AS utc_second
+FROM raw
+"""
+
+
+ORACLE_Q95 = _q95_oracle()
+
+
 # The enums exercised through the broadcast-join path (J4) vs the scalar
 # CASE-lookup path (P23) in q35; together they cover all 11 tables.
 _ENUM_JOIN_NAMES = (
@@ -5696,6 +5973,21 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q90_link_authority": (q90_link_authority, ORACLE_Q90),
     "q33_classb_longrange_sql": (q33_classb_longrange_sql, ORACLE_Q33),
     "q34_static_report_sql": (q34_static_report_sql, ORACLE_Q34),
+    # NEW r12 (in-window at registration; q79_funnel rotates out — green
+    # r10+r11 rows, re-simmed on current code; its ordered-window funnel
+    # shape stays gated in-window via q78's SCD2 windows, q89's two-phase
+    # top-K windows, and q84's window tier): base station (4) / SAR (9) /
+    # interrogation (15) / assignment (16) / DGNSS (17) decoded in one
+    # CASE-routed scan — upgrades coverage rows P8/P12/P14/P15/P16 from
+    # local-golden to hard driver gates
+    "q94_aux_families_sql": (q94_aux_families_sql, ORACLE_Q94),
+    # NEW r12 (in-window at registration; q86_voyage_stats rotates out —
+    # green r10+r11 rows, re-simmed on current code; its native group-agg
+    # + window shape stays gated in-window via q01's grouped aggregates
+    # and q85's track-QC windows): safety text (12/14) / extended Class B
+    # (19) / AtoN (21) in one CASE-routed scan — with q94 this retires
+    # the last local-only decode families (P13/P18/P19)
+    "q95_text_families_sql": (q95_text_families_sql, ORACLE_Q95),
     "q37_decontamination": (q37_decontamination, ORACLE_Q37),
     "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
     "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
@@ -5750,17 +6042,23 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q73_warc_extract": (q73_warc_extract, ORACLE_Q73),
     "q74_html_extract": (q74_html_extract, ORACLE_Q74),
     "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
-    "q79_funnel": (q79_funnel, ORACLE_Q79),
     "q80_cohort_retention": (q80_cohort_retention, ORACLE_Q80),
     "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
     "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
     "q84_sample_quantiles": (q84_sample_quantiles, ORACLE_Q84),
     "q85_track_qc": (q85_track_qc, ORACLE_Q85),
-    "q86_voyage_stats": (q86_voyage_stats, ORACLE_Q86),
     # --- demoted past the 50-query harness window (see r9 note above;
     # every query below this line has >= 1 green driver row in the
     # committed CORRECTNESS_r* history and stays parity-tested over the
     # FULL catalog by tests/test_oracle_parity.py) ---
+    # rotated out r12 for q94 (aux decode families): native ordered-
+    # window funnel over events, green r10+r11 rows; the window tier
+    # stays gated in-window via q78/q84/q89
+    "q79_funnel": (q79_funnel, ORACLE_Q79),
+    # rotated out r12 for q95 (text decode families): native group-agg +
+    # window voyage rollup, green r10+r11 rows; the native agg tier
+    # stays gated in-window via q01 and q85
+    "q86_voyage_stats": (q86_voyage_stats, ORACLE_Q86),
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     # rotated out r10 for q89 (domain cap): native broadcast-equi
     # enrichment, green r9 row; see the q89 registration note

@@ -304,3 +304,75 @@ def test_weather_sql_descs_match_reference_golden(spark):
         "iceDesc",
     ):
         assert row[k] == golden["body"][k], (k, row[k], golden["body"][k])
+
+
+def test_aux_text_family_sql_decode_matches_python_kernel(spark):
+    """q94/q95's pure-SQL decode of the remaining families — 4/9/15/16/17
+    (aux) and 12/14/19/21 (text) — agrees field-by-field with the Python
+    kernel's family decoders on the same payloads. This is also the
+    round-trip pin for the five SYNTHESIZED payloads (no type 12/14/15/
+    16/17 exists in the golden corpus): a mis-packed literal would decode
+    to garbage here before it could silently gate the driver row."""
+    import pytest as _pytest
+
+    from pincspark.decode.families import decode_message
+    from pincspark.functions.nmea import Bits
+    from pincspark.plans import queries as Q
+    from tests.conftest import SF_DIR
+
+    expected = {}
+    for payload in (
+        Q.BASE_STATION_PAYLOAD, Q.SAR_AIRCRAFT_PAYLOAD,
+        Q.INTERROGATION_PAYLOAD, Q.ASSIGNMENT_PAYLOAD, Q.DGNSS_PAYLOAD,
+        Q.SAFETY_ADDRESSED_PAYLOAD, Q.SAFETY_BROADCAST_PAYLOAD,
+        Q.CLASSB_EXT_PAYLOAD, Q.ATON_PAYLOAD,
+    ):
+        rec = decode_message(Bits.from_payload(payload))
+        expected[payload] = {**rec, **rec["payload_fields"]}
+
+    # per message type: {output column: kernel field}
+    col_map = {
+        4: {"utc_year": "utc_year", "utc_month": "utc_month",
+            "utc_day": "utc_day", "utc_hour": "utc_hour",
+            "utc_minute": "utc_minute", "utc_second": "utc_second",
+            "epfd": "epfd", "longitude": "longitude",
+            "latitude": "latitude"},
+        9: {"altitude": "altitude", "sog": "sog", "cog": "cog",
+            "longitude": "longitude", "latitude": "latitude"},
+        15: {"dest_mmsi": "mmsi1", "itype1": "type1_1",
+             "offset1": "offset1_1", "mmsi2": "mmsi2"},
+        16: {"dest_mmsi": "mmsi1", "offset1": "offset1",
+             "increment1": "increment1", "mmsi2": "mmsi2"},
+        17: {"dgnss_lon": "longitude", "dgnss_lat": "latitude",
+             "dgnss_data": "data"},
+        12: {"seq_no": "seqNo", "dest_mmsi": "dest_mmsi",
+             "safety_text": "text"},
+        14: {"safety_text": "text"},
+        19: {"name_text": "shipName", "ship_type": "shipType",
+             "sog": "sog", "longitude": "longitude",
+             "latitude": "latitude", "heading": "trueHeading",
+             "to_bow": "to_bow"},
+        21: {"name_text": "aidName", "aid_type": "aidType",
+             "longitude": "longitude", "latitude": "latitude",
+             "to_bow": "to_bow", "virtual_aid": "virtualAid",
+             "utc_second": "utc_second"},
+    }
+    rows = (
+        Q.q94_aux_families_sql(spark, SF_DIR).collect()
+        + Q.q95_text_families_sql(spark, SF_DIR).collect()
+    )
+    assert len(rows) == 9
+    seen = set()
+    for r in rows:
+        exp = expected[r["payload"]]
+        mt = exp["messageType"]
+        seen.add(mt)
+        assert r["message_type"] == mt
+        assert r["mmsi"] == exp["mmsi"]
+        for col, field in col_map[mt].items():
+            got, want = r[col], exp[field]
+            if isinstance(want, float):
+                assert got == _pytest.approx(want), (mt, col, got, want)
+            else:
+                assert got == want, (mt, col, got, want)
+    assert seen == {4, 9, 15, 16, 17, 12, 14, 19, 21}

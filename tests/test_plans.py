@@ -397,9 +397,14 @@ def test_harness_window_composition_is_pinned():
     for newly_gated in (
         "q68_dsir_weights", "q69_temperature_sample", "q70_zorder_layout",
         "q72_bloom_decontam", "q73_warc_extract", "q74_html_extract",
-        "q75_kmv_distinct", "q79_funnel", "q80_cohort_retention",
+        "q75_kmv_distinct", "q80_cohort_retention",
         "q82_constraint_census", "q83_kmv_join_size", "q84_sample_quantiles",
-        "q85_track_qc", "q86_voyage_stats",
+        "q85_track_qc",
+        # q79_funnel and q86_voyage_stats rotated out r12 for q94/q95
+        # (the aux/text decode-family SQL twins): both carry green
+        # r10+r11 rows, re-simmed green on current code; their native
+        # window/agg shapes stay gated in-window via q78/q84/q89 and
+        # q01/q85 respectively.
         "q87_compaction_identity",  # NEW r9: compaction row-identity,
         # in-window at registration per the no-ungated-query policy
     ):
@@ -420,6 +425,10 @@ def test_harness_window_composition_is_pinned():
         # tier keeps q31/q33/q34/q49 + q50 in-window.
         "q90_link_authority",
         "q33_classb_longrange_sql", "q34_static_report_sql",
+        # NEW r12: the aux/text decode-family SQL twins — hand-written
+        # bit twiddling is exactly the high-risk class this list exists
+        # for; they retire the last local-only decode families.
+        "q94_aux_families_sql", "q95_text_families_sql",
         "q37_decontamination", "q42_dedup_keep_list", "q43_simhash_pairs",
         "q49_weather_decode_sql", "q50_type6_egress",
         "q51_pq_topk", "q52_ivfpq_topk", "q54_curation_pipeline",
