@@ -61,3 +61,51 @@ def test_clamped_out_of_range_reads_zero(seed):
     assert b.u(24, 10) == 0
     assert b.i(30, 5) == 0
     assert b.u(20, 10) == b.u(20, 4)  # clamped to available bits
+
+
+# ---------------------------------------------------------------------------
+# Oracle-dialect gauntlet (r12): the DuckDB-dialect SQL generators are the
+# arithmetic every driver decode gate (q24/q31-q34/q49/q94/q95) compares
+# against — until now they were only exercised on the fixed corpus
+# payloads. Random payloads x random spans pin them to the Python kernel
+# for ALL spans, not just the families' documented offsets.
+# ---------------------------------------------------------------------------
+
+import duckdb
+
+from pincspark.decode.kernel import bitfield_sql, sixbit_text_sql
+
+_DUCK = duckdb.connect()
+
+
+def _duck_scalar(expr: str, payload: str):
+    return _DUCK.sql(
+        f"SELECT {expr} FROM (VALUES ('{payload}')) t(payload)"
+    ).fetchone()[0]
+
+
+payload_st = st.text(alphabet=st.sampled_from(ARMORING), min_size=1, max_size=30)
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload_st, st.integers(0, 170), st.integers(1, 50), st.booleans())
+def test_duckdb_bitfield_matches_kernel(payload, start, nbits, signed):
+    got = _duck_scalar(bitfield_sql("payload", start, nbits, signed), payload)
+    b = Bits.from_payload(payload)
+    if start + nbits > b.nbits:
+        # SQL guards short payloads with NULL only when the span's LAST
+        # covering char is past the end; a span that starts in-range but
+        # overruns reads zero-padded like the kernel's clamp
+        i1 = (start + nbits - 1) // 6
+        if len(payload) < i1 + 1:
+            assert got is None
+            return
+    assert got == (b.i(start, nbits) if signed else b.u(start, nbits))
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload_st, st.integers(0, 120), st.integers(1, 20))
+def test_duckdb_sixbit_text_matches_kernel(payload, start, ngroups):
+    length = 6 * ngroups
+    got = _duck_scalar(sixbit_text_sql("payload", start, length), payload)
+    assert got == Bits.from_payload(payload).text(start, length)
