@@ -137,3 +137,87 @@ def pagerank_int(
             eager=False,
         )
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph induced
+    by ``edges`` — the classic link-spam / community-density signal next
+    to the PageRank authority prior (a page whose neighborhood closes
+    many triangles is embedded in a clique-ish link farm or a genuine
+    community; both matter to corpus curation).
+
+    Algorithm (degree-ordered orientation, the standard shuffle-bounded
+    formulation — cf. the Cohen / Suri-Vassilvitskii MapReduce scheme):
+
+    1. canonicalize to undirected simple edges (least, greatest),
+       dropping self-loops and duplicate/multiset edges;
+    2. orient every edge from its lower-rank to higher-rank endpoint,
+       rank = (degree, node) — a total order, ties broken by node id;
+    3. wedges: self-join oriented edges on the tail ``a``; order the two
+       heads by the same rank so each unordered head pair appears once;
+    4. close: a wedge (a; x, y) with rank(x) < rank(y) is a triangle iff
+       the oriented edge (x, y) exists — one semi-join.
+
+    Every triangle {x, y, z} with rank x < y < z is counted exactly once
+    (as the wedge at its lowest-rank apex x), so per-node counts are
+    exact integers — value-hash gateable against an ANSI-SQL oracle.
+
+    100 TB: orientation bounds every out-neighborhood by O(sqrt(m)) —
+    the wedge join's fan-out per tail is out_deg^2, which degree
+    ordering caps where a naive src-join explodes on celebrity nodes.
+    Shuffles: degree agg (node), two orientation joins (node), wedge
+    join (tail a), closing semi-join ((x, y) pair keys) — all key-hash
+    exchanges, no cartesian anywhere. The oriented edge table is staged
+    once (localCheckpoint / reliable checkpoint via pincspark.staging)
+    and read by both sides of the wedge join and the closing semi-join.
+
+    Returns (node BIGINT, n_tri BIGINT) for nodes in >= 1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("bigint").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lab = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    lo_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = stage(
+        lab.select(
+            F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("b"),
+            # rank key of the HEAD (b): the wedge filter orders head pairs
+            F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("bdeg"),
+        ),
+        "triangles:oriented",
+        eager=False,
+    )
+    e1 = oriented.select("a", F.col("b").alias("x"), F.col("bdeg").alias("xdeg"))
+    e2 = oriented.select("a", F.col("b").alias("y"), F.col("bdeg").alias("ydeg"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("xdeg") < F.col("ydeg"))
+        | ((F.col("xdeg") == F.col("ydeg")) & (F.col("x") < F.col("y")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )

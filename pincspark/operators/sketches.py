@@ -351,3 +351,88 @@ def kmv_estimate(
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    support_num: int,
+    support_den: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT frequent items (heavy hitters) at corpus scale: every key
+    whose count satisfies ``cnt * support_den >= support_num * N`` (i.e.
+    frequency >= support_num/support_den of the N non-null rows), with
+    its exact count — the frequency-sketch sibling of the KMV distinct
+    tier (tokens for vocab pruning, domains for crawl policy, user/page
+    keys for skew diagnosis).
+
+    Why not one big groupBy? A plain groupBy(col).count() shuffles the
+    FULL distinct-key set — at 100 TB of tokens that is a corpus-sized
+    exchange to answer a question whose output is a handful of rows.
+    This is the classic two-pass scheme instead (exact, no false
+    negatives OR positives):
+
+    1. **Candidates via per-partition Misra-Gries** (mapInPandas, Arrow
+       batches): each task keeps at most ``capacity`` counters; a batch's
+       exact value_counts merges in, then the summary is pruned by
+       subtracting the (capacity+1)-th largest counter (the mergeable-
+       summaries formulation, Agarwal et al. 2012) — bounded state, zero
+       shuffle. Any key with partition count > n_p/(capacity+1) survives
+       its partition; a key with global count >= (support_num/support_den)*N
+       must exceed that bound in at least one partition whenever
+       ``capacity >= support_den/support_num`` (else its global count
+       would be <= N/(capacity+1) < s*N), so the union of partition
+       survivors contains every globally frequent key.
+    2. **Exact recount of candidates**: the candidate set (<= capacity
+       per task — a broadcast-sized table by construction) semi-filters
+       the corpus via a broadcast hash join; one groupBy over only the
+       candidate keys, then the integer support filter. The threshold
+       compare is pure BIGINT cross-multiplication — no float ceil, so
+       any ANSI-SQL engine reproduces the cut bit-for-bit.
+
+    Scans the input twice (MG pass + recount) plus a count(*) of the key
+    column; shuffle volume is candidates-only. NULL keys are excluded
+    from both N and the output. The collect here is the candidate set —
+    the bounded sketch-sized driver op of the KMV/centroid class.
+
+    Returns (``col``, cnt BIGINT), exact counts.
+    """
+    if capacity is None:
+        capacity = -(-support_den // support_num)  # ceil
+    if capacity * support_num < support_den:
+        raise ValueError(
+            f"capacity {capacity} breaks the no-false-negative guarantee: "
+            f"need capacity >= support_den/support_num = "
+            f"{support_den}/{support_num}"
+        )
+    keyed = df.select(F.col(col)).filter(F.col(col).isNotNull())
+    out_schema = keyed.schema
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for k, c in pdf[col].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+            if len(counts) > capacity:
+                # Mergeable-summaries prune: subtract the (capacity+1)-th
+                # largest counter from everything, drop the non-positive.
+                thresh = sorted(counts.values(), reverse=True)[capacity]
+                counts = {
+                    k: c - thresh for k, c in counts.items() if c - thresh > 0
+                }
+        yield pd.DataFrame({col: list(counts.keys())})
+
+    cands = keyed.mapInPandas(mg, schema=out_schema).distinct()
+    n_total = keyed.count()
+    return (
+        keyed.join(F.broadcast(cands), col, "inner")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(
+            F.col("cnt") * F.lit(int(support_den))
+            >= F.lit(int(support_num)) * F.lit(int(n_total))
+        )
+    )

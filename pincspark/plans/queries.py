@@ -5826,6 +5826,181 @@ FROM raw
 ORACLE_Q50 = _q50_oracle()
 
 
+def q96_encounters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vessel pair-proximity screening (`pincspark.operators.geo.
+    encounters`): the same deterministic fixes as q85's track QC, but
+    asking the vessel-vs-VESSEL question the reference's zone machinery
+    stops short of — which pairs of distinct vessels came within 5 km of
+    each other inside the same hour, how often, and how close. The
+    all-pairs self-join is replaced by a (bucket, grid-cell) equi-join
+    with a bounded 3x3 neighbor explode on one side; the distance filter
+    compares the ROUNDED BIGINT haversine (q85's float discipline), so
+    every emitted column is BIGINT and value-hash gateable."""
+    from pincspark.operators.geo import encounters, synthetic_fixes
+
+    fixes = synthetic_fixes(table(spark, sf_dir, "events"))
+    return encounters(
+        fixes, key="mmsi", ts_col="ts", lat_col="latitude",
+        lon_col="longitude", radius_m=5000, bucket_s=3600, cell_deg=0.05,
+    )
+
+
+# The oracle mirrors every stage: q85's uniq fixes, the first-fix-per-
+# (vessel, hour) window, the identical double divide + floor grid cells,
+# the 3x3 neighbor offsets as a VALUES cross join (bounded 9x, the same
+# expansion the Spark side does with explode), and the rounded-BIGINT
+# haversine threshold. epoch() keeps fractional seconds in DuckDB, so the
+# bucket floors BEFORE casting (Spark's unix_timestamp truncates).
+ORACLE_Q96 = """
+WITH uniq AS (
+  SELECT user_id AS mmsi, ts,
+         100.5 + (value % 2.5) AS lon,
+         1.0 + CAST(user_id % 21 AS DOUBLE) / 10.0 AS lat
+  FROM (
+    SELECT user_id, ts, value, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events WHERE user_id IS NOT NULL
+  ) t WHERE rn = 1
+), bucketed AS (
+  SELECT mmsi, ts, lat, lon,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bkt
+  FROM uniq
+), pos AS (
+  SELECT mmsi, bkt, lat, lon,
+         CAST(floor(lon / 0.05) AS BIGINT) AS cx,
+         CAST(floor(lat / 0.05) AS BIGINT) AS cy
+  FROM (
+    SELECT mmsi, bkt, lat, lon,
+           ROW_NUMBER() OVER (PARTITION BY mmsi, bkt ORDER BY ts) AS rn
+    FROM bucketed
+  ) t WHERE rn = 1
+), offs AS (SELECT * FROM (VALUES (-1), (0), (1)) o(d)),
+cand AS (
+  SELECT a.mmsi AS mmsi_a, b.mmsi AS mmsi_b, a.bkt,
+         CAST(round(2.0 * 6371000.0 * asin(sqrt(
+           sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin(radians(b.lon - a.lon) / 2)
+             * sin(radians(b.lon - a.lon) / 2)
+         ))) AS BIGINT) AS dist_m
+  FROM pos a
+  CROSS JOIN offs ox CROSS JOIN offs oy
+  JOIN pos b
+    ON a.bkt = b.bkt
+   AND a.cx + ox.d = b.cx
+   AND a.cy + oy.d = b.cy
+   AND a.mmsi < b.mmsi
+)
+SELECT mmsi_a, mmsi_b,
+       COUNT(*) AS n_close,
+       MIN(dist_m) AS min_dist_m,
+       MIN(bkt) AS first_bkt,
+       MAX(bkt) AS last_bkt
+FROM cand
+WHERE dist_m <= 5000
+GROUP BY mmsi_a, mmsi_b
+"""
+
+
+def q97_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation (`pincspark.operators.graph.
+    triangle_count`) over the q90 citation graph densified with sibling
+    links (doc_id -> doc_id - 1): the community-density / link-farm
+    signal next to q90's PageRank authority prior. Degree-ordered
+    orientation counts every triangle exactly once at its lowest-rank
+    apex, so the per-node counts are exact BIGINTs an ANSI-SQL oracle
+    reproduces bit-for-bit — and the orientation is what bounds the
+    wedge join's fan-out at 100 TB (out-degree O(sqrt(m)) instead of a
+    celebrity node's full neighborhood squared)."""
+    from pincspark.operators.graph import triangle_count
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 3").alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    edges = e1.union(e2).union(e3).filter(F.col("src") != F.col("dst"))
+    out = triangle_count(edges)
+    return out.select(F.col("node").alias("doc_id"), "n_tri")
+
+
+ORACLE_Q97 = """
+WITH raw AS (
+  SELECT doc_id AS s, doc_id // 2 AS d FROM documents WHERE doc_id // 2 <> doc_id
+  UNION ALL
+  SELECT doc_id AS s, doc_id // 3 AS d FROM documents WHERE doc_id // 3 <> doc_id
+  UNION ALL
+  SELECT doc_id AS s, doc_id - 1 AS d FROM documents WHERE doc_id >= 1
+), und AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s <> d
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS a,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS b,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+              THEN dv.deg ELSE du.deg END AS bdeg
+  FROM und
+  JOIN deg du ON und.u = du.node
+  JOIN deg dv ON und.v = dv.node
+), tri AS (
+  SELECT e1.a AS a, e1.b AS x, e2.b AS y
+  FROM oriented e1
+  JOIN oriented e2
+    ON e1.a = e2.a
+   AND ((e1.bdeg < e2.bdeg) OR (e1.bdeg = e2.bdeg AND e1.b < e2.b))
+  JOIN oriented e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node AS doc_id, COUNT(*) AS n_tri FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT x FROM tri
+  UNION ALL SELECT y FROM tri
+) GROUP BY node
+"""
+
+
+def q98_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-frequent tokens (`pincspark.operators.sketches.
+    frequent_items`): every lowercase whitespace token holding >= 1/30 of
+    the corpus's token mass, with its exact count — the frequency-sketch
+    tier next to the KMV distinct tier (q75/q83). Candidates come from a
+    per-partition Misra-Gries summary (bounded state, zero shuffle,
+    mergeable-summaries prune) whose capacity-30 guarantee covers the
+    1/30 support; an exact broadcast-semi recount makes the output
+    provably identical to the plain GROUP BY ... HAVING the oracle runs
+    — the cut is integer cross-multiplication, no float ceil."""
+    from pincspark.operators.sketches import frequent_items
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return frequent_items(toks, "token", 1, 30, capacity=30)
+
+
+ORACLE_Q98 = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), t AS (
+  SELECT token FROM toks WHERE token <> ''
+)
+SELECT token, COUNT(*) AS cnt
+FROM t
+GROUP BY token
+HAVING COUNT(*) * 30 >= (SELECT COUNT(*) FROM t)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6025,7 +6200,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q66_semantic_dedup": (q66_semantic_dedup, ORACLE_Q66),
     "q67_lm_perplexity": (q67_lm_perplexity, ORACLE_Q67),
     "q71_incremental_dedup": (q71_incremental_dedup, ORACLE_Q71),
-    "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
+    # NEW r12 (in-window at registration; q77_url_canonicalize rotates
+    # out — green r10/r11 rows, re-simmed on current code; a native
+    # regexp_replace/parse_url-style chain whose string machinery stays
+    # in-window via q73's WARC splits and q74's HTML extraction): exact
+    # frequent items through per-partition Misra-Gries candidates + exact
+    # recount — the frequency-sketch tier joins the KMV distinct tier
+    "q98_heavy_hitters": (q98_heavy_hitters, ORACLE_Q98),
     # NEW r10 (in-window at registration; q03_region_enrich rotates out —
     # a native broadcast-equi enrichment with a green r9 row; broadcast
     # enrichment stays exercised in-window via q71's snapshot joins and
@@ -6042,11 +6223,25 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q73_warc_extract": (q73_warc_extract, ORACLE_Q73),
     "q74_html_extract": (q74_html_extract, ORACLE_Q74),
     "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
-    "q80_cohort_retention": (q80_cohort_retention, ORACLE_Q80),
+    # NEW r12 (in-window at registration; q80_cohort_retention rotates
+    # out — green r9/r10/r11 rows, re-simmed on current code; a native
+    # date-trunc window agg whose cohort/window shapes stay in-window via
+    # q78's SCD2 windows, q84's window tier and q92's session windows):
+    # degree-oriented exact triangle counting over the densified q90
+    # citation graph — the second iterative-graph-tier hard gate
+    "q97_triangles": (q97_triangles, ORACLE_Q97),
     "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
     "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
     "q84_sample_quantiles": (q84_sample_quantiles, ORACLE_Q84),
-    "q85_track_qc": (q85_track_qc, ORACLE_Q85),
+    # NEW r12 (in-window at registration; q85_track_qc rotates out — green
+    # r9/r10/r11 rows, re-simmed on current code; q96 consumes the SAME
+    # synthetic fixes and rounded-BIGINT haversine kernel and is strictly
+    # stronger on the geo-distance tier: bucketed dedup window + grid-cell
+    # self-join + pair aggregation on top of the identical distance
+    # discipline): vessel pair-proximity encounters via the space-time
+    # bucketed self-join — the vessel-vs-vessel analytic the reference's
+    # zone machinery never asks
+    "q96_encounters": (q96_encounters, ORACLE_Q96),
     # --- demoted past the 50-query harness window (see r9 note above;
     # every query below this line has >= 1 green driver row in the
     # committed CORRECTNESS_r* history and stays parity-tested over the
@@ -6059,6 +6254,16 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # window voyage rollup, green r10+r11 rows; the native agg tier
     # stays gated in-window via q01 and q85
     "q86_voyage_stats": (q86_voyage_stats, ORACLE_Q86),
+    # rotated out r12 for q96 (encounters): green r9/r10/r11 rows; q96
+    # consumes the same synthetic fixes + rounded haversine kernel and
+    # gates strictly more geo machinery (see the q96 registration note)
+    "q85_track_qc": (q85_track_qc, ORACLE_Q85),
+    # rotated out r12 for q97 (triangles): green r9/r10/r11 rows; native
+    # date-trunc cohort agg, window/agg tier stays via q78/q84/q92
+    "q80_cohort_retention": (q80_cohort_retention, ORACLE_Q80),
+    # rotated out r12 for q98 (heavy hitters): green r10/r11 rows; native
+    # regex chain, string tier stays via q73/q74
+    "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     # rotated out r10 for q89 (domain cap): native broadcast-equi
     # enrichment, green r9 row; see the q89 registration note

@@ -102,3 +102,96 @@ def test_haversine_known_distance(spark):
         .collect()[0]["d"]
     )
     assert abs(d - 111195) < 10
+
+
+# ---------------------------------------------------------------------------
+# encounters (q96): space-time bucketed pair proximity
+# ---------------------------------------------------------------------------
+
+from datetime import datetime  # noqa: E402
+
+from pincspark.operators.geo import encounters  # noqa: E402
+
+
+def _enc(spark, fixes, **kw):
+    df = spark.createDataFrame(fixes, ["mmsi", "ts", "latitude", "longitude"])
+    rows = encounters(df, **kw).collect()
+    return {
+        (r["mmsi_a"], r["mmsi_b"]): (
+            r["n_close"], r["min_dist_m"], r["first_bkt"], r["last_bkt"]
+        )
+        for r in rows
+    }
+
+
+def test_encounters_cross_cell_pair_is_found(spark):
+    # Two vessels ~1.1 km apart straddling the 0.05-degree cell boundary
+    # at lon 100.05: only the neighbor-cell explode can pair them.
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    got = _enc(spark, [
+        (1, t, 1.0, 100.049),
+        (2, t, 1.0, 100.059),
+    ])
+    assert list(got) == [(1, 2)]
+    n_close, min_d, first_b, last_b = got[(1, 2)]
+    assert n_close == 1 and first_b == last_b
+    assert 1000 < min_d < 1250  # ~0.01 deg of longitude near the equator
+
+
+def test_encounters_same_cell_but_beyond_radius_excluded(spark):
+    # Same hour, same latitude band, 0.8 deg apart (~89 km): never a pair,
+    # whatever cell geometry says.
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    assert _enc(spark, [(1, t, 1.0, 100.0), (2, t, 1.0, 100.8)]) == {}
+
+
+def test_encounters_pair_counted_once_per_bucket_and_aggregated(spark):
+    # Co-located in hours 10 and 12, apart in hour 11.
+    a = [(1, datetime(2024, 1, 1, h, 0, 0), 1.0, 100.0) for h in (10, 11, 12)]
+    b = [
+        (2, datetime(2024, 1, 1, 10, 30, 0), 1.0, 100.01),
+        (2, datetime(2024, 1, 1, 11, 30, 0), 1.0, 101.5),
+        (2, datetime(2024, 1, 1, 12, 30, 0), 1.0, 100.02),
+    ]
+    got = _enc(spark, a + b)
+    assert list(got) == [(1, 2)]
+    n_close, min_d, first_b, last_b = got[(1, 2)]
+    assert n_close == 2
+    assert last_b == first_b + 2  # hours 10 and 12
+    assert abs(min_d - 1113) <= 2  # 0.01 deg lon at lat 1.0
+
+
+def test_encounters_takes_first_fix_per_bucket(spark):
+    # Vessel 2's FIRST fix in the hour is far away; its later close fix
+    # must not create a pair (the bucketed dedup keeps the earliest fix).
+    got = _enc(spark, [
+        (1, datetime(2024, 1, 1, 12, 0, 0), 1.0, 100.0),
+        (2, datetime(2024, 1, 1, 12, 5, 0), 1.0, 102.0),
+        (2, datetime(2024, 1, 1, 12, 40, 0), 1.0, 100.001),
+    ])
+    assert got == {}
+
+
+def test_encounters_orders_pairs_and_never_self_pairs(spark):
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    got = _enc(spark, [
+        (9, t, 1.0, 100.0),
+        (3, t, 1.0, 100.001),
+        (5, t, 1.0, 100.002),
+    ])
+    assert set(got) == {(3, 5), (3, 9), (5, 9)}
+
+
+def test_encounters_radius_and_bucket_knobs(spark):
+    # 2.2 km apart: inside a 3 km radius, outside a 1 km one; with
+    # 15-minute buckets the two co-located times land in DIFFERENT
+    # buckets and count twice.
+    pts = [
+        (1, datetime(2024, 1, 1, 12, 1, 0), 1.0, 100.0),
+        (2, datetime(2024, 1, 1, 12, 2, 0), 1.0, 100.02),
+        (1, datetime(2024, 1, 1, 12, 50, 0), 1.0, 100.0),
+        (2, datetime(2024, 1, 1, 12, 55, 0), 1.0, 100.02),
+    ]
+    wide = _enc(spark, pts, radius_m=3000, bucket_s=900)
+    assert wide[(1, 2)][0] == 2
+    assert _enc(spark, pts, radius_m=1000, bucket_s=900) == {}

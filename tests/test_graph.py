@@ -132,3 +132,64 @@ def test_partitioning_invariance(spark):
         for r in pagerank_int(df.repartition(13)).collect()
     }
     assert a == b  # integer arithmetic: bit-identical under any layout
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+from pincspark.operators.graph import triangle_count  # noqa: E402
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, edges)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # K4: C(3,2)=3 per node, 4 total
+
+
+def test_square_without_diagonal_has_none(spark):
+    got = _tri(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert got == {}
+
+
+def test_star_has_none(spark):
+    got = _tri(spark, [(0, i) for i in range(1, 8)])
+    assert got == {}
+
+
+def test_multiset_reversed_and_self_loop_edges_canonicalize(spark):
+    # K3 given as duplicates, both directions, plus a self loop: the
+    # undirected simple graph is one triangle.
+    edges = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 1), (0, 2), (2, 2)]
+    got = _tri(spark, edges)
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_two_triangles_sharing_an_edge(spark):
+    # {0,1,2} and {0,1,3}: nodes 0/1 sit in both, 2/3 in one each.
+    got = _tri(spark, [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)])
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_triangle_count_matches_brute_force_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(1207)
+    nodes = list(range(24))
+    edges = sorted(
+        {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.25}
+    )
+    got = _tri(spark, [list(e) for e in edges])
+    eset = set(edges)
+    expect: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+    assert got == expect

@@ -397,14 +397,17 @@ def test_harness_window_composition_is_pinned():
     for newly_gated in (
         "q68_dsir_weights", "q69_temperature_sample", "q70_zorder_layout",
         "q72_bloom_decontam", "q73_warc_extract", "q74_html_extract",
-        "q75_kmv_distinct", "q80_cohort_retention",
+        "q75_kmv_distinct",
         "q82_constraint_census", "q83_kmv_join_size", "q84_sample_quantiles",
-        "q85_track_qc",
         # q79_funnel and q86_voyage_stats rotated out r12 for q94/q95
         # (the aux/text decode-family SQL twins): both carry green
         # r10+r11 rows, re-simmed green on current code; their native
         # window/agg shapes stay gated in-window via q78/q84/q89 and
-        # q01/q85 respectively.
+        # q01/q85 respectively. q85_track_qc rotated out r12 for q96
+        # (encounters — same fixes + rounded-haversine kernel, strictly
+        # more geo machinery); q80_cohort_retention rotated out r12 for
+        # q97 (triangles — native date-trunc agg, window tier stays via
+        # q78/q84/q92); both green r9-r11, re-simmed on current code.
         "q87_compaction_identity",  # NEW r9: compaction row-identity,
         # in-window at registration per the no-ungated-query policy
     ):
@@ -446,8 +449,15 @@ def test_harness_window_composition_is_pinned():
         "q59_dup_spans", "q60_jpeg_decode", "q61_flac_decode",
         "q62_ivf_index_topk", "q63_webp_decode", "q64_span_removal",
         "q65_tiff_decode", "q66_semantic_dedup", "q67_lm_perplexity",
-        "q71_incremental_dedup", "q77_url_canonicalize",
+        # q77_url_canonicalize rotated out r12 for q98 (heavy hitters):
+        # green r10/r11 rows, re-simmed on current code; native regex
+        # chain, string tier stays in-window via q73/q74.
+        "q71_incremental_dedup",
         "q78_scd2_history", "q81_fuzzy_pairs",
+        # NEW r12 custom-machinery gates: the space-time bucketed
+        # encounter self-join, degree-oriented triangle counting, and the
+        # Misra-Gries frequent-items sketch + exact recount.
+        "q96_encounters", "q97_triangles", "q98_heavy_hitters",
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
 

@@ -238,3 +238,86 @@ def test_sample_quantiles_accuracy_and_determinism(spark):
     assert abs(q[0.5] - 5000) / 10000 < 0.15, q
     assert abs(q[0.9] - 9000) / 10000 < 0.15, q
     assert q[0.5] == float(int(q[0.5]))  # a verbatim data value
+
+
+# ---------------------------------------------------------------------------
+# frequent_items (q98): Misra-Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+from pincspark.operators.sketches import frequent_items  # noqa: E402
+
+
+def _exact_frequent(values, num, den):
+    from collections import Counter
+
+    c = Counter(v for v in values if v is not None)
+    n = sum(c.values())
+    return {k: v for k, v in c.items() if v * den >= num * n}
+
+
+def _hh(spark, values, num, den, capacity=None, parts=7):
+    df = spark.createDataFrame(
+        [(v,) for v in values], ["k"]
+    ).repartition(parts)
+    rows = frequent_items(df, "k", num, den, capacity=capacity).collect()
+    return {r["k"]: r["cnt"] for r in rows}
+
+
+def test_frequent_items_exact_on_skewed_stream(spark):
+    # Zipf-ish synthetic stream with MANY more distinct keys than the MG
+    # capacity, spread over 7 partitions: the sketch must decrement, and
+    # the recount must still produce EXACTLY the groupBy-HAVING answer —
+    # no false positives, no false negatives.
+    import random
+
+    rng = random.Random(98)
+    values = (
+        ["hot"] * 400 + ["warm"] * 160 + ["edge"] * 100
+        + [f"cold{i}" for i in range(300) for _ in range(rng.randint(1, 3))]
+    )
+    rng.shuffle(values)
+    got = _hh(spark, values, 1, 10, capacity=10)
+    assert got == _exact_frequent(values, 1, 10)
+    assert "hot" in got and "cold0" not in got
+
+
+def test_frequent_items_threshold_boundary_is_inclusive(spark):
+    # 20 rows, support 1/4: a key with exactly 5 occurrences qualifies
+    # (cnt * den >= num * N with no float ceil).
+    values = ["a"] * 5 + ["b"] * 4 + [f"x{i}" for i in range(11)]
+    got = _hh(spark, values, 1, 4, capacity=8, parts=3)
+    assert got == {"a": 5}
+
+
+def test_frequent_items_ignores_nulls(spark):
+    values = ["a"] * 6 + [None] * 94 + ["b"] * 2
+    got = _hh(spark, values, 1, 2, capacity=4, parts=2)
+    # N counts only the 8 non-null rows: a (6/8) passes, b (2/8) fails.
+    assert got == {"a": 6}
+
+
+def test_frequent_items_rejects_undersized_capacity(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    with pytest.raises(ValueError, match="no-false-negative"):
+        frequent_items(df, "k", 1, 30, capacity=10)
+
+
+def test_frequent_items_random_property_vs_exact(spark):
+    # 5 seeded trials at adversarial capacity (exactly den/num): the
+    # two-pass scheme must equal the exact answer on every draw.
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        values = [f"k{int(rng.expovariate(0.08))}" for _ in range(3000)]
+        got = _hh(spark, values, 1, 25, capacity=25, parts=5)
+        assert got == _exact_frequent(values, 1, 25), f"seed {seed}"
+
+
+def test_frequent_items_bigint_keys(spark):
+    values = [7] * 30 + [11] * 10 + list(range(100, 160))
+    df = spark.createDataFrame([(v,) for v in values], ["k"]).repartition(4)
+    got = {r["k"]: r["cnt"] for r in frequent_items(df, "k", 1, 5).collect()}
+    assert got == {7: 30}
