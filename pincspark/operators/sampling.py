@@ -195,3 +195,63 @@ def deterministic_shards(
         .withColumn("pos", F.row_number().over(w) - F.lit(1))
         .drop("__h")
     )
+
+
+def group_holdout_split(
+    df: DataFrame,
+    group_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 8), ("val", 1), ("test", 1)),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP (user,
+    domain, session — whatever unit must not straddle an evaluation
+    boundary) lands in the same split, because the assignment is a pure
+    function of (salt, group key): bucket = md5-hash(salt:group) mod
+    sum(weights), mapped to the first split whose cumulative weight
+    exceeds it.
+
+    Row-level random splits leak: near-duplicate rows (or a user's other
+    events) from the training split sit in the test split and the eval
+    measures memorization. Group-hash assignment is the standard guard,
+    and the deterministic hash makes it reproducible across cluster
+    sizes, partitionings, corpus growth (a group's split NEVER changes as
+    rows arrive — append-friendly), and reruns.
+
+    Scale (100 TB): a narrow projection — zero shuffle, no group table,
+    no join; the split column computes per-row from the group key alone.
+    Weights are integers (8/1/1, not 0.8/0.1/0.1) so the bucket math is
+    exact modular arithmetic, mirrored verbatim by the DuckDB oracle via
+    :func:`group_holdout_split_sql`.
+    """
+    total = sum(w for _, w in splits)
+    if total <= 0 or any(w < 0 for _, w in splits):
+        raise ValueError(f"split weights must be non-negative with a positive sum: {splits}")
+    bucket = F.pmod(sample_hash(F.col(group_col), salt), F.lit(total))
+    expr: Column | None = None
+    cum = 0
+    for name, weight in splits[:-1]:
+        cum += weight
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, assigned)
+
+
+def group_holdout_split_sql(
+    group_expr: str,
+    splits: Sequence[tuple[str, int]] = (("train", 8), ("val", 1), ("test", 1)),
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of :func:`group_holdout_split`'s split expression."""
+    total = sum(w for _, w in splits)
+    h = sample_hash_sql(group_expr, salt)
+    lines = ["CASE"]
+    cum = 0
+    for name, weight in splits[:-1]:
+        cum += weight
+        lines.append(f"  WHEN ({h}) % {total} < {cum} THEN '{name}'")
+    lines.append(f"  ELSE '{splits[-1][0]}'")
+    lines.append("END")
+    return "\n".join(lines)

@@ -6001,6 +6001,118 @@ HAVING COUNT(*) * 30 >= (SELECT COUNT(*) FROM t)
 """
 
 
+def q99_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total ordering (`pincspark.operators.order.global_rank`):
+    every order ranked by price (desc, orderkey tie-break) plus its decile
+    bucket — the curriculum-ordering / sorted-export primitive. The naive
+    Spark form, `row_number() OVER (ORDER BY ...)`, plans a SINGLE-partition
+    window (the whole table through one task — the 100-TB killer this
+    operator exists to avoid); global_rank reproduces the identical numbers
+    via range-partition + zero-shuffle local-rank stamp + a prefix sum over
+    per-partition COUNTS (rows == partitions, never data-sized) + broadcast
+    offset join. The oracle runs the single-window form DuckDB can afford
+    at sf0.01, pinning the two-phase rewrite row-for-row; the decile is
+    exact integer arithmetic on (rank, total), not float NTILE."""
+    from pincspark.operators.order import global_rank
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    total = orders.count()
+    ranked = global_rank(
+        orders,
+        [("o_totalprice", False), ("o_orderkey", True)],
+        rank_col="rnk",
+        num_partitions=8,
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_totalprice",
+        "rnk",
+        (((F.col("rnk") - 1) * 10 / F.lit(total)).cast("bigint") + 1)
+        .cast("int")
+        .alias("decile"),
+    )
+
+
+ORACLE_Q99 = """
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+         COUNT(*) OVER () AS total
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, rnk,
+       CAST((rnk - 1) * 10 // total AS INTEGER) + 1 AS decile
+FROM r
+"""
+
+
+def q100_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe user-level train/val/test split
+    (`pincspark.operators.sampling.group_holdout_split`): every event is
+    assigned 80/10/10 by md5-hash of its USER (not its row), so no user's
+    activity straddles an evaluation boundary — the group-holdout guard a
+    training pipeline needs before near-dup filtering can even matter.
+    Zero shuffle (a narrow CASE over the group key — plan-asserted in
+    tests/test_sampling.py), reproducible on any cluster size and stable
+    under corpus growth; the oracle replays the identical modular
+    arithmetic via group_holdout_split_sql."""
+    from pincspark.operators.sampling import group_holdout_split
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id")
+    return group_holdout_split(events, "user_id", salt="holdout")
+
+
+def _q100_oracle() -> str:
+    from pincspark.operators.sampling import group_holdout_split_sql
+
+    case = group_holdout_split_sql("user_id", salt="holdout")
+    return f"""
+SELECT event_id, user_id,
+{case} AS split
+FROM events
+"""
+
+
+def q101_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bounded-frame sliding stats: mean and max of `value` over
+    the trailing 5 events (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW,
+    ordered by ts with event_id tie-break) — the rolling-feature shape
+    (EWMA-class trailing signals, rate limiting, trend features) that the
+    catalog's other windows don't cover: q11 is an UNBOUNDED running sum,
+    q13/q92 are gap sessions, q08 is lead(); this is the bounded frame.
+    One shuffle (hash on user_id), per-key local sort, no global order.
+    Determinism: the frame SUM runs in DECIMAL(18,2) (exact, order-free —
+    DuckDB's sliding-window segment-tree aggregation may re-associate a
+    double sum) and divides by the frame COUNT in double once."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    mov_sum = F.sum(_dec2("value")).over(w).cast("double")
+    mov_n = F.count(F.lit(1)).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        (mov_sum / mov_n).alias("mov_avg"),
+        F.max("value").over(w).alias("mov_max"),
+    )
+
+
+ORACLE_Q101 = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS mov_avg,
+       MAX(value) OVER w AS mov_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6164,7 +6276,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # the last local-only decode families (P13/P18/P19)
     "q95_text_families_sql": (q95_text_families_sql, ORACLE_Q95),
     "q37_decontamination": (q37_decontamination, ORACLE_Q37),
-    "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
+    # NEW r12 (in-window at registration; q38_repetition_rules rotates
+    # out — green r10+r11 rows, re-simmed on current code; a zero-shuffle
+    # native HOF scorer whose text-quality surface stays in-window as
+    # q54's stage-1 quality gate): distributed total ordering — the
+    # two-phase global rank (range partition + local stamp + count prefix
+    # sum + broadcast offsets) pinned against DuckDB's single-window
+    # row_number, NEW custom machinery in operators/order.py
+    "q99_global_rank": (q99_global_rank, ORACLE_Q99),
     "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
     "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
     "q49_weather_decode_sql": (q49_weather_decode_sql, ORACLE_Q49),
@@ -6222,7 +6341,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q72_bloom_decontam": (q72_bloom_decontam, ORACLE_Q72),
     "q73_warc_extract": (q73_warc_extract, ORACLE_Q73),
     "q74_html_extract": (q74_html_extract, ORACLE_Q74),
-    "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
+    # NEW r12 (in-window at registration; q75_kmv_distinct rotates out —
+    # green r9/r10/r11 rows, re-simmed on current code; the KMV estimator
+    # core keeps two in-window gates via q83 join-size + q84 quantiles,
+    # and the frequency-sketch tier adds q98): leakage-safe group-holdout
+    # split — NEW operator (sampling.group_holdout_split), the modular
+    # CASE arithmetic mirrored verbatim into the oracle
+    "q100_holdout_split": (q100_holdout_split, _q100_oracle()),
     # NEW r12 (in-window at registration; q80_cohort_retention rotates
     # out — green r9/r10/r11 rows, re-simmed on current code; a native
     # date-trunc window agg whose cohort/window shapes stay in-window via
@@ -6230,7 +6355,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # degree-oriented exact triangle counting over the densified q90
     # citation graph — the second iterative-graph-tier hard gate
     "q97_triangles": (q97_triangles, ORACLE_Q97),
-    "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
+    # NEW r12 (in-window at registration; q82_constraint_census rotates
+    # out — green r9/r10/r11 rows, re-simmed on current code; a native
+    # filter/agg census whose agg shapes stay in-window via q01/q84):
+    # bounded-frame sliding stats — the trailing-window rolling-feature
+    # shape no other catalog window covers (q11 is unbounded-preceding,
+    # q13/q92 are gap sessions), with the DECIMAL-exact frame sum
+    "q101_moving_stats": (q101_moving_stats, ORACLE_Q101),
     "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
     "q84_sample_quantiles": (q84_sample_quantiles, ORACLE_Q84),
     # NEW r12 (in-window at registration; q85_track_qc rotates out — green
@@ -6264,6 +6395,16 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r12 for q98 (heavy hitters): green r10/r11 rows; native
     # regex chain, string tier stays via q73/q74
     "q77_url_canonicalize": (q77_url_canonicalize, ORACLE_Q77),
+    # rotated out r12 for q99 (global rank): green r10+r11 rows; native
+    # zero-shuffle HOF repetition scorer, text quality stays in-window as
+    # q54's stage-1 gate
+    "q38_repetition_rules": (q38_repetition_rules, ORACLE_Q38),
+    # rotated out r12 for q100 (holdout split): green r9/r10/r11 rows;
+    # the KMV core stays in-window via q83/q84
+    "q75_kmv_distinct": (q75_kmv_distinct, ORACLE_Q75),
+    # rotated out r12 for q101 (moving stats): green r9/r10/r11 rows;
+    # native filter/agg census, agg tier stays via q01/q84
+    "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     # rotated out r10 for q89 (domain cap): native broadcast-equi
     # enrichment, green r9 row; see the q89 registration note

@@ -142,3 +142,118 @@ def test_stratified_fixed_presplit_is_exact(spark):
     for dom, _, _ in single:
         per[dom] = per.get(dom, 0) + 1
     assert per == {"hot": 10, "warm": 10, "cool": 7, "cold": 1}
+
+
+def test_group_holdout_split_no_group_straddles_splits(spark):
+    """The leakage guard itself: every group maps to exactly ONE split,
+    regardless of how many rows it has or where they sit."""
+    from pincspark.operators.sampling import group_holdout_split
+
+    events = table(spark, SF_DIR, "events")
+    out = group_holdout_split(events, "user_id", salt="t")
+    per_user = out.groupBy("user_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_user.filter(F.col("n_splits") > 1).count() == 0
+    # all three splits are populated at this corpus size
+    assert out.select("split").distinct().count() == 3
+
+
+def test_group_holdout_split_proportions_and_determinism(spark):
+    from pincspark.operators.sampling import group_holdout_split
+
+    events = table(spark, SF_DIR, "events")
+    out = group_holdout_split(events, "user_id", salt="t")
+    groups = out.select("user_id", "split").distinct()
+    n = groups.count()
+    frac = {
+        r["split"]: r["cnt"] / n
+        for r in groups.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert 0.65 < frac["train"] < 0.95 and frac["val"] < 0.25 and frac["test"] < 0.25
+    # partitioning-invariant and rerun-stable
+    a = sorted(map(tuple, groups.collect()))
+    b = sorted(
+        map(
+            tuple,
+            group_holdout_split(events.repartition(13, "event_type"), "user_id", salt="t")
+            .select("user_id", "split")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert a == b
+    # a different salt reassigns some groups
+    c = sorted(
+        map(
+            tuple,
+            group_holdout_split(events, "user_id", salt="u")
+            .select("user_id", "split")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert a != c
+
+
+def test_group_holdout_split_sql_mirror_matches(spark):
+    """The DuckDB CASE mirror assigns the identical split to every group —
+    the exact arithmetic the q100 oracle relies on."""
+    import duckdb
+
+    from pincspark.operators.sampling import (
+        group_holdout_split,
+        group_holdout_split_sql,
+    )
+
+    events = table(spark, SF_DIR, "events")
+    got = {
+        (r["user_id"], r["split"])
+        for r in group_holdout_split(events, "user_id", salt="t")
+        .select("user_id", "split")
+        .distinct()
+        .collect()
+    }
+    case = group_holdout_split_sql("user_id", salt="t")
+    want = set(
+        duckdb.sql(
+            f"SELECT DISTINCT user_id, {case} AS split "
+            f"FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_group_holdout_split_is_narrow(spark):
+    """Scale contract: the assignment is a pure projection — no exchange,
+    no join, no window anywhere in the plan."""
+    from pincspark.operators.sampling import group_holdout_split
+
+    events = table(spark, SF_DIR, "events")
+    plan = (
+        group_holdout_split(events, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for op in ("Exchange", "Join", "Window"):
+        assert op not in plan, plan
+
+
+def test_group_holdout_split_custom_weights_and_validation(spark):
+    import pytest
+
+    from pincspark.operators.sampling import group_holdout_split
+
+    events = table(spark, SF_DIR, "events").limit(200)
+    out = group_holdout_split(
+        events, "user_id", splits=(("fit", 1), ("hold", 1)), salt="t"
+    )
+    assert set(r["split"] for r in out.select("split").distinct().collect()) <= {
+        "fit",
+        "hold",
+    }
+    with pytest.raises(ValueError):
+        group_holdout_split(events, "user_id", splits=(("a", 0), ("b", 0)))
+    with pytest.raises(ValueError):
+        group_holdout_split(events, "user_id", splits=(("a", -1), ("b", 2)))
