@@ -6113,6 +6113,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
 """
 
 
+def q102_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence assembly: each user's full event-type journey as one
+    ordered string — the grab-all-of-a-key's-rows-in-order primitive that
+    turns an event log into sequence training examples (conversation
+    threads, clickstreams, voyage legs). Order inside the group is made
+    deterministic WITHOUT a window: collect the (ts, event_id, type)
+    structs, `array_sort` them (struct order = field order, event_id a
+    unique tie-break), then project the types — so the result is
+    independent of partitioning and encounter order, which a bare
+    collect_list-over-sorted-frame is NOT (Spark documents collect_list
+    as non-deterministic under reordering).
+
+    Scale: ONE shuffle on user_id, inherent — sequence assembly by
+    definition co-locates a key's rows. Per-key cost is the key's own
+    event count (bounded by per-user activity, not corpus size); a
+    pathological hot key would cap via q89-style presplit top-K before
+    assembly. The oracle rebuilds the same strings with DuckDB's ordered
+    string_agg."""
+    events = table(spark, sf_dir, "events")
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(seq, lambda x: x["event_type"]), ">"
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("first_us"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+        )
+    )
+
+
+ORACLE_Q102 = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS journey,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS first_us,
+       epoch_us(MAX(ts)) AS last_us
+FROM events
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6336,7 +6380,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
     # --- r9 gate-debt retirement: the 14 never-driver-gated rows ---
     "q68_dsir_weights": (q68_dsir_weights, ORACLE_Q68),
-    "q69_temperature_sample": (q69_temperature_sample, ORACLE_Q69),
+    # NEW r12 (in-window at registration; q69_temperature_sample rotates
+    # out — green r10/r11 rows, re-simmed on current code; its
+    # sample_hash filter machinery is freshly in-window via q100, and the
+    # per-source rate arithmetic stays parity-tested locally): sequence
+    # assembly — each user's deterministically-ordered event journey
+    # (array_sort over collected structs, NOT the non-deterministic
+    # collect_list-over-frame), the event-log-to-training-example step
+    "q102_user_journeys": (q102_user_journeys, ORACLE_Q102),
     "q70_zorder_layout": (q70_zorder_layout, ORACLE_Q70),
     "q72_bloom_decontam": (q72_bloom_decontam, ORACLE_Q72),
     "q73_warc_extract": (q73_warc_extract, ORACLE_Q73),
@@ -6405,6 +6456,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r12 for q101 (moving stats): green r9/r10/r11 rows;
     # native filter/agg census, agg tier stays via q01/q84
     "q82_constraint_census": (q82_constraint_census, ORACLE_Q82),
+    # rotated out r12 for q102 (user journeys): green r10/r11 rows; the
+    # hash-filter draw stays in-window via q100, rates parity-tested
+    # locally
+    "q69_temperature_sample": (q69_temperature_sample, ORACLE_Q69),
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     # rotated out r10 for q89 (domain cap): native broadcast-equi
     # enrichment, green r9 row; see the q89 registration note

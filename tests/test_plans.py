@@ -395,7 +395,10 @@ def test_harness_window_composition_is_pinned():
     window = set(names[:50])
     # The r9 gate-debt retirement wave: all 14 never-driver-gated rows.
     for newly_gated in (
-        "q68_dsir_weights", "q69_temperature_sample", "q70_zorder_layout",
+        # q69_temperature_sample rotated out r12 for q102 (user journeys):
+        # green r10/r11 rows, re-simmed on current code; the hash-filter
+        # draw stays in-window via q100.
+        "q68_dsir_weights", "q70_zorder_layout",
         "q72_bloom_decontam", "q73_warc_extract", "q74_html_extract",
         # q75_kmv_distinct rotated out r12 for q100 (holdout split): green
         # r9-r11 rows, re-simmed on current code; the KMV core keeps two
@@ -470,6 +473,9 @@ def test_harness_window_composition_is_pinned():
         # split (NEW sampling operator), and the bounded-frame sliding
         # stats (the one window-frame shape the catalog lacked).
         "q99_global_rank", "q100_holdout_split", "q101_moving_stats",
+        # NEW r12 third wave: deterministic sequence assembly (array_sort
+        # over collected structs — the event-log-to-training-example step).
+        "q102_user_journeys",
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
 
