@@ -436,3 +436,94 @@ def frequent_items(
             >= F.lit(int(support_num)) * F.lit(int(n_total))
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): the mergeable FREQUENCY
+# estimator completing the sketch family — Bloom answers membership, KMV
+# answers cardinality, Misra-Gries + recount answers exact heavy hitters,
+# CMS answers "about how often does X occur?" for ANY later probe without
+# rescanning the corpus. depth x width counters (depth independent hashes;
+# estimate = min over rows), always an OVERestimate, never under; two
+# sketches merge by cell-wise SUM, so a per-day CMS table rolls up to any
+# window. All arithmetic is BIGINT on md5-prefix hashes — byte-identical in
+# any engine, which is what makes a DuckDB oracle possible where a native
+# probabilistic agg would be JVM-private.
+#
+# Scale shape: the build explodes each value into `depth` (row, bucket)
+# pairs and group-counts them — partial aggregation collapses every task to
+# <= depth*width cells before the (tiny) shuffle, and the finished sketch is
+# depth*width rows regardless of corpus size, so estimates are a BROADCAST
+# join, never a corpus pass.
+# --------------------------------------------------------------------------
+
+
+def cms_bucket(col: F.Column, j: int, width: int, salt: str = "cms") -> F.Column:
+    """Row-j bucket of a value: first 8 md5 hex chars of 'salt:j:value',
+    base-16, mod width — the oracle's
+    ``('0x' || substring(md5('salt:j:' || v), 1, 8))::BIGINT % width``."""
+    key = F.concat(F.lit(f"{salt}:{j}:"), col.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def _cms_pairs(col: F.Column, width: int, depth: int, salt: str) -> F.Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                cms_bucket(col, j, width, salt).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 512,
+    depth: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the sketch: (j int, bucket bigint, cnt bigint), one row per
+    non-empty cell (absent cell == 0). Persist this table; it is the whole
+    summary."""
+    pairs = _cms_pairs(F.col(value_col), width, depth, salt)
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.j", "p.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum: the sketch of a union of corpora (same width/depth/
+    salt) — merge daily sketches instead of rescanning history."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = 512,
+    depth: int = 3,
+    salt: str = "cms",
+    est_col: str = "est",
+) -> DataFrame:
+    """Point estimates for each probe value: min over the depth rows of the
+    probe's cells (missing cell = 0). The sketch side is broadcast — it is
+    depth*width rows by construction; the probe table can be any size."""
+    pairs = _cms_pairs(F.col(value_col), width, depth, salt)
+    pb = probes.select(F.col(value_col), F.explode(pairs).alias("p")).select(
+        value_col, "p.j", "p.bucket"
+    )
+    joined = pb.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(est_col)
+    )

@@ -6157,6 +6157,65 @@ GROUP BY user_id
 """
 
 
+_CMS_PROBES = (
+    "join", "hash", "scan", "spark", "window", "sort", "the",
+    "zeppelin", "quasar",
+)
+_CMS_W, _CMS_D = 512, 3
+
+
+def q103_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates (`operators/sketches.cms_sketch` /
+    `cms_estimate`): build a 3x512 CMS over the corpus's lowercase
+    whitespace tokens (the q98 tokenization), then answer "about how often
+    does X occur?" for a fixed probe list — two present-heavy, mid, and
+    absent tokens included — from the SKETCH alone. This completes the
+    mergeable-sketch family (Bloom membership / KMV cardinality / MG+
+    recount exact heavy hitters): cell-wise-SUM mergeable, depth*width
+    rows regardless of corpus size, estimates via broadcast join. All
+    BIGINT md5 arithmetic; the oracle rebuilds the identical cells and
+    minimums in SQL, so the driver pins estimator arithmetic exactly, not
+    just within error bounds."""
+    from pincspark.operators.sketches import cms_estimate, cms_sketch
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = cms_sketch(toks, "token", width=_CMS_W, depth=_CMS_D)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    return cms_estimate(sketch, probes, "token", width=_CMS_W, depth=_CMS_D)
+
+
+def _q103_oracle() -> str:
+    probe_list = ", ".join(f"'{t}'" for t in _CMS_PROBES)
+    bucket = (
+        "CAST(('0x' || substring(md5('cms:' || CAST(j AS VARCHAR) || ':' || token), 1, 8)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+    js = ", ".join(str(j) for j in range(_CMS_D))
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), t AS (
+  SELECT token FROM toks WHERE token <> ''
+), cells AS (
+  SELECT j, {bucket} AS bucket, COUNT(*) AS cnt
+  FROM t CROSS JOIN (SELECT unnest([{js}]) AS j) js
+  GROUP BY 1, 2
+), probes AS (
+  SELECT unnest([{probe_list}]) AS token
+), pb AS (
+  SELECT token, j, {bucket} AS bucket
+  FROM probes CROSS JOIN (SELECT unnest([{js}]) AS j) js
+)
+SELECT pb.token, CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est
+FROM pb LEFT JOIN cells USING (j, bucket)
+GROUP BY pb.token
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6413,7 +6472,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # shape no other catalog window covers (q11 is unbounded-preceding,
     # q13/q92 are gap sessions), with the DECIMAL-exact frame sum
     "q101_moving_stats": (q101_moving_stats, ORACLE_Q101),
-    "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
+    # NEW r12 (in-window at registration; q83_kmv_join_size rotates out —
+    # green r9/r10/r11 rows, re-simmed on current code; the KMV core
+    # stays in-window via q84's bottom-k quantiles and the join-size
+    # composition is parity-tested locally): count-min frequency sketch —
+    # the mergeable frequency estimator completing the sketch family,
+    # BIGINT cell arithmetic pinned exactly by the oracle
+    "q103_cms_frequency": (q103_cms_frequency, _q103_oracle()),
     "q84_sample_quantiles": (q84_sample_quantiles, ORACLE_Q84),
     # NEW r12 (in-window at registration; q85_track_qc rotates out — green
     # r9/r10/r11 rows, re-simmed on current code; q96 consumes the SAME
@@ -6460,6 +6525,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # hash-filter draw stays in-window via q100, rates parity-tested
     # locally
     "q69_temperature_sample": (q69_temperature_sample, ORACLE_Q69),
+    # rotated out r12 for q103 (CMS frequency): green r9/r10/r11 rows;
+    # the KMV core stays in-window via q84, join-size composition
+    # parity-tested locally
+    "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     # rotated out r10 for q89 (domain cap): native broadcast-equi
     # enrichment, green r9 row; see the q89 registration note

@@ -406,7 +406,10 @@ def test_harness_window_composition_is_pinned():
         # q82_constraint_census rotated out r12 for q101 (moving stats):
         # green r9-r11 rows, re-simmed on current code; native filter/agg
         # census, agg tier stays via q01/q84.
-        "q83_kmv_join_size", "q84_sample_quantiles",
+        # q83_kmv_join_size rotated out r12 for q103 (CMS frequency):
+        # green r9-r11 rows, re-simmed on current code; KMV core stays
+        # in-window via q84.
+        "q84_sample_quantiles",
         # q79_funnel and q86_voyage_stats rotated out r12 for q94/q95
         # (the aux/text decode-family SQL twins): both carry green
         # r10+r11 rows, re-simmed green on current code; their native
@@ -474,8 +477,9 @@ def test_harness_window_composition_is_pinned():
         # stats (the one window-frame shape the catalog lacked).
         "q99_global_rank", "q100_holdout_split", "q101_moving_stats",
         # NEW r12 third wave: deterministic sequence assembly (array_sort
-        # over collected structs — the event-log-to-training-example step).
-        "q102_user_journeys",
+        # over collected structs — the event-log-to-training-example step)
+        # and the count-min frequency sketch (mergeable BIGINT cells).
+        "q102_user_journeys", "q103_cms_frequency",
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
 

@@ -321,3 +321,72 @@ def test_frequent_items_bigint_keys(spark):
     df = spark.createDataFrame([(v,) for v in values], ["k"]).repartition(4)
     got = {r["k"]: r["cnt"] for r in frequent_items(df, "k", 1, 5).collect()}
     assert got == {7: 30}
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch
+# --------------------------------------------------------------------------
+
+
+def _cms_corpus(spark):
+    # skewed corpus: 'a' x 300, 'b' x 50, 'c'..'l' x 5 each
+    rows = (
+        [("a",)] * 300 + [("b",)] * 50 + [(c,) for c in "cdefghij" for _ in range(5)]
+    )
+    return spark.createDataFrame(rows, "val string")
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    from pincspark.operators.sketches import cms_estimate, cms_sketch
+
+    df = _cms_corpus(spark)
+    sk = cms_sketch(df, "val", width=512, depth=3)
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zzz",)], "val string"
+    )
+    est = {
+        r["val"]: r["est"]
+        for r in cms_estimate(sk, probes, "val", width=512, depth=3).collect()
+    }
+    exact = {"a": 300, "b": 50, "c": 5, "zzz": 0}
+    for v, x in exact.items():
+        assert est[v] >= x, (v, est[v], x)
+    # 10 distinct values in 512 buckets x 3 rows: collisions are unlikely
+    # enough that the min over rows is exact here (deterministic hashes —
+    # a fixed assertion, not a flaky one)
+    assert est == exact, est
+
+
+def test_cms_merge_equals_rebuild(spark):
+    from pincspark.operators.sketches import cms_merge, cms_sketch
+
+    df = _cms_corpus(spark)
+    a = df.limit(100)
+    b = df.exceptAll(a)
+    merged = cms_merge(
+        cms_sketch(a, "val", width=64, depth=2),
+        cms_sketch(b, "val", width=64, depth=2),
+    )
+    rebuilt = cms_sketch(df, "val", width=64, depth=2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_cms_sketch_is_bounded_and_estimate_broadcasts(spark):
+    """The sketch is <= depth*width rows however big the corpus, and the
+    estimate path broadcasts the sketch (never shuffles the probe side
+    against a corpus-sized table)."""
+    from pincspark.operators.sketches import cms_estimate, cms_sketch
+
+    df = _cms_corpus(spark)
+    sk = cms_sketch(df, "val", width=16, depth=2)
+    assert sk.count() <= 32
+    probes = spark.createDataFrame([("a",)], "val string")
+    plan = (
+        cms_estimate(sk, probes, "val", width=16, depth=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
