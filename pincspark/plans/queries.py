@@ -6216,6 +6216,40 @@ GROUP BY pb.token
 """
 
 
+_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+def q104_text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent inverted-index SERVING path (the lexical twin of q62's
+    build-once/serve-many IVF shape, `operators/text_index.py`): the
+    corpus is tokenized ONCE per session per sf_dir into postings parquet
+    PARTITIONED BY term_bucket (+ dfreq + stats sidecars); the query's
+    term buckets are computed driver-side and pushed into the postings
+    scan as a PARTITION filter, so a 4-term query physically reads only
+    its buckets, never the corpus-wide posting table (pruning
+    plan-asserted in tests/test_text_index.py). Same terms, same BM25
+    constant folding, same oracle as the transient q48 — served ==
+    transient row identity is pinned in tests/test_text_index.py."""
+    import tempfile
+
+    from pincspark.operators.text_index import build_text_index, search_text_index
+
+    docs = table(spark, sf_dir, "documents")
+    path = _TEXT_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        # Fresh tempdir per process, removed at interpreter exit (the q62
+        # lesson: benchmark processes must not leak /tmp copies; a real
+        # deployment points this at durable storage and keeps it).
+        import atexit
+        import shutil
+
+        path = tempfile.mkdtemp(prefix="pincspark_txt_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_text_index(docs, path)
+        _TEXT_INDEX_CACHE[sf_dir] = path
+    return search_text_index(spark, path, _BM25_TERMS)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6447,7 +6481,15 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # (array_sort over collected structs, NOT the non-deterministic
     # collect_list-over-frame), the event-log-to-training-example step
     "q102_user_journeys": (q102_user_journeys, ORACLE_Q102),
-    "q70_zorder_layout": (q70_zorder_layout, ORACLE_Q70),
+    # NEW r12 (in-window at registration; q70_zorder_layout rotates out —
+    # green r9/r10/r11 rows, re-simmed on current code; the layout tier
+    # keeps q87's physical-rewrite identity in-window, partition/files
+    # pruning stays gated via q62 and q104 itself, and the Z-order
+    # interleave keeps its files-read proof in tests/test_layout.py):
+    # persistent inverted-index BM25 serving — build-once/serve-many with
+    # term-bucket partition pruning, row-identical to the transient q48
+    # and sharing its oracle
+    "q104_text_index_bm25": (q104_text_index_bm25, ORACLE_Q48),
     "q72_bloom_decontam": (q72_bloom_decontam, ORACLE_Q72),
     "q73_warc_extract": (q73_warc_extract, ORACLE_Q73),
     "q74_html_extract": (q74_html_extract, ORACLE_Q74),
@@ -6529,6 +6571,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # the KMV core stays in-window via q84, join-size composition
     # parity-tested locally
     "q83_kmv_join_size": (q83_kmv_join_size, ORACLE_Q83),
+    # rotated out r12 for q104 (text-index serving): green r9/r10/r11
+    # rows; layout identity stays in-window via q87, pruning via
+    # q62/q104, Z-order files-read proof local
+    "q70_zorder_layout": (q70_zorder_layout, ORACLE_Q70),
     "q02_segment_revenue": (q02_segment_revenue, ORACLE_Q02),
     # rotated out r10 for q89 (domain cap): native broadcast-equi
     # enrichment, green r9 row; see the q89 registration note

@@ -255,6 +255,7 @@ def test_entire_catalog_is_scale_safe(spark):
         "q62_ivf_index_topk",  # same bounded centroid/query-batch crosses as q22
         "q41_quantized_knn",
         "q48_bm25_scores",  # 1-row corpus-stats aggregate crossed on
+        "q104_text_index_bm25",  # the same 1-row stats sidecar crossed on
         "q51_pq_topk",
         "q52_ivfpq_topk",
         "q55_hybrid_retrieval",
@@ -398,7 +399,10 @@ def test_harness_window_composition_is_pinned():
         # q69_temperature_sample rotated out r12 for q102 (user journeys):
         # green r10/r11 rows, re-simmed on current code; the hash-filter
         # draw stays in-window via q100.
-        "q68_dsir_weights", "q70_zorder_layout",
+        # q70_zorder_layout rotated out r12 for q104 (text-index serving):
+        # green r9-r11 rows, re-simmed on current code; layout identity
+        # stays in-window via q87, pruning via q62/q104.
+        "q68_dsir_weights",
         "q72_bloom_decontam", "q73_warc_extract", "q74_html_extract",
         # q75_kmv_distinct rotated out r12 for q100 (holdout split): green
         # r9-r11 rows, re-simmed on current code; the KMV core keeps two
@@ -480,6 +484,9 @@ def test_harness_window_composition_is_pinned():
         # over collected structs — the event-log-to-training-example step)
         # and the count-min frequency sketch (mergeable BIGINT cells).
         "q102_user_journeys", "q103_cms_frequency",
+        # NEW r12 fourth wave: persistent inverted-index BM25 serving
+        # (build-once/serve-many, term-bucket partition pruning).
+        "q104_text_index_bm25",
     ):
         assert flagship in window, f"{flagship} fell out of the harness window"
 
