@@ -65,21 +65,17 @@ def _sort_cols(order_by: Sequence[tuple[str, bool]]) -> list[Column]:
     ]
 
 
-def _stamp_local_rank(schema: StructType):
+def _stamp_local_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: 1-based position of each row within its (already
     sorted) partition. Narrow — batches stream through in partition order,
     state is one integer."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        for pdf in batches:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf[_LR] = np.arange(seen + 1, seen + n + 1, dtype="int64")
-            seen += n
-            yield pdf
-
-    return fn
+    seen = 0
+    for pdf in batches:
+        n = len(pdf)
+        pdf = pdf.copy()
+        pdf[_LR] = np.arange(seen + 1, seen + n + 1, dtype="int64")
+        seen += n
+        yield pdf
 
 
 def global_rank(
@@ -121,7 +117,7 @@ def global_rank(
     # Stage once: both the count branch and the final join re-read the
     # sorted+stamped rows; without the barrier the range sort would run
     # twice (and, on some plans, re-sample different range boundaries).
-    stamped = stage(ranged.mapInPandas(_stamp_local_rank(out_schema), out_schema),
+    stamped = stage(ranged.mapInPandas(_stamp_local_rank, out_schema),
                     "global_rank:stamped")
     counts = stamped.groupBy(_PID).agg(F.count(F.lit(1)).alias("_gr_cnt"))
     # The ONLY single-partition step: a prefix sum over <= num_partitions

@@ -64,7 +64,11 @@ def build_text_index(
     text_col: str = "text",
     n_buckets: int = 32,
 ) -> None:
-    """Tokenize the corpus once and persist postings/dfreq/stats."""
+    """Persist postings/dfreq/stats. The corpus tokenization is paid here,
+    at write time (the postings write and the stats aggregate each plan
+    the tokenizer — on a real cluster, stage the token projection or point
+    both at a materialized copy); every subsequent serve reads only the
+    probed buckets."""
     tok = docs.select(
         F.col(id_col),
         ws_tokens(normalize_text(F.col(text_col))).alias("__toks"),
