@@ -82,6 +82,78 @@ def build_gold(positions: DataFrame, statics: DataFrame) -> DataFrame:
     )
 
 
+def build_gold_fused(decoded: DataFrame) -> DataFrame:
+    """:func:`build_gold` in ONE narrow pass over ``decoded``.
+
+    The composed form consumes ``decoded`` three times (positions + the
+    t5/t24 static union), which forces an eager staging barrier so the
+    Python decode runs once. But :func:`pincspark.operators.asof.asof_join`
+    unions its two sides BEFORE its single key shuffle anyway — so the
+    position/static fan-out can be ONE projection: filter to the five gold
+    message types, CASE the position fields (null on static rows), CASE
+    the carried static struct (null on position rows), tag the side, then
+    run exactly the asof window. ``decoded`` then has ONE consumer, the
+    staging barrier disappears, and the Arrow decode stage pipelines
+    straight into the as-of exchange — at 100 TB that removes a full
+    materialization of the decoded archive. Row-identical to
+    ``build_gold(position_frame(d), static_frame(d))`` (pinned in
+    tests/test_analysis.py)."""
+    from pyspark.sql import Window
+
+    from pincspark.catalog import POSITION
+
+    t = F.col("ais.messageType")
+    is_pos = t.isin(1, 2, 3)
+    pos_fields = POSITION.fieldNames()
+
+    def _static(prefix: str, absent: dict[str, str]) -> F.Column:
+        cols = []
+        for c in STATIC_COLS:
+            if c in absent:
+                cols.append(F.lit(None).cast(absent[c]).alias(c))
+            else:
+                cols.append(F.col(f"ais.{prefix}.{c}").alias(c))
+        return F.struct(*cols, F.col("ts").alias("ts_right"))
+
+    unioned = decoded.filter(t.isin(1, 2, 3, 5, 24)).select(
+        F.col("ts"),
+        F.col("ais.mmsi").alias("mmsi"),
+        *[
+            F.when(is_pos, F.col(f"ais.position.{c}")).alias(c)
+            for c in pos_fields
+        ],
+        F.when(is_pos, F.lit(1)).otherwise(F.lit(0)).alias("__side"),
+        F.when(t == 5, _static("static_voyage", {}))
+        .when(
+            t == 24,
+            _static(
+                "static_report", {"destination": "string", "draught": "double"}
+            ),
+        )
+        .alias("__carry"),
+    )
+    # Identical window semantics to asof_join: right rows sort before left
+    # rows on ts ties -> backward-inclusive merge_asof.
+    w = (
+        Window.partitionBy("mmsi")
+        .orderBy(F.col("ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__c", F.last("__carry", ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        "ts",
+        "mmsi",
+        *pos_fields,
+        *[F.col("__c").getField(c).alias(c) for c in STATIC_COLS],
+        F.col("__c").getField("ts_right").alias("ts_right"),
+    )
+
+
+# The five message types the gold pipeline consumes; F1-routed below the
+# Python decode stage (see read_and_decode's message_types).
+GOLD_TYPES = (1, 2, 3, 5, 24)
+
+
 def batch_archive_analysis(
     spark: SparkSession,
     archive_path: str,
@@ -90,9 +162,22 @@ def batch_archive_analysis(
 ) -> tuple[DataFrame, DataFrame]:
     """Full §3.1 pipeline. Returns (gold, occupancy); writes/re-reads the
     gold parquet when ``gold_path`` is given (the reference persists then
-    analyzes, ais_analysis.py:477-486)."""
-    decoded = read_and_decode(spark, archive_path, plan_sink=plan_sink)
-    gold = build_gold(position_frame(decoded), static_frame(decoded))
+    analyzes, ais_analysis.py:477-486).
+
+    With ``gold_path`` set, the gold write is the ONLY consumer of the
+    decoded frame (occupancy reads the parquet back), so the decode
+    staging barrier is skipped and the whole pipeline is two jobs: write
+    gold, then aggregate occupancy. Without it, the two RETURNED lazy
+    frames share the decode subtree, so staging stays on to keep the
+    single-decode guarantee."""
+    decoded = read_and_decode(
+        spark,
+        archive_path,
+        plan_sink=plan_sink,
+        message_types=GOLD_TYPES,
+        stage_decoded=gold_path is None,
+    )
+    gold = build_gold_fused(decoded)
     if gold_path is not None:
         gold.write.mode("overwrite").parquet(gold_path)
         gold = spark.read.parquet(gold_path)

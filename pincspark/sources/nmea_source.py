@@ -275,27 +275,44 @@ def read_and_decode(
     path: str,
     materialize: bool = True,
     plan_sink: list | None = None,
+    message_types: "tuple[int, ...] | None" = None,
+    stage_decoded: bool | None = None,
 ) -> DataFrame:
     """Full S1 -> P27 -> P1 -> P2/ST1 -> decode pipeline, ending with the
     typed ``ais`` struct column.
 
-    ``materialize`` (default on): eagerly ``localCheckpoint`` the decoded
-    frame so downstream fan-out (position frame + static frame + as-of
-    gold consume it three times) re-reads the staged result instead of
-    re-scanning the archive and re-running the Python decode per consumer.
-    The reference reads the day file once (ais_analysis.py:318-321); with
-    staging the whole flagship DAG executes exactly ONE archive FileScan
-    and ONE ArrowEvalPython decode (asserted in tests/test_plans.py).
+    ``message_types``: F1 routing pushed BELOW the Python stage — the
+    pure-SQL ``routing_message_type`` fast path (first armored char,
+    JVM-side) filters reassembled messages before the Arrow decode, so a
+    consumer that only wants e.g. types (1, 2, 3, 5, 24) never pays Python
+    decode for type-8 weather blobs. The reference decodes row-at-a-time
+    then filters (ais_analysis.py:341-352); routing-before-decode is this
+    engine's design point (SURVEY §2.3 F1) and is output-identical.
+
+    ``stage_decoded`` (default: follows ``materialize``): eagerly
+    ``localCheckpoint`` the decoded frame so downstream fan-out re-reads
+    the staged result instead of re-running the Python decode per
+    consumer. Pass False when the caller consumes ``decoded`` exactly
+    ONCE (e.g. the fused flagship gold, analysis.build_gold_fused): the
+    barrier and the block ser/de of the wide ais struct are then pure
+    overhead, and dropping them still executes ONE archive FileScan and
+    ONE ArrowEvalPython (asserted in tests/test_plans.py).
+    ``materialize`` continues to gate the reassembly ``valid`` staging
+    (three consumers: singleton bypass + grouped + repair).
     ``plan_sink``: debug hook — collects the executed-plan strings of each
     staged subtree so tests can assert over the full executed work."""
-    from pincspark.decode.kernel import decode_ais
+    from pincspark.decode.kernel import decode_ais, routing_message_type
 
+    if stage_decoded is None:
+        stage_decoded = materialize
     df = tokenize_sentences(with_tagblock_ts(read_archive(spark, path)))
-    decoded = decode_ais(
-        reassemble(df, materialize=materialize, plan_sink=plan_sink),
-        plan_barrier=True,
-    )
-    if materialize:
+    reassembled = reassemble(df, materialize=materialize, plan_sink=plan_sink)
+    if message_types is not None:
+        reassembled = reassembled.filter(
+            routing_message_type(F.col("payload")).isin(*message_types)
+        )
+    decoded = decode_ais(reassembled, plan_barrier=True)
+    if stage_decoded:
         if plan_sink is not None:
             plan_sink.append(decoded._jdf.queryExecution().executedPlan().toString())
         decoded = stage(decoded, "decode:staged", eager=True)

@@ -94,6 +94,43 @@ def test_flagship_pipeline(spark, tmp_path, archive):
     assert got == expected
 
 
+def test_fused_gold_matches_composed(spark, tmp_path, archive):
+    """build_gold_fused (one narrow pass over decoded, the flagship's path)
+    must be row-identical to the composed
+    build_gold(position_frame, static_frame) form, including the t24
+    static branch with its null-filled destination/draught."""
+    from pincspark.analysis import (
+        GOLD_TYPES,
+        build_gold,
+        build_gold_fused,
+        position_frame,
+        static_frame,
+    )
+    from pincspark.sources.nmea_source import read_and_decode
+
+    path, _, _ = archive
+    # widen the traffic: append every golden message (incl. both type-24
+    # parts and non-gold types that must be filtered identically)
+    lines = open(path).read().splitlines()
+    t = 1673223400
+    for r in GOLDEN:
+        for s in r["sentences"]:
+            lines.append(_tag(t) + s)
+        t += 60
+    p = tmp_path / "Datalog_fused"
+    p.write_text("\n".join(lines) + "\n")
+
+    decoded = read_and_decode(spark, str(p))
+    composed = build_gold(position_frame(decoded), static_frame(decoded))
+    fused = build_gold_fused(
+        read_and_decode(spark, str(p), message_types=GOLD_TYPES, stage_decoded=False)
+    )
+    assert fused.columns == composed.columns
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, composed.collect())
+    )
+
+
 def test_asof_tie_is_backward_inclusive(spark):
     """Equal timestamps: the static at the SAME ts as the position must be
     picked up (pandas merge_asof backward-inclusive, ais_analysis.py:476)."""

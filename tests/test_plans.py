@@ -178,6 +178,45 @@ def test_flagship_single_scan_single_decode(spark, tmp_path):
     assert everything.count("ArrowEvalPython") == 1
 
 
+def test_flagship_fused_path_single_scan_single_decode(spark, tmp_path):
+    """The gold_path (bench) flagship path drops the decode staging barrier
+    (build_gold_fused gives `decoded` exactly ONE consumer, r13): the gold
+    frame's own plan must then show exactly ONE ArrowEvalPython (no
+    per-branch decode clones) and the total executed work — the staged
+    `valid` pre-checkpoint plan plus the gold plan — exactly ONE archive
+    FileScan, with the F1 routing filter sitting BELOW the Python stage."""
+    from pincspark.analysis import GOLD_TYPES, build_gold_fused
+    from pincspark.sources.nmea_source import read_and_decode
+
+    tag = "\\s:rTEST,c:1673222400*00"
+    sentences = [
+        "!ABVDM,1,1,7,A,15R9eN001n7DHvT13w0TBSM>00Rm,0*54",
+        "!ABVDM,2,1,4,A,58I3mA82@Es3UKOOGB0l4E9<f1L4hhU>22222217H147I?610K54480CPj3l,0*14",
+        "!ABVDM,2,2,4,A,PAiH8888880,2*1B",
+    ]
+    p = tmp_path / "archive.log"
+    p.write_text("".join(tag + s + "\n" for s in sentences))
+
+    sink: list[str] = []
+    decoded = read_and_decode(
+        spark, str(p), plan_sink=sink, message_types=GOLD_TYPES, stage_decoded=False
+    )
+    gold_plan = (
+        build_gold_fused(decoded)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(sink) == 1  # only the reassembly `valid` stage
+    everything = "\n".join(sink + [gold_plan])
+    assert everything.count("FileScan") == 1
+    assert gold_plan.count("ArrowEvalPython") == 1
+    # F1 routing below the Python stage: the pure-SQL armor-char routing
+    # filter (ascii(substring(payload...)) ... IN (1,2,3,5,24)) must appear
+    # BELOW (after, in top-down plan text) the ArrowEvalPython node —
+    # Catalyst pushes it through the reassembly union into each branch, so
+    # non-gold message types never reach the Python decode.
+    below = gold_plan[gold_plan.find("ArrowEvalPython"):]
+    assert "IN (1,2,3,5,24)" in below and "ascii(substring(payload" in below
+
+
 def test_curation_pipeline_no_cartesian_no_forced_broadcast(spark):
     """q54 composes six stages; its physical plan must contain NO
     cartesian/nested-loop product anywhere (every pair expansion is
