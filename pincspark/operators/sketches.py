@@ -72,7 +72,17 @@ def kmv_sketch(
         )
     else:
         hashed = hashed.distinct()
-    w = Window.partitionBy(*group_cols).orderBy("h")
+    if not group_cols:
+        # Global sketch: a partition-less rank window would funnel EVERY
+        # distinct hash through one task (the data-sized single-partition
+        # anti-pattern). sort+limit instead: Catalyst plans it as
+        # TakeOrderedAndProject — per-partition top-k heaps merged once —
+        # so only k candidate rows ever leave any partition. The final
+        # rank window then runs over <= k rows (bounded by construction).
+        hashed = hashed.orderBy("h").limit(k)
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+    else:
+        w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         hashed.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)

@@ -390,3 +390,35 @@ def test_cms_sketch_is_bounded_and_estimate_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_global_sketch_two_phase_no_data_sized_window(spark):
+    """kmv_sketch with NO group columns (a global sketch) must not plan a
+    data-sized single-partition window (VERDICT r12 #2): the k-smallest
+    selection goes through TakeOrderedAndProject (per-partition top-k
+    heaps), and the only window left ranks <= k candidate rows. Results
+    stay bit-identical to the grouped form on a constant key."""
+    df = _mkdf(spark, [("a", 5000)])
+    glob = kmv_sketch(df, [], "val", k=256)
+    plan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # the rank window must sit ABOVE the top-k limit, never directly on
+    # the distinct-hash frame
+    assert plan.find("Window") < plan.find("TakeOrderedAndProject"), plan
+
+    via_const = kmv_sketch(
+        df.withColumn("grp", F.lit("all")), ["grp"], "val", k=256
+    )
+    assert sorted((r["h"], r["rn"]) for r in glob.collect()) == sorted(
+        (r["h"], r["rn"]) for r in via_const.collect()
+    )
+
+    # with_counts variant carries cnt through the same two-phase path
+    dup = df.unionByName(df.limit(500))
+    gc = kmv_sketch(dup, [], "val", k=64, with_counts=True)
+    vc = kmv_sketch(
+        dup.withColumn("grp", F.lit("all")), ["grp"], "val", k=64, with_counts=True
+    )
+    assert sorted((r["h"], r["cnt"], r["rn"]) for r in gc.collect()) == sorted(
+        (r["h"], r["cnt"], r["rn"]) for r in vc.collect()
+    )
