@@ -83,6 +83,7 @@ def global_rank(
     order_by: Sequence[tuple[str, bool]],
     rank_col: str = "rnk",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Add ``rank_col`` = ``row_number() OVER (ORDER BY ...)`` (1-based,
     dense in the row_number sense: every row gets a distinct rank) without
@@ -91,6 +92,13 @@ def global_rank(
     ``order_by`` is a sequence of ``(column_name, ascending)`` pairs that
     must define a TOTAL order (append a unique key as tie-breaker). The
     output rank is independent of ``num_partitions``.
+
+    ``total_col``: optionally also attach the TOTAL row count as a column
+    (= ``COUNT(*) OVER ()``). It falls out of the per-partition counts the
+    offset pass already aggregates — one more window expression over the
+    same <= num_partitions rows — so callers that need (rank, total) pairs
+    (percentiles, decile buckets) never pay a separate eager ``count()``
+    pass over the data (ADVICE r12).
 
     Plan shape: one range exchange + local sort + ArrowEvalPython (the
     local-rank stamp), staged once; then a tiny per-partition count agg
@@ -123,9 +131,16 @@ def global_rank(
     # The ONLY single-partition step: a prefix sum over <= num_partitions
     # rows (one row per partition, never data-sized).
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        _PID, F.coalesce(F.sum("_gr_cnt").over(w), F.lit(0)).alias("_gr_off")
-    )
+    sel = [
+        F.col(_PID),
+        F.coalesce(F.sum("_gr_cnt").over(w), F.lit(0)).alias("_gr_off"),
+    ]
+    if total_col is not None:
+        wt = Window.orderBy(_PID).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        sel.append(F.sum("_gr_cnt").over(wt).cast("bigint").alias(total_col))
+    offsets = counts.select(*sel)
     out = stamped.join(F.broadcast(offsets), _PID)
     return (
         out.withColumn(rank_col, (F.col("_gr_off") + F.col(_LR)).cast("bigint"))

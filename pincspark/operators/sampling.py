@@ -224,9 +224,13 @@ def group_holdout_split(
     exact modular arithmetic, mirrored verbatim by the DuckDB oracle via
     :func:`group_holdout_split_sql`.
     """
+    # Every weight must be strictly positive (ADVICE r12): a zero-weight
+    # split would silently never be assigned (and a zero-weight LAST split
+    # makes the ELSE branch unreachable) — a config typo must fail loudly,
+    # not degrade into an empty eval set.
+    if not splits or any(w <= 0 for _, w in splits):
+        raise ValueError(f"every split weight must be > 0: {splits}")
     total = sum(w for _, w in splits)
-    if total <= 0 or any(w < 0 for _, w in splits):
-        raise ValueError(f"split weights must be non-negative with a positive sum: {splits}")
     bucket = F.pmod(sample_hash(F.col(group_col), salt), F.lit(total))
     expr: Column | None = None
     cum = 0

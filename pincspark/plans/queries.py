@@ -6016,20 +6016,23 @@ def q99_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pincspark.operators.order import global_rank
 
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    total = orders.count()
+    # total comes out of global_rank's own per-partition counts (ADVICE
+    # r12: no separate eager count() pass), and the decile uses exact
+    # integer division — the oracle's `//` operator, not a double cast.
     ranked = global_rank(
         orders,
         [("o_totalprice", False), ("o_orderkey", True)],
         rank_col="rnk",
         num_partitions=8,
+        total_col="__total",
     )
     return ranked.select(
         "o_orderkey",
         "o_totalprice",
         "rnk",
-        (((F.col("rnk") - 1) * 10 / F.lit(total)).cast("bigint") + 1)
-        .cast("int")
-        .alias("decile"),
+        (F.expr("((rnk - 1) * 10) div __total").cast("int") + F.lit(1)).alias(
+            "decile"
+        ),
     )
 
 

@@ -101,3 +101,16 @@ def test_plan_contract(spark):
     assert "SortMergeJoin" not in final_plan, final_plan
     win_at = final_plan.find("Window [")
     assert win_at != -1 and "_gr_cnt" in final_plan[win_at : win_at + 400], final_plan
+
+
+def test_total_col_matches_count_without_extra_pass(spark):
+    """total_col attaches COUNT(*) OVER () derived from the per-partition
+    counts the offset pass already aggregates — every row carries the
+    exact total, and the value is partition-count independent."""
+    df = _toy(spark, 217)
+    for parts in (3, 9):
+        out = global_rank(
+            df, [("v", False), ("k", True)], num_partitions=parts, total_col="tot"
+        ).collect()
+        assert len(out) == 217
+        assert all(r["tot"] == 217 for r in out)

@@ -257,3 +257,23 @@ def test_group_holdout_split_custom_weights_and_validation(spark):
         group_holdout_split(events, "user_id", splits=(("a", 0), ("b", 0)))
     with pytest.raises(ValueError):
         group_holdout_split(events, "user_id", splits=(("a", -1), ("b", 2)))
+
+
+def test_group_holdout_split_rejects_zero_weight(spark):
+    """Zero-weight splits would silently never be assigned (ADVICE r12):
+    they must raise instead of degrading into an empty eval set."""
+    import pytest
+
+    from pincspark.operators.sampling import group_holdout_split
+
+    events = table(spark, SF_DIR, "events").limit(10)
+    with pytest.raises(ValueError):
+        group_holdout_split(
+            events, "user_id", splits=(("train", 8), ("val", 0), ("test", 2))
+        )
+    with pytest.raises(ValueError):
+        group_holdout_split(
+            events, "user_id", splits=(("train", 8), ("test", 0))
+        )
+    with pytest.raises(ValueError):
+        group_holdout_split(events, "user_id", splits=())
