@@ -564,3 +564,36 @@ def test_no_query_stays_driver_ungated():
         "rotate them in (swap out an already-gated, subsumed shape) or "
         "they will never see the hard signal"
     )
+
+
+def test_rotation_ledger_complete_and_green():
+    """VERDICT r12 #8: the rotation ledger must be machine-checkable, not
+    COVERAGE.md prose. Every catalog query OUTSIDE the current 50-slot
+    window needs a ROTATIONS.jsonl row showing (a) at least one green
+    driver round in the committed CORRECTNESS history and (b) a green
+    re-sim from the newest committed SWEEP artifact. Regenerate with
+    ``python scripts/rotations_ledger.py`` after every rotation/sweep."""
+    import json
+    import os
+
+    from pincspark.plans.queries import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "ROTATIONS.jsonl")
+    assert os.path.exists(path), "ROTATIONS.jsonl missing — run scripts/rotations_ledger.py"
+    ledger = {row["query"]: row for row in map(json.loads, open(path))}
+
+    names = list(QUERIES)
+    out_of_window = [n for n in names if n not in set(names[:50])]
+    missing = [n for n in out_of_window if n not in ledger]
+    assert not missing, (
+        f"out-of-window queries absent from ROTATIONS.jsonl: {missing}; "
+        "regenerate via scripts/rotations_ledger.py"
+    )
+    stale = [
+        n for n in out_of_window
+        if not (ledger[n].get("green_rounds") and ledger[n].get("resim_green"))
+    ]
+    assert not stale, (
+        f"ledger rows without a green driver round + green re-sim: {stale}"
+    )
