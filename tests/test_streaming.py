@@ -656,3 +656,114 @@ def test_zone_table_drives_all_st2_variants(spark, monkeypatch, zone_points):
             for r in spark.sql("SELECT * FROM st2_zone3").collect()
         }
         assert got_s == got
+
+
+# ---------------------------------------------------------------------------
+# Streaming encounters twin (VERDICT r12 #6)
+# ---------------------------------------------------------------------------
+
+
+def _encounter_fixes(spark):
+    """Deterministic fix set exercising every encounter regime: same-cell
+    close pair (101/102), close pairs straddling a cy and a cx cell
+    boundary (103/104, 105/106), a same-cell pair just OUTSIDE the 5 km
+    radius (101/108 at ~5.1 km — candidate generated, exact filter must
+    drop it), an isolated vessel (107), and a second bucket where 101/102
+    stay close but 103 has left."""
+    t0 = 1700000000
+    rows = [
+        # bucket 0
+        (101, t0 + 10, 1.000, 100.500),
+        (102, t0 + 20, 1.010, 100.500),   # ~1.1 km from 101, same cell
+        (103, t0 + 30, 1.049, 100.700),   # cy 20 | pair straddles cy boundary
+        (104, t0 + 40, 1.051, 100.700),   # cy 21, ~0.2 km from 103
+        (105, t0 + 50, 1.000, 100.549),   # cx 2010 | pair straddles cx boundary
+        (106, t0 + 60, 1.000, 100.551),   # cx 2011, ~0.2 km from 105
+        (107, t0 + 70, 1.200, 100.500),   # isolated (~22 km from 101)
+        (108, t0 + 80, 1.000, 100.546),   # ~5.1 km from 101: candidate, filtered
+        # bucket 1
+        (101, t0 + 3700, 1.000, 100.500),
+        (102, t0 + 3710, 1.005, 100.500),  # still close
+        (103, t0 + 3720, 1.400, 100.700),  # left the area
+    ]
+    return spark.createDataFrame(
+        rows, "mmsi BIGINT, epoch BIGINT, latitude DOUBLE, longitude DOUBLE"
+    ).withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+
+def test_encounters_stream_matches_batch(spark, tmp_path):
+    """The streaming encounter detector, pair-aggregated, reproduces the
+    batch `encounters` table exactly — including cross-micro-batch pairs
+    (each vessel's fixes land in a separate file, one file per trigger,
+    so every pair's members arrive in DIFFERENT micro-batches and must
+    meet through the (bucket, cell) group state)."""
+    from pincspark.operators.geo import encounters
+    from pincspark.streaming.encounters import encounters_stream
+
+    fixes = _encounter_fixes(spark)
+    want = {
+        (r["mmsi_a"], r["mmsi_b"], r["n_close"], r["min_dist_m"], r["first_bkt"], r["last_bkt"])
+        for r in encounters(fixes).collect()
+    }
+    # sanity on the fixture itself: close pairs present, 101/108 filtered
+    pairs = {(a, b) for (a, b, *_rest) in want}
+    assert {(101, 102), (103, 104), (105, 106)} <= pairs
+    assert (101, 108) not in pairs and all(107 not in p for p in pairs)
+    assert next(n for (a, b, n, *_r) in want if (a, b) == (101, 102)) == 2
+
+    src = tmp_path / "fixes"
+    src.mkdir()
+    for i, r in enumerate(fixes.collect()):
+        spark.createDataFrame([r], fixes.schema).write.parquet(str(src / f"f{i:02d}"))
+
+    stream = (
+        spark.readStream.schema(fixes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        encounters_stream(stream, timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("enc_out")
+        .outputMode("append")
+        .start()
+    )
+    _start_and_drain(q)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            """SELECT mmsi_a, mmsi_b, COUNT(*) AS n_close, MIN(dist_m) AS min_dist_m,
+                      MIN(bkt) AS first_bkt, MAX(bkt) AS last_bkt
+               FROM enc_out GROUP BY mmsi_a, mmsi_b"""
+        ).collect()
+    }
+    assert got == want
+
+
+def test_encounters_stream_replay_guard(spark, tmp_path):
+    """Re-delivering the same fixes (source-level at-least-once) must not
+    duplicate pair events: the state function's first-seen guard drops
+    replayed (key, role) rows inside each (bucket, cell) group."""
+    from pincspark.streaming.encounters import encounters_stream
+
+    fixes = _encounter_fixes(spark)
+    src = tmp_path / "fixes_replay"
+    src.mkdir()
+    fixes.write.parquet(str(src / "b1"))
+    fixes.write.parquet(str(src / "b2"))  # exact replay in a later file
+
+    stream = (
+        spark.readStream.schema(fixes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        encounters_stream(stream, timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("enc_replay")
+        .outputMode("append")
+        .start()
+    )
+    _start_and_drain(q)
+    rows = spark.sql("SELECT mmsi_a, mmsi_b, bkt FROM enc_replay").collect()
+    assert len(rows) == len({tuple(r) for r in rows})  # no duplicate pair-bucket events
