@@ -1674,3 +1674,128 @@ def fuzzy_dup_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau100: int = 60,
+    n: int = 1,
+) -> DataFrame:
+    """EXACT set-Jaccard self-join at threshold ``tau100``/100 via
+    prefix filtering (the AllPairs/PPJoin family: Bayardo et al. WWW'07,
+    Chaudhuri et al. ICDE'06) — the exact complement to MinHash-LSH
+    (minhash_lsh_pairs): LSH trades recall for speed; this returns EVERY
+    qualifying pair with zero false negatives, at the cost of a candidate
+    set bounded by prefix-token co-occurrence instead of banded buckets.
+
+    Algorithm:
+    1. distinct word tokens per doc (the shared normalize_text
+       discipline), globally ordered by (frequency ASC, token ASC) —
+       rarest first;
+    2. per doc keep the PREFIX: first ``sz - ceil(tau*sz) + 1`` tokens in
+       that order. Two docs with Jaccard >= tau MUST share a prefix
+       token: common tokens number >= ceil(tau*max(|a|,|b|)) >
+       |suffix(a)| = |a| - prefix_len(a), so they cannot all hide in
+       either suffix;
+    3. candidates: equi-join the prefix posting lists (id_a < id_b) plus
+       the length filter min*100 >= tau100*max (J >= tau forces
+       |b| in [tau*|a|, |a|/tau]);
+    4. verify: exact |intersection| via array_intersect on the two
+       distinct-token arrays — integer arithmetic only, so
+       ``inter * 100 >= tau100 * uni`` is the exact Jaccard test.
+
+    100 TB: the frequency table and the per-doc ranking are one
+    token-keyed and one id-keyed shuffle; the candidate join is keyed on
+    PREFIX tokens only, which the frequency ordering biases to the rare
+    end of the vocabulary — posting lists stay short on natural corpora
+    (a degenerate all-identical corpus makes candidates = answers, which
+    is the output's own size). Verification joins are id-keyed.
+
+    ``n`` picks the set elements: 1 = distinct word tokens, >= 2 =
+    distinct word n-gram shingles hashed to 60-bit BIGINTs by the Arrow
+    kernel (the q20/q53 discipline — shingles are far more discriminative
+    on templated corpora than word vocabularies, and BIGINT elements keep
+    every shuffle, posting join, and array_intersect integer-typed; the
+    oracle applies the identical md5-prefix hash, so parity is exact, not
+    collision-modulo).
+
+    Returns (id_a, id_b, inter, uni) — all BIGINT, oracle-gateable
+    against a brute-force SQL twin.
+    """
+    if n <= 1:
+        toks = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+                ).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+        )
+    else:
+        import hashlib
+
+        # the kernel emits ONE ''-shingle for empty-normalized docs; drop
+        # it (as the oracle's x <> '' filter) so empty docs never pair
+        empty_h = int(hashlib.md5(b"").hexdigest()[:15], 16)
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingle_hash_array_py(text_col, n, 15)).alias("tok"),
+        ).filter(F.col("tok") != F.lit(empty_h))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = toks.join(freq, "tok")
+    w_rank = Window.partitionBy("id").orderBy("tf", "tok")
+    w_sz = Window.partitionBy("id")
+    pref = (
+        ranked.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.expr(f"-((-{int(tau100)} * sz) div 100)") + F.lit(1)
+        )
+        .select("tok", "id", "sz")
+    )
+    a = pref.select(
+        "tok", F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    b = pref.select(
+        "tok", F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("sz_a", "sz_b") * F.lit(100)
+            >= F.lit(int(tau100)) * F.greatest("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("tok")).alias("s"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("bigint")
+    return (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("s").alias("sa"), F.col("sz").alias("za")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("s").alias("sb"), F.col("sz").alias("zb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            (F.col("za") + F.col("zb") - inter).cast("bigint").alias("uni"),
+        )
+        .filter(F.col("inter") * F.lit(100) >= F.lit(int(tau100)) * F.col("uni"))
+    )

@@ -537,3 +537,114 @@ def cms_estimate(
     return joined.groupBy(value_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(est_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram quantile sketch (log-binned, integer-exact, mergeable)
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the mergeable-sketch family (Bloom membership /
+# KMV cardinality / Misra-Gries+recount heavy hitters / CMS frequency):
+# a per-group log-binned histogram over non-negative BIGINT measures, in
+# the HdrHistogram style — `precision` sub-bucket bits give a guaranteed
+# relative error <= 2^-precision on every quantile, the bin index is pure
+# integer arithmetic (floor-log2 via length(bin(v)), shifts, adds — no
+# doubles, no libm), so the identical expression evaluates bit-for-bit in
+# Spark and an ANSI-SQL oracle, and cells are CELL-WISE-SUM mergeable:
+# merge(day sketches) == rebuild(union), never rescanning history.
+#
+# Bin mapping (v >= 0, shift = max(floor(log2 v) - p, 0)):
+#   bin_id = shift * 2^p + (v >> shift)
+# is monotone and contiguous in v (shift=0 covers bin_ids [0, 2^{p+1});
+# each further shift level appends 2^p bins), and inverts to the bin's
+# lower bound lo = (bin_id - shift*2^p) << shift with bin width 2^shift,
+# hence the relative-error bound. Quantile q = the lower bound of the
+# first bin whose cumulative count reaches ceil(q * total) — sketch-sized
+# window work, identical CASE/cumsum in both engines.
+#
+# Why not percentile_approx? Same reason as KMV-vs-HLL: Spark's GK
+# summary is per-query and JVM-private; this sketch is a small persisted
+# TABLE (<= ~64 * 2^p cells/group) any engine can audit and fold.
+
+
+def _hdr_bin(v: F.Column, precision: int) -> F.Column:
+    """bin_id of non-negative BIGINT ``v`` (monotone, integer-exact)."""
+    n = F.length(F.bin(v)) - F.lit(1)  # floor(log2 v); bin(0)='0' -> n=0
+    shift = F.greatest(n - F.lit(precision), F.lit(0))
+    # call_function: the SQL shiftright takes a column shift amount, the
+    # Python F.shiftright wrapper only accepts an int literal
+    sub = F.call_function("shiftright", v, shift)
+    return (shift * F.lit(1 << precision) + sub).cast("bigint")
+
+
+def _hdr_lo(bin_id: F.Column, precision: int) -> F.Column:
+    """Lower bound of a bin_id: the sketch's representative value."""
+    # bin_id < 64*2^p, so the double divide inside floor is exact
+    shift = F.greatest(
+        F.floor(bin_id / F.lit(1 << precision)).cast("bigint") - F.lit(1), F.lit(0)
+    )
+    return F.call_function(
+        "shiftleft", bin_id - shift * F.lit(1 << precision), shift
+    ).cast("bigint")
+
+
+def hdr_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    precision: int = 5,
+) -> DataFrame:
+    """Build the sketch: (*group_cols, bin_id BIGINT, cnt BIGINT), one row
+    per non-empty bin. ``value_col`` must be a non-negative BIGINT measure
+    (scale money to cents etc. upstream). Persist this table; it is the
+    whole summary. One group-keyed shuffle; output is histogram-sized."""
+    g = list(group_cols or [])
+    return (
+        df.select(*g, _hdr_bin(F.col(value_col).cast("bigint"), precision).alias("bin_id"))
+        .groupBy(*g, "bin_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum: the sketch of the union of the inputs (same
+    precision). Touches only sketch rows."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    keys = [c for c in u.columns if c != "cnt"]
+    return u.groupBy(*keys).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+    precision: int = 5,
+) -> DataFrame:
+    """Quantile estimates from a (possibly merged) sketch: one row per
+    (*group_cols, q) with the bin lower bound whose cumulative count
+    first reaches ceil(q * total) — within 2^-precision relative error of
+    the exact quantile by the bin-width bound. Window work over
+    sketch-sized rows only. ``quantiles`` are exact decimals (e.g. 0.5,
+    0.95) multiplied out in integer space (q * 100) so the rank threshold
+    ceil(q*total) = -((-q100 * total) div 100) is BIGINT-exact in both
+    engines."""
+    g = list(group_cols or [])
+    w_tot = Window.partitionBy(*g) if g else Window.partitionBy()
+    w_cum = w_tot.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, 0)
+    base = sketch.withColumn("total", F.sum("cnt").over(w_tot)).withColumn(
+        "cum", F.sum("cnt").over(w_cum)
+    )
+    qs = F.array(*[F.lit(int(round(q * 100))) for q in quantiles])
+    hit = (
+        base.withColumn("q100", F.explode(qs))
+        .withColumn("rank_needed", -F.expr("(-q100 * total) div 100"))
+        .filter(F.col("cum") >= F.col("rank_needed"))
+        .filter(F.col("cum") - F.col("cnt") < F.col("rank_needed"))
+    )
+    return hit.select(
+        *g,
+        (F.col("q100").cast("double") / F.lit(100.0)).alias("q"),
+        _hdr_lo(F.col("bin_id"), precision).alias("value_lo"),
+    )

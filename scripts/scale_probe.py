@@ -99,6 +99,10 @@ DEFAULT_QUERIES = [
     "q72_bloom_decontam",
     "q92_session_windows",
     "q93_bucketed_join",
+    # r13 additions: prefix-filtered exact similarity join (candidate
+    # volume is corpus-dependent) and the HDR quantile sketch build
+    "q105_hdr_quantiles",
+    "q106_exact_similarity_join",
 ]
 
 

@@ -131,3 +131,57 @@ def test_byte_gate_rejects_wide_string_ids_near_edge_count_gate(spark):
     }
     assert tight == roomy
     assert (wide(102), wide(100)) in tight
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def test_set_similarity_join_matches_brute_force(spark):
+    """Zero-false-negative property across thresholds: the prefix-filtered
+    join returns EXACTLY the brute-force all-pairs answer on random
+    corpora (skewed Zipf-ish vocabulary so prefixes are non-trivial),
+    including planted near-dup pairs."""
+    import random
+
+    from pincspark.operators.dedup import set_similarity_join
+
+    rng = random.Random(1313)
+    vocab = [f"w{i}" for i in range(120)]
+
+    def doc():
+        # zipf-ish: low ids much more frequent
+        n = rng.randrange(3, 25)
+        return " ".join(
+            vocab[min(int(rng.expovariate(1 / 18)), 119)] for _ in range(n)
+        )
+
+    base = [doc() for _ in range(40)]
+    # plant near-dups: copies with small edits
+    for i in range(8):
+        toks = base[i].split()
+        toks[rng.randrange(len(toks))] = "edited"
+        base.append(" ".join(toks))
+    rows = [(i, t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    def tokset(t):
+        return {w for w in t.lower().split() if w}
+
+    sets = {i: tokset(t) for i, t in rows if tokset(t)}
+    for tau100 in (30, 50, 60, 80):
+        want = set()
+        for i in sets:
+            for j in sets:
+                if i < j:
+                    inter = len(sets[i] & sets[j])
+                    uni = len(sets[i] | sets[j])
+                    if inter * 100 >= tau100 * uni:
+                        want.add((i, j, inter, uni))
+        got = {
+            (r["id_a"], r["id_b"], r["inter"], r["uni"])
+            for r in set_similarity_join(df, "doc_id", "text", tau100).collect()
+        }
+        assert got == want, (tau100, got ^ want)
+    assert want  # the tau=0.8 round still found the planted dups

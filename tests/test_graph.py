@@ -193,3 +193,25 @@ def test_triangle_count_matches_brute_force_on_random_graph(spark):
             for n in (x, y, z):
                 expect[n] = expect.get(n, 0) + 1
     assert got == expect
+
+
+def test_triangle_count_on_dense_window_graph(spark):
+    """Dense overlapping-window graph (every node links to its K
+    predecessors): each oriented node carries out-degree ~K, so the
+    wedge self-join has real K^2 fan-out — the stage the sparse minted
+    graphs barely touch (VERDICT r12 #5). A triangle {a<b<c} exists
+    iff c - a <= K, so expected counts come from an exhaustive window
+    enumeration."""
+    n, k = 300, 8
+    edges = [[i, i - j] for i in range(n) for j in range(1, k + 1) if i - j >= 0]
+    got = _tri(spark, edges)
+
+    expect: dict[int, int] = {}
+    for a in range(n):
+        for b in range(a + 1, min(a + k, n - 1) + 1):
+            for c in range(b + 1, min(a + k, n - 1) + 1):
+                for m in (a, b, c):
+                    expect[m] = expect.get(m, 0) + 1
+    assert got == expect
+    # density sanity: interior nodes participate in 3*C(K,2) triangles
+    assert expect[n // 2] == 3 * (k * (k - 1) // 2)

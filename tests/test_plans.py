@@ -295,6 +295,7 @@ def test_entire_catalog_is_scale_safe(spark):
         "q41_quantized_knn",
         "q48_bm25_scores",  # 1-row corpus-stats aggregate crossed on
         "q104_text_index_bm25",  # the same 1-row stats sidecar crossed on
+        "q107_text_index_update",  # serves through the same stats sidecar
         "q51_pq_topk",
         "q52_ivfpq_topk",
         "q55_hybrid_retrieval",
@@ -487,7 +488,12 @@ def test_harness_window_composition_is_pinned():
         # for; they retire the last local-only decode families.
         "q94_aux_families_sql", "q95_text_families_sql",
         "q37_decontamination", "q42_dedup_keep_list", "q43_simhash_pairs",
-        "q49_weather_decode_sql", "q50_type6_egress",
+        # q49_weather_decode_sql rotated out r13 for q106 (exact
+        # similarity join): green r9-r12 rows; the decode SQL-twin tier
+        # keeps six in-window gates (q31/q33/q34/q50/q94/q95) on the
+        # same bit-slice kernel and the DAC1/FID31 fields ride q50.
+        "q106_exact_similarity_join",
+        "q50_type6_egress",
         "q51_pq_topk", "q52_ivfpq_topk", "q54_curation_pipeline",
         "q55_hybrid_retrieval",
         # q57_png_decode rotated out r11 for q92 (session windows): green
@@ -500,9 +506,17 @@ def test_harness_window_composition_is_pinned():
         # golden- and ImageIO-cross-validated locally while the codec
         # tier keeps five in-window gates on the shared plumbing.
         "q88_reassembly_contract",
-        "q59_dup_spans", "q60_jpeg_decode", "q61_flac_decode",
+        # q59_dup_spans rotated out r13 for q105 (HDR quantile sketch):
+        # green r6-r12 rows; the span census stays hard-gated in-window
+        # as q64_span_removal's input stage.
+        "q105_hdr_quantiles",
+        "q60_jpeg_decode", "q61_flac_decode",
         "q62_ivf_index_topk", "q63_webp_decode", "q64_span_removal",
-        "q65_tiff_decode", "q66_semantic_dedup", "q67_lm_perplexity",
+        # q65_tiff_decode rotated out r13 for q107 (text-index update):
+        # green r8-r12 rows; codec tier keeps q60/q61/q63 in-window and
+        # TIFF stays golden- and ImageIO-cross-validated locally.
+        "q107_text_index_update",
+        "q66_semantic_dedup", "q67_lm_perplexity",
         # q77_url_canonicalize rotated out r12 for q98 (heavy hitters):
         # green r10/r11 rows, re-simmed on current code; native regex
         # chain, string tier stays in-window via q73/q74.

@@ -422,3 +422,87 @@ def test_global_sketch_two_phase_no_data_sized_window(spark):
     assert sorted((r["h"], r["cnt"], r["rn"]) for r in gc.collect()) == sorted(
         (r["h"], r["cnt"], r["rn"]) for r in vc.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_bin_monotone_and_invertible(spark):
+    """Property: the bin mapping is monotone in v, contiguous, and every
+    value lands in [lo(bin), lo(bin) + 2^shift) with relative width
+    <= 2^-precision of the value."""
+    from pincspark.operators.sketches import _hdr_bin, _hdr_lo
+    from pyspark.sql import functions as F
+
+    p = 5
+    vals = (
+        list(range(0, 200))
+        + [2**i + d for i in range(6, 62) for d in (-1, 0, 1, 12345 % (2**i))]
+    )
+    df = spark.createDataFrame([(v,) for v in sorted(set(vals))], "v BIGINT")
+    rows = (
+        df.select("v", _hdr_bin(F.col("v"), p).alias("b"))
+        .withColumn("lo", _hdr_lo(F.col("b"), p))
+        .orderBy("v")
+        .collect()
+    )
+    prev_b = -1
+    for r in rows:
+        assert r["b"] >= prev_b, (r, prev_b)  # monotone
+        prev_b = r["b"]
+        assert r["lo"] <= r["v"], r
+        if r["v"] > (1 << p):  # relative-error regime
+            width = r["lo"] // (1 << p) if r["lo"] else 1
+            assert r["v"] - r["lo"] <= max(r["v"] >> p, 1), r
+        else:  # exact regime: small values are their own bin
+            assert r["lo"] == r["v"], r
+
+
+def test_hdr_merge_equals_rebuild_and_quantile_error_bound(spark):
+    """Cell-wise merge of per-part sketches == one-shot sketch of the
+    union, and every extracted quantile is within 2^-precision relative
+    error of the exact quantile (lower side: value_lo <= exact)."""
+    import random
+
+    from pincspark.operators.sketches import hdr_merge, hdr_quantiles, hdr_sketch
+
+    rng = random.Random(1303)
+    rows = [
+        ("a", int(rng.lognormvariate(10, 2)) + 1) for _ in range(4000)
+    ] + [("b", rng.randrange(0, 50)) for _ in range(1000)]
+    df = spark.createDataFrame(rows, "g STRING, v BIGINT")
+
+    whole = hdr_sketch(df, "v", ["g"])
+    parts = [
+        hdr_sketch(df.filter(F.abs(F.hash("v")) % 3 == i), "v", ["g"])
+        for i in range(3)
+    ]
+    merged = hdr_merge(*parts)
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    got = {
+        (r["g"], r["q"]): r["value_lo"]
+        for r in hdr_quantiles(merged, [0.5, 0.95, 0.99], ["g"]).collect()
+    }
+    by_g = {"a": sorted(v for g, v in rows if g == "a"),
+            "b": sorted(v for g, v in rows if g == "b")}
+    for (g, q), lo in got.items():
+        exact = by_g[g][max(0, -(-int(q * 100) * len(by_g[g]) // 100) - 1)]
+        assert lo <= exact, (g, q, lo, exact)
+        assert exact - lo <= max(exact >> 5, 1), (g, q, lo, exact)
+
+
+def test_hdr_global_sketch_no_group_cols(spark):
+    """Empty group_cols builds ONE global histogram; the quantile window
+    runs over sketch-sized rows only (the kmv empty-group lesson — here
+    the input to the window IS the histogram, so no data-sized funnel)."""
+    from pincspark.operators.sketches import hdr_quantiles, hdr_sketch
+
+    df = spark.range(10000).selectExpr("id AS v")
+    sk = hdr_sketch(df, "v")
+    assert sk.count() < 400  # histogram-sized, not data-sized
+    got = {r["q"]: r["value_lo"] for r in hdr_quantiles(sk, [0.5, 1.0]).collect()}
+    assert got[1.0] <= 9999 and 9999 - got[1.0] <= 9999 >> 5
+    assert got[0.5] <= 4999 and 4999 - got[0.5] <= 4999 >> 5
