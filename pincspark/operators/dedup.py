@@ -1799,3 +1799,153 @@ def set_similarity_join(
         )
         .filter(F.col("inter") * F.lit(100) >= F.lit(int(tau100)) * F.col("uni"))
     )
+
+
+def minhash_signature_cols(text_col: str, n: int = 3, num_perms: int = 16) -> list[F.Column]:
+    """Per-ROW MinHash signature columns mh0..mh{K-1} — the narrow twin of
+    :func:`minhash_signatures`: min over each permutation is taken by a
+    higher-order ``array_min(transform(...))`` on the Arrow kernel's hash
+    array instead of an explode + groupBy, so there is NO aggregation —
+    usable on a STREAMING frame in append mode. Values are bit-identical
+    (same kernel, same (a*h + b) % P arithmetic, min over the same set;
+    pinned in tests/test_incremental_dedup.py)."""
+    arr = shingle_hash_array_py(text_col, n, 8)
+
+    def _perm(a: int, b: int):
+        # closure factory, NOT a default-arg lambda: pyspark treats a
+        # lambda with defaults as the 2-arg (element, index) form
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return [
+        F.array_min(F.transform(arr, _perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS[:num_perms])
+    ]
+
+
+def snapshot_band_buckets(
+    snap: DataFrame,
+    num_perms: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Static serving prep for :func:`incremental_dedup_narrow`: the
+    snapshot's LSH band buckets with each bucket's member SIGNATURES
+    collected into one array cell -> (band, sig, sigs array<array<bigint>>).
+    Buckets above ``max_bucket_size`` are dropped (the incremental_dedup
+    cap, mirrored exactly). Built ONCE per snapshot version and persisted
+    next to it; bucket cells are a few KB — the whole table is
+    signature-sized, never corpus-sized."""
+    rows = num_perms // bands
+    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perms)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = snap.select(mh_arr.alias("__pmh"), F.explode(band_structs).alias("bs")).select(
+        "__pmh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    return (
+        banded.groupBy("band", "sig")
+        .agg(F.collect_list("__pmh").alias("sigs"), F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .select("band", "sig", "sigs")
+    )
+
+
+def incremental_dedup_narrow(
+    new_df: DataFrame,
+    snap: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perms: int = 16,
+    bands: int = 4,
+    tau: float = 0.5,
+    max_bucket_size: int = 1000,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`incremental_dedup` with ZERO new-side aggregation — the
+    append-mode-safe form that runs unchanged on a STREAMING ``new_df``
+    (the live-crawl steady state: screen each arriving document against
+    the persisted corpus snapshot the moment it lands).
+
+    Identical output rows (id, exact_dup, near_dup, best_est, kept) —
+    pinned against the batch operator in tests/test_incremental_dedup.py
+    and through a real micro-batched stream in tests/test_streaming.py.
+
+    Shape: per new row, the fingerprint and the mh0..mhK-1 signature are
+    narrow column expressions (:func:`minhash_signature_cols`); the exact
+    branch is ONE stream-static left join on fingerprint; the near branch
+    is one stream-static left join PER BAND against
+    :func:`snapshot_band_buckets` (static side pre-grouped, so no
+    post-join aggregation — the per-candidate match fractions and their
+    max are per-row higher-order functions over the bucket's signature
+    array). ``buckets`` lets a caller pass the persisted bucket table
+    directly; otherwise it is derived from ``snap``.
+
+    100 TB: the stream side never shuffles on data size — each micro-batch
+    pays `bands`+1 equi-joins keyed by fingerprint/band-sig against
+    signature-sized static tables; candidate work per document is bounded
+    by its buckets' populations (capped at ``max_bucket_size``)."""
+    rows = num_perms // bands
+    if buckets is None:
+        buckets = snapshot_band_buckets(snap, num_perms, bands, max_bucket_size)
+
+    enriched = new_df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("__fp"),
+        *minhash_signature_cols(text_col, n, num_perms),
+    )
+    prior_fps = snap.select(F.col("fingerprint").alias("__pfp")).distinct()
+    out = enriched.join(prior_fps, F.col("__fp") == F.col("__pfp"), "left")
+
+    cand_arrays = []
+    for b in range(bands):
+        bb = buckets.filter(F.col("band") == b).select(
+            F.col("sig").alias(f"__bsig{b}"), F.col("sigs").alias(f"__sigs{b}")
+        )
+        sig_b = F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        out = out.join(bb, sig_b == F.col(f"__bsig{b}"), "left")
+        cand_arrays.append(
+            F.coalesce(F.col(f"__sigs{b}"), F.array().cast("array<array<bigint>>"))
+        )
+
+    nmh = F.array(*[F.col(f"mh{i}") for i in range(num_perms)])
+    match_sum = " + ".join(
+        f"CAST(element_at(__nmh, {i + 1}) = element_at(p, {i + 1}) AS INT)"
+        for i in range(num_perms)
+    )
+    ests = F.expr(
+        f"transform(__cands, p -> ({match_sum}) / {float(num_perms)})"
+    )
+    best = F.array_max(ests)
+
+    return (
+        out.withColumn("__cands", F.concat(*cand_arrays))
+        .withColumn("__nmh", nmh)
+        .withColumn("__best", best)
+        .select(
+            F.col(id_col),
+            F.when(F.col("__pfp").isNull(), 0).otherwise(1).cast("int").alias("exact_dup"),
+            F.when(
+                F.coalesce(F.col("__best"), F.lit(-1.0)) >= F.lit(float(tau)), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("near_dup"),
+            F.round(F.col("__best"), 6).alias("best_est"),
+        )
+        .withColumn(
+            "kept",
+            F.when((F.col("exact_dup") == 0) & (F.col("near_dup") == 0), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )

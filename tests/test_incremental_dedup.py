@@ -101,3 +101,81 @@ def test_within_crawl_duplicates_are_not_flagged(spark):
            incremental_dedup(new, prior, "doc_id", "text").collect()}
     # both kept: the operator screens against the snapshot only
     assert out[10]["kept"] == 1 and out[11]["kept"] == 1
+
+
+def test_narrow_form_matches_batch_operator(spark):
+    """incremental_dedup_narrow (the zero-new-side-aggregation, stream-
+    ready form) returns the IDENTICAL rows as incremental_dedup on the
+    same corpus — including on a larger random corpus where buckets hold
+    multiple candidates and the per-row HOF max must reproduce the
+    groupBy max exactly."""
+    import random
+
+    from pincspark.operators.dedup import (
+        dedup_snapshot,
+        incremental_dedup,
+        incremental_dedup_narrow,
+    )
+
+    prior = spark.createDataFrame(PRIOR, ["doc_id", "text"])
+    new = spark.createDataFrame(NEW, ["doc_id", "text"])
+    snap = dedup_snapshot(prior, "doc_id", "text", n=3, num_perms=16)
+    want = sorted(
+        map(
+            tuple,
+            incremental_dedup(
+                new, snap, "doc_id", "text", tau=0.5, prior_is_snapshot=True
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            incremental_dedup_narrow(new, snap, "doc_id", "text", tau=0.5).collect(),
+        )
+    )
+    assert got == want
+
+    rng = random.Random(1307)
+    vocab = [f"tok{i}" for i in range(60)]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 30)))
+
+    prior_rows = [(i, doc()) for i in range(60)]
+    new_rows = [(100 + i, doc()) for i in range(40)] + [
+        (200 + i, prior_rows[i][1] + " extra") for i in range(10)  # near dups
+    ] + [(300 + i, prior_rows[i][1]) for i in range(5)]  # exact dups
+    pr = spark.createDataFrame(prior_rows, ["doc_id", "text"])
+    nw = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    snap2 = dedup_snapshot(pr, "doc_id", "text", n=3, num_perms=16)
+    want2 = sorted(
+        map(
+            tuple,
+            incremental_dedup(
+                nw, snap2, "doc_id", "text", tau=0.5, prior_is_snapshot=True
+            ).collect(),
+        )
+    )
+    got2 = sorted(
+        map(tuple, incremental_dedup_narrow(nw, snap2, "doc_id", "text", tau=0.5).collect())
+    )
+    assert got2 == want2
+
+
+def test_minhash_signature_cols_match_grouped_signatures(spark):
+    """The per-row HOF signature equals the explode+groupBy signature
+    bit-for-bit on every doc (including the empty-normalized edge)."""
+    from pincspark.operators.dedup import minhash_signature_cols, minhash_signatures
+
+    rows = PRIOR + NEW + [(999, ""), (998, "!!!")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    grouped = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in minhash_signatures(df, "doc_id", "text", 3, 16).collect()
+    }
+    narrow = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in df.select("doc_id", *minhash_signature_cols("text", 3, 16)).collect()
+    }
+    assert narrow == grouped

@@ -767,3 +767,114 @@ def test_encounters_stream_replay_guard(spark, tmp_path):
     _start_and_drain(q)
     rows = spark.sql("SELECT mmsi_a, mmsi_b, bkt FROM enc_replay").collect()
     assert len(rows) == len({tuple(r) for r in rows})  # no duplicate pair-bucket events
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (live-crawl screen against the snapshot)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """incremental_dedup_narrow runs UNCHANGED on a streaming new-doc
+    frame (per-row fingerprint + HOF signatures, stream-static joins
+    only, no stream-side aggregation) and, drained over one-document
+    micro-batches, emits exactly the batch operator's rows — the
+    screen-the-crawl-as-it-lands steady state."""
+    from tests.test_incremental_dedup import NEW, PRIOR
+    from pincspark.operators.dedup import (
+        dedup_snapshot,
+        incremental_dedup,
+        incremental_dedup_narrow,
+        snapshot_band_buckets,
+    )
+
+    prior = spark.createDataFrame(PRIOR, ["doc_id", "text"])
+    new = spark.createDataFrame(NEW, ["doc_id", "text"])
+    snap = dedup_snapshot(prior, "doc_id", "text", n=3, num_perms=16)
+    # persist the serving tables the way production would: snapshot +
+    # pre-grouped band buckets, read back from parquet
+    snap_p, buckets_p = str(tmp_path / "snap"), str(tmp_path / "buckets")
+    snap.write.parquet(snap_p)
+    snapshot_band_buckets(snap).write.parquet(buckets_p)
+    snap_static = spark.read.parquet(snap_p)
+    buckets_static = spark.read.parquet(buckets_p)
+
+    want = sorted(
+        map(
+            tuple,
+            incremental_dedup(
+                new, snap_static, "doc_id", "text", tau=0.5, prior_is_snapshot=True
+            ).collect(),
+        )
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    for i, r in enumerate(new.collect()):
+        spark.createDataFrame([r], new.schema).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        incremental_dedup_narrow(
+            stream, snap_static, "doc_id", "text", tau=0.5, buckets=buckets_static
+        )
+        .writeStream.format("memory")
+        .queryName("inc_dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    _start_and_drain(q)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM inc_dedup_out").collect())
+    )
+    assert got == want
+
+
+def test_hdr_sketch_builds_over_a_stream(spark, tmp_path):
+    """The HDR quantile sketch is a plain cell-count aggregation, so it
+    builds over a STREAM natively (complete-mode groupBy — Spark's
+    incremental state IS the cell-wise merge): drained over micro-batches
+    it equals the batch sketch bit-for-bit, and quantiles read from it
+    match quantiles read from the batch sketch."""
+    from pincspark.operators.sketches import hdr_quantiles, hdr_sketch
+
+    rows = [("a", (i * 2654435761) % 1000003) for i in range(3000)] + [
+        ("b", i * i % 777) for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v BIGINT")
+    want = sorted(map(tuple, hdr_sketch(df, "v", ["g"]).collect()))
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    n_chunk = 4
+    for c in range(n_chunk):
+        df.filter(F.abs(F.hash("v", "g")) % n_chunk == c).write.parquet(
+            str(src / f"c{c}")
+        )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        hdr_sketch(stream, "v", ["g"])
+        .writeStream.format("memory")
+        .queryName("hdr_stream")
+        .outputMode("complete")
+        .start()
+    )
+    _start_and_drain(q)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM hdr_stream").collect())
+    )
+    assert got == want
+
+    sk = spark.sql("SELECT * FROM hdr_stream")
+    got_q = sorted(map(tuple, hdr_quantiles(sk, [0.5, 0.99], ["g"]).collect()))
+    want_q = sorted(
+        map(tuple, hdr_quantiles(hdr_sketch(df, "v", ["g"]), [0.5, 0.99], ["g"]).collect())
+    )
+    assert got_q == want_q
