@@ -878,3 +878,71 @@ def test_hdr_sketch_builds_over_a_stream(spark, tmp_path):
         map(tuple, hdr_quantiles(hdr_sketch(df, "v", ["g"]), [0.5, 0.99], ["g"]).collect())
     )
     assert got_q == want_q
+
+
+def test_encounters_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: the encounter detector's (bucket, cell) group
+    state survives a query stop/restart through the checkpoint — fixes
+    delivered BEFORE the stop still pair with fixes arriving AFTER the
+    restart, and nothing is emitted twice. (The guarantee a 1000-executor
+    deployment actually relies on: executor/driver loss must not lose
+    half-formed pairs or duplicate emitted ones.)"""
+    from pincspark.operators.geo import encounters
+    from pincspark.streaming.encounters import encounters_stream
+
+    fixes = _encounter_fixes(spark)
+    want = {
+        (r["mmsi_a"], r["mmsi_b"], r["n_close"], r["min_dist_m"], r["first_bkt"], r["last_bkt"])
+        for r in encounters(fixes).collect()
+    }
+
+    src = tmp_path / "fixes_ckpt"
+    src.mkdir()
+    rows = fixes.collect()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "enc_out")  # parquet sink: supports recovery,
+    # and its file log gives exactly-once across the restart
+
+    def run(files):
+        for i, r in files:
+            d = src / f"f{i:02d}"
+            if not d.exists():
+                spark.createDataFrame([r], fixes.schema).write.parquet(str(d))
+        stream = (
+            spark.readStream.schema(fixes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            encounters_stream(stream, timeout_ms=None)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _start_and_drain(q)
+        return [tuple(r) for r in spark.read.parquet(out).collect()]
+
+    # first life: only the first half of the fixes exist
+    first = run(list(enumerate(rows))[: len(rows) // 2])
+    # second life, SAME checkpoint + sink: the rest arrive
+    combined = run(list(enumerate(rows))[len(rows) // 2 :])
+    second = [r for r in combined]  # full sink contents after both lives
+
+    assert len(combined) == len(set(combined)), "duplicate emission across restart"
+    got = {}
+    for a, b, bkt, dist in combined:
+        k = (a, b)
+        n, mn, fb, lb = got.get(k, (0, None, None, None))
+        got[k] = (
+            n + 1,
+            dist if mn is None else min(mn, dist),
+            bkt if fb is None else min(fb, bkt),
+            bkt if lb is None else max(lb, bkt),
+        )
+    assert {(a, b, *v) for (a, b), v in got.items()} == want
+    # the cross-restart guarantee did real work: the first life emitted
+    # some pairs, and the second life added pairs it could only form by
+    # recovering the first life's state
+    assert first and len(combined) > len(first)
