@@ -1725,14 +1725,12 @@ def set_similarity_join(
     against a brute-force SQL twin.
     """
     if n <= 1:
-        toks = (
-            df.select(
-                F.col(id_col).alias("id"),
-                F.explode(
-                    F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-                ).alias("tok"),
-            )
-            .filter(F.col("tok") != "")
+        arrs = df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")),
+                lambda t: t != "",
+            ).alias("__arr"),
         )
     else:
         import hashlib
@@ -1740,22 +1738,37 @@ def set_similarity_join(
         # the kernel emits ONE ''-shingle for empty-normalized docs; drop
         # it (as the oracle's x <> '' filter) so empty docs never pair
         empty_h = int(hashlib.md5(b"").hexdigest()[:15], 16)
-        toks = df.select(
+        arrs = df.select(
             F.col(id_col).alias("id"),
-            F.explode(shingle_hash_array_py(text_col, n, 15)).alias("tok"),
-        ).filter(F.col("tok") != F.lit(empty_h))
+            F.array_remove(shingle_hash_array_py(text_col, n, 15), empty_h).alias(
+                "__arr"
+            ),
+        )
+    # The per-doc element ARRAYS are staged once (the q53 shingle policy):
+    # freq, the ranked prefix, and the verify-side set builds all consume
+    # the elements — without staging, the corpus scan and the Arrow kernel
+    # replay per consumer (6 scans / 6 kernel passes in the executed
+    # plan, the defect class VERDICT r2 #1 fixed on the flagship).
+    # Staging BEFORE the explode keeps the checkpoint doc-sized; the
+    # explode replays per consumer are narrow JVM work over staged rows.
+    arrs = stage(arrs, "setsim:arrs", eager=False)
+    toks = arrs.select("id", F.explode("__arr").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     ranked = toks.join(freq, "tok")
     w_rank = Window.partitionBy("id").orderBy("tf", "tok")
     w_sz = Window.partitionBy("id")
-    pref = (
+    # staged: both candidate-join sides read the prefix frame — the two
+    # window functions would otherwise execute twice
+    pref = stage(
         ranked.withColumn("rn", F.row_number().over(w_rank))
         .withColumn("sz", F.count(F.lit(1)).over(w_sz))
         .filter(
             F.col("rn")
             <= F.col("sz") - F.expr(f"-((-{int(tau100)} * sz) div 100)") + F.lit(1)
         )
-        .select("tok", "id", "sz")
+        .select("tok", "id", "sz"),
+        "setsim:prefix",
+        eager=False,
     )
     a = pref.select(
         "tok", F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
@@ -1773,9 +1786,10 @@ def set_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = toks.groupBy("id").agg(
-        F.sort_array(F.collect_list("tok")).alias("s"),
-        F.count(F.lit(1)).alias("sz"),
+    # pure projection over the staged arrays — the verify sides need no
+    # groupBy at all (the kernel already emits each doc's distinct set)
+    sets = arrs.select(
+        "id", F.sort_array("__arr").alias("s"), F.size("__arr").alias("sz")
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("bigint")
     return (
