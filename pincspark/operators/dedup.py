@@ -1764,7 +1764,7 @@ def set_similarity_join(
         .withColumn("sz", F.count(F.lit(1)).over(w_sz))
         .filter(
             F.col("rn")
-            <= F.col("sz") - F.expr(f"-((-{int(tau100)} * sz) div 100)") + F.lit(1)
+            <= F.col("sz") - F.expr(f"(({int(tau100)} * sz + 99) div 100)") + F.lit(1)
         )
         .select("tok", "id", "sz"),
         "setsim:prefix",

@@ -375,3 +375,75 @@ def encounters(
             F.max("bkt").alias("last_bkt"),
         )
     )
+
+
+def resample_tracks(
+    fixes: DataFrame,
+    key: str = "mmsi",
+    ts_col: str = "ts",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    step_s: int = 3600,
+    max_gap_s: int = 86400,
+) -> DataFrame:
+    """Gap-aware track resampling: every vessel's irregular fix sequence
+    re-emitted on a fixed ``step_s`` time grid with LINEAR interpolation
+    between consecutive fixes — the standard AIS pre-processing step
+    before encounter screening / density rollups / model features (equal
+    spacing makes per-cell counts comparable and window features
+    stationary). The reference consumes positions raw (ais_analysis.py
+    plots fix-by-fix); this is the cleaning step its consumers run.
+
+    Semantics: for each consecutive fix pair (t0, p0) -> (t1, p1) of a
+    key, in time order, with 0 < t1 - t0 <= ``max_gap_s`` (longer gaps
+    are signal loss — interpolating across them invents trajectories),
+    emit every grid instant g = k*step_s with t0 <= g < t1 (half-open, so
+    adjoining segments never duplicate a grid point) at
+
+        p = p0 + (p1 - p0) * ((g - t0) / (t1 - t0))
+
+    — plain double arithmetic in exactly this association, no trig, so an
+    ANSI-SQL oracle reproduces the values bit-for-bit. Straight-line
+    interpolation in lat/lon: fine at AIS step scales; tracks crossing
+    the antimeridian need a longitude unwrap upstream (documented, not
+    hidden).
+
+    (key, ts) must be unique upstream (the track_qc/synthetic_fixes
+    contract). Returns (key, grid_ts BIGINT epoch, latitude, longitude).
+
+    100 TB: ONE keyed window (the lead pairing) is the only shuffle; the
+    grid explode is narrow with fan-out bounded by max_gap_s/step_s per
+    segment; everything else is whole-stage-codegen arithmetic.
+    """
+    w = Window.partitionBy(key).orderBy("t0")
+    seg = (
+        fixes.select(
+            F.col(key),
+            F.unix_timestamp(F.col(ts_col)).alias("t0"),
+            F.col(lat_col).alias("lat0"),
+            F.col(lon_col).alias("lon0"),
+        )
+        .withColumn("t1", F.lead("t0").over(w))
+        .withColumn("lat1", F.lead("lat0").over(w))
+        .withColumn("lon1", F.lead("lon0").over(w))
+        .filter(
+            F.col("t1").isNotNull()
+            & (F.col("t1") > F.col("t0"))
+            & (F.col("t1") - F.col("t0") <= F.lit(int(max_gap_s)))
+        )
+    )
+    # true ceiling under TRUNCATING div (both engines): (a + b - 1) div b
+    gs = F.expr(f"((t0 + {int(step_s) - 1}) div {int(step_s)}) * {int(step_s)}")
+    grid = F.when(
+        gs <= F.col("t1") - 1,
+        F.sequence(gs, F.col("t1") - F.lit(1), F.lit(int(step_s))),
+    )
+    frac = (F.col("g") - F.col("t0")).cast("double") / (
+        F.col("t1") - F.col("t0")
+    ).cast("double")
+    return seg.withColumn("g", F.explode(grid)).select(
+        F.col(key),
+        F.col("g").alias("grid_ts"),
+        (F.col("lat0") + (F.col("lat1") - F.col("lat0")) * frac).alias(lat_col),
+        (F.col("lon0") + (F.col("lon1") - F.col("lon0")) * frac).alias(lon_col),
+    )

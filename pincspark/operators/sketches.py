@@ -628,8 +628,10 @@ def hdr_quantiles(
     the exact quantile by the bin-width bound. Window work over
     sketch-sized rows only. ``quantiles`` are exact decimals (e.g. 0.5,
     0.95) multiplied out in integer space (q * 100) so the rank threshold
-    ceil(q*total) = -((-q100 * total) div 100) is BIGINT-exact in both
-    engines."""
+    ceil(q*total) = (q100 * total + 99) div 100 is BIGINT-exact in both
+    engines. (Both Spark's div and DuckDB's // TRUNCATE toward zero, so
+    the add-then-divide form is the correct ceiling; the negated-division
+    idiom -((-a) div b) is a floor no-op under truncation.)"""
     g = list(group_cols or [])
     w_tot = Window.partitionBy(*g) if g else Window.partitionBy()
     w_cum = w_tot.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, 0)
@@ -639,7 +641,7 @@ def hdr_quantiles(
     qs = F.array(*[F.lit(int(round(q * 100))) for q in quantiles])
     hit = (
         base.withColumn("q100", F.explode(qs))
-        .withColumn("rank_needed", -F.expr("(-q100 * total) div 100"))
+        .withColumn("rank_needed", F.expr("(q100 * total + 99) div 100"))
         .filter(F.col("cum") >= F.col("rank_needed"))
         .filter(F.col("cum") - F.col("cnt") < F.col("rank_needed"))
     )

@@ -6296,10 +6296,10 @@ WITH vals AS (
   FROM cells
 ), hits AS (
   SELECT pri, q100, bin_id, cnt, cum,
-         -((-q100 * total) // 100) AS rank_needed
+         (q100 * total + 99) // 100 AS rank_needed
   FROM cum CROSS JOIN (SELECT unnest([50, 95, 99]) AS q100) qs
-  WHERE cum >= -((-q100 * total) // 100)
-    AND cum - cnt < -((-q100 * total) // 100)
+  WHERE cum >= (q100 * total + 99) // 100
+    AND cum - cnt < (q100 * total + 99) // 100
 )
 SELECT pri AS o_orderpriority,
        CAST(q100 AS DOUBLE) / 100 AS q,
@@ -6387,6 +6387,56 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sized a JOIN sized b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s)) * 100
       >= 50 * (a.sz + b.sz - len(list_intersect(a.s, b.s)))
+"""
+
+
+def q108_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware track resampling (`operators/geo.resample_tracks`): the
+    minted vessel fixes re-emitted on a fixed 2-hour grid with linear
+    interpolation between consecutive fixes, segments longer than 24h
+    treated as signal loss — the standard AIS cleaning step before
+    encounter screening / density rollups (equal spacing makes per-cell
+    counts comparable). One keyed window + a bounded narrow explode; the
+    interpolation is plain double arithmetic in a pinned association, so
+    the oracle reproduces every coordinate bit-for-bit (%.17g hash, no
+    rounding crutch)."""
+    from pincspark.operators.geo import resample_tracks, synthetic_fixes
+
+    fixes = synthetic_fixes(table(spark, sf_dir, "events"))
+    return resample_tracks(fixes, step_s=7200, max_gap_s=86400)
+
+
+ORACLE_Q108 = """
+WITH uniq AS (
+  SELECT user_id AS mmsi, ts,
+         100.5 + (value % 2.5) AS lon,
+         1.0 + CAST(user_id % 21 AS DOUBLE) / 10.0 AS lat
+  FROM (
+    SELECT user_id, ts, value, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events WHERE user_id IS NOT NULL
+  ) t WHERE rn = 1
+), seg AS (
+  SELECT mmsi,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t0, lat AS lat0, lon AS lon0,
+         LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS t1,
+         LEAD(lat) OVER w AS lat1,
+         LEAD(lon) OVER w AS lon1
+  FROM uniq
+  WINDOW w AS (PARTITION BY mmsi ORDER BY ts)
+), grid AS (
+  SELECT mmsi, t0, lat0, lon0, t1, lat1, lon1,
+         unnest(generate_series(((t0 + 7199) // 7200) * 7200, t1 - 1, 7200)) AS g
+  FROM seg
+  WHERE t1 IS NOT NULL AND t1 > t0 AND t1 - t0 <= 86400
+    AND ((t0 + 7199) // 7200) * 7200 <= t1 - 1
+)
+SELECT mmsi, g AS grid_ts,
+       lat0 + (lat1 - lat0) * (CAST(g - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+         AS latitude,
+       lon0 + (lon1 - lon0) * (CAST(g - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+         AS longitude
+FROM grid
 """
 
 
@@ -6585,7 +6635,15 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # native session_window gap sessions with an independent LAG+running-
     # session-id SQL oracle — the last local-only family (ST6 session
     # tier) with an SQL-expressible twin gains a hard driver gate
-    "q92_session_windows": (q92_session_windows, ORACLE_Q92),
+    # NEW r13 (in-window at registration; q92_session_windows rotates
+    # out — green r11+r12 rows, re-simmed on current code, and a NATIVE
+    # session_window call (the lowest-risk class by the r5 window
+    # policy); gap-session semantics stay sweep-gated via q13's
+    # LAG+running-id form and ST6 event-time machinery stays pinned by
+    # the streaming suite + q25's windowed aggs): gap-aware track
+    # resampling — fixed-grid linear interpolation between fixes, the
+    # coordinates hash-gated bit-for-bit with NO rounding crutch
+    "q108_track_resample": (q108_track_resample, ORACLE_Q108),
     # NEW r10 (in-window at registration; q58_gif_decode rotates out — the
     # codec tier keeps five in-window gates (q57/q60/q61/q63/q65) sharing
     # the same mapInPandas plumbing, and GIF/LZW stays golden- and
@@ -6810,6 +6868,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r13 for q107 (text-index update): green r8-r12 rows;
     # see the q107 registration note (codec tier keeps q60/q61/q63)
     "q65_tiff_decode": (q65_tiff_decode, ORACLE_Q57),
+    # rotated out r13 for q108 (track resampling): green r11+r12 rows;
+    # see the q108 registration note (native session_window call)
+    "q92_session_windows": (q92_session_windows, ORACLE_Q92),
 }
 
 

@@ -195,3 +195,51 @@ def test_encounters_radius_and_bucket_knobs(spark):
     wide = _enc(spark, pts, radius_m=3000, bucket_s=900)
     assert wide[(1, 2)][0] == 2
     assert _enc(spark, pts, radius_m=1000, bucket_s=900) == {}
+
+
+def test_resample_tracks_semantics(spark):
+    """Half-open grid, linear values, gap guard, ceil-to-grid start: a
+    hand-computable two-vessel fixture pins every branch."""
+    from pincspark.operators.geo import resample_tracks
+
+    rows = [
+        # vessel 1: fixes at t=1000 and t=3400 (gap 2400), step 600 ->
+        # grid 1200, 1800, 2400, 3000 (3600 > 3399 excluded: half-open)
+        (1, 1000, 10.0, 20.0),
+        (1, 3400, 34.0, 44.0),
+        # second segment 3400 -> 4000: grid 3600 only
+        (1, 4000, 40.0, 50.0),
+        # vessel 2: gap over the max (7000) -> nothing emitted
+        (2, 0, 0.0, 0.0),
+        (2, 8000, 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "mmsi BIGINT, epoch BIGINT, latitude DOUBLE, longitude DOUBLE"
+    ).selectExpr("mmsi", "timestamp_seconds(epoch) AS ts", "latitude", "longitude")
+    out = {
+        (r["mmsi"], r["grid_ts"]): (r["latitude"], r["longitude"])
+        for r in resample_tracks(df, step_s=600, max_gap_s=5000).collect()
+    }
+    assert set(out) == {(1, g) for g in (1200, 1800, 2400, 3000, 3600)}
+    # linear: at g the value is v0 + (v1-v0)*(g-t0)/(t1-t0)
+    for g in (1200, 1800, 2400, 3000):
+        frac = (g - 1000) / 2400
+        assert out[(1, g)] == (10.0 + 24.0 * frac, 20.0 + 24.0 * frac)
+    frac2 = (3600 - 3400) / 600
+    assert out[(1, 3600)] == (34.0 + 6.0 * frac2, 44.0 + 6.0 * frac2)
+
+
+def test_resample_tracks_grid_aligned_fix_not_duplicated(spark):
+    """A fix sitting exactly ON a grid instant: the half-open segment
+    convention emits it once (as its own segment's start), never twice."""
+    from pincspark.operators.geo import resample_tracks
+
+    rows = [(7, 600, 1.0, 1.0), (7, 1200, 2.0, 2.0), (7, 1800, 3.0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "mmsi BIGINT, epoch BIGINT, latitude DOUBLE, longitude DOUBLE"
+    ).selectExpr("mmsi", "timestamp_seconds(epoch) AS ts", "latitude", "longitude")
+    out = resample_tracks(df, step_s=600, max_gap_s=5000).collect()
+    keys = [(r["mmsi"], r["grid_ts"]) for r in out]
+    assert sorted(keys) == [(7, 600), (7, 1200)]  # each exactly once
+    vals = {r["grid_ts"]: (r["latitude"], r["longitude"]) for r in out}
+    assert vals[600] == (1.0, 1.0) and vals[1200] == (2.0, 2.0)

@@ -500,7 +500,10 @@ def test_harness_window_composition_is_pinned():
         # r10 row, re-simmed green on current code; the codec tier keeps
         # four in-window gates (q60/q61/q63/q65) on the shared plumbing
         # and PNG stays golden- and ImageIO-cross-validated locally.
-        "q92_session_windows",
+        # q92_session_windows rotated out r13 for q108 (track resample):
+        # green r11+r12 rows; native session_window call, gap sessions
+        # stay sweep-gated via q13 and the streaming ST6 suite.
+        "q108_track_resample",
         # q58_gif_decode rotated out r10 for q88 (reassembly contract):
         # green r9 row, re-simmed green on current code; GIF/LZW stays
         # golden- and ImageIO-cross-validated locally while the codec
