@@ -6440,6 +6440,68 @@ FROM grid
 """
 
 
+def q109_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware holdout split — the leakage guard q100's
+    group hash cannot give: q100 keys the split on an EXPLICIT group
+    (user, domain), but near-DUPLICATE documents have no shared key, so a
+    row-level or even user-level split still puts one copy in train and
+    its twin in test, and the eval measures memorization. This query
+    splits by the documents' near-dup CONNECTED COMPONENT: MinHash-LSH
+    pairs (q19/q42 parameters) -> min-label components (only the label
+    table shuffles) -> cluster root as the split group -> the q100
+    md5-CASE assignment on the root. By construction no near-dup cluster
+    straddles an evaluation boundary (pinned pair-wise in
+    tests/test_sampling.py). Subsumes q42's whole pairs->clusters
+    construction and adds the split stage; the oracle replays the
+    recursive transitive-closure CTE + the identical modular split
+    arithmetic."""
+    from pincspark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+    from pincspark.operators.sampling import group_holdout_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perms=16, bands=4)
+    clusters = dedup_clusters(pairs)
+    with_cluster = (
+        docs.select("doc_id")
+        .join(clusters, docs["doc_id"] == clusters["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return group_holdout_split(with_cluster, "cluster_id", salt="clsplit")
+
+
+def _q109_oracle() -> str:
+    from pincspark.operators.sampling import group_holdout_split_sql
+
+    split_case = group_holdout_split_sql("cluster_id", salt="clsplit")
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_oracle()}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(src, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+), comp AS (
+  SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src
+), assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+{split_case} AS split
+FROM assigned
+"""
+
+
+ORACLE_Q109 = _q109_oracle()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6611,7 +6673,13 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # sum + broadcast offsets) pinned against DuckDB's single-window
     # row_number, NEW custom machinery in operators/order.py
     "q99_global_rank": (q99_global_rank, ORACLE_Q99),
-    "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
+    # NEW r13 (in-window at registration; q42_dedup_keep_list rotates
+    # out — green r7-r12 rows; q109 CONTAINS q42's entire pairs->
+    # components->root construction as its first stages, so every
+    # shuffle q42 gated still runs under a hard oracle — the q64-
+    # subsumes-q59 precedent): near-dup-cluster-aware holdout split,
+    # the leakage guard a row- or user-level split cannot give
+    "q109_cluster_holdout": (q109_cluster_holdout, ORACLE_Q109),
     "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
     # NEW r13 (in-window at registration; q49_weather_decode_sql rotates
     # out — green r9-r12 rows; the decode SQL-twin tier keeps SIX
@@ -6871,6 +6939,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r13 for q108 (track resampling): green r11+r12 rows;
     # see the q108 registration note (native session_window call)
     "q92_session_windows": (q92_session_windows, ORACLE_Q92),
+    # rotated out r13 for q109 (cluster holdout): green r7-r12 rows; its
+    # entire construction runs inside in-window q109 (see that note)
+    "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
 }
 
 

@@ -487,7 +487,11 @@ def test_harness_window_composition_is_pinned():
         # bit twiddling is exactly the high-risk class this list exists
         # for; they retire the last local-only decode families.
         "q94_aux_families_sql", "q95_text_families_sql",
-        "q37_decontamination", "q42_dedup_keep_list", "q43_simhash_pairs",
+        "q37_decontamination",
+        # q42_dedup_keep_list rotated out r13 for q109 (cluster holdout):
+        # green r7-r12 rows; q109 contains q42's entire construction.
+        "q109_cluster_holdout",
+        "q43_simhash_pairs",
         # q49_weather_decode_sql rotated out r13 for q106 (exact
         # similarity join): green r9-r12 rows; the decode SQL-twin tier
         # keeps six in-window gates (q31/q33/q34/q50/q94/q95) on the

@@ -277,3 +277,40 @@ def test_group_holdout_split_rejects_zero_weight(spark):
         )
     with pytest.raises(ValueError):
         group_holdout_split(events, "user_id", splits=())
+
+
+def test_cluster_holdout_never_splits_a_near_dup_pair(spark):
+    """The q109 guarantee, checked pair-wise: every MinHash-LSH candidate
+    pair lands in the SAME split (row- and user-level splits cannot give
+    this), and split assignment is a pure function of the cluster root."""
+    from pincspark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+    from pincspark.operators.sampling import group_holdout_split
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(30):
+        # distinct vocabulary per pair so clusters stay pairwise (a shared
+        # template would LSH-merge the whole corpus into one cluster)
+        base = " ".join(f"tok{i}x{j}" for j in range(12))
+        rows.append((i, base))
+        rows.append((100 + i, base + f" extra{i}"))  # near-dup of i
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perms=16, bands=4)
+    clusters = dedup_clusters(pairs)
+    with_cluster = (
+        docs.select("doc_id")
+        .join(clusters, docs["doc_id"] == clusters["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    split = group_holdout_split(with_cluster, "cluster_id", salt="clsplit")
+    assign = {r["doc_id"]: r["split"] for r in split.collect()}
+    got_pairs = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert got_pairs  # the fixture really produced near-dup pairs
+    for a, b in got_pairs:
+        assert assign[a] == assign[b], (a, b, assign[a], assign[b])
+    # and the corpus still spreads across all three splits
+    assert {"train", "val", "test"} <= set(assign.values())
