@@ -77,6 +77,7 @@ DEFAULT_QUERIES = [
     "q27_embedding_dups",
     "q37_decontamination",
     "q42_dedup_keep_list",
+    "q109_cluster_holdout",
     "q43_simhash_pairs",
     "q46_interval_join",
     "q54_curation_pipeline",
@@ -103,6 +104,7 @@ DEFAULT_QUERIES = [
     # volume is corpus-dependent) and the HDR quantile sketch build
     "q105_hdr_quantiles",
     "q106_exact_similarity_join",
+    "q108_track_resample",
 ]
 
 
