@@ -6502,6 +6502,130 @@ FROM assigned
 ORACLE_Q109 = _q109_oracle()
 
 
+# Extra malformed lines for the q110 ingest census (kept OUT of
+# REASSEMBLY_ARCHIVE: a no-checksum line would make ORACLE_Q88's
+# ('0x' || declared)::INTEGER cast throw; q110's oracle classifies that
+# case BEFORE any cast):
+INGEST_ARCHIVE = REASSEMBLY_ARCHIVE + [
+    r"",                                  # empty line
+    r"!ABVDM,1,1,0,A,NOSTAR,0",           # no '*' -> no_checksum
+    r"!ABVDM,1,1,0,A,P1,0*00",            # wrong checksum on a singleton
+]
+
+
+def q110_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest QUARANTINE census — what the reference silently drops
+    (ais_analysis.py:266-288 discards bad lines with no trace), a
+    production ingest must account for: every input line classified with
+    a reason code, counted. Line tier (first match wins): empty /
+    no_bang (no NMEA payload) / no_checksum (no '*') / bad_checksum
+    (XOR mismatch — the REAL P2 `checksum_valid` expression); surviving
+    lines then carry their reassembly-group outcome: assembled (group
+    complete, fragments exactly 1..total) or orphaned (incomplete,
+    duplicate or out-of-range fragment numbers — quarantined, exactly
+    what an operator pages on when a feed degrades). The oracle
+    re-derives every class independently, so a drift in ANY drop rule
+    shows as a hash mismatch — the diagnosability twin of q88, which
+    pins what IS emitted."""
+    from pincspark.decode.kernel import checksum_valid
+    from pincspark.sources.nmea_source import tokenize_sentences
+
+    df = spark.createDataFrame(
+        list(enumerate(INGEST_ARCHIVE)), "line_idx LONG, value STRING"
+    )
+    base = df.select(
+        "line_idx",
+        "value",
+        F.instr("value", "!").alias("bang"),
+        F.expr("substring(value, instr(value, '!'))").alias("sentence"),
+    )
+    line_status = base.withColumn(
+        "status",
+        F.when(F.col("value") == "", "empty")
+        .when(F.col("bang") == 0, "no_bang")
+        .when(F.instr("sentence", "*") == 0, "no_checksum")
+        .when(
+            ~F.coalesce(checksum_valid(F.col("sentence")), F.lit(False)),
+            "bad_checksum",
+        ),
+    )
+    valid = tokenize_sentences(
+        line_status.filter(F.col("status").isNull())
+    ).withColumn("gkey", F.col("line_idx") - (F.col("num") - F.lit(1)))
+    groups = valid.groupBy("gkey", "seq_id", "total").agg(
+        F.count(F.lit(1)).alias("n_frags"),
+        F.sort_array(F.collect_list("num")).alias("nums"),
+    )
+    grouped_lines = valid.join(groups, ["gkey", "seq_id", "total"]).select(
+        F.when(
+            (F.col("n_frags") == F.col("total"))
+            & F.expr("nums = sequence(1, total)"),
+            "assembled",
+        )
+        .otherwise("orphaned")
+        .alias("status")
+    )
+    return (
+        line_status.filter(F.col("status").isNotNull())
+        .select("status")
+        .unionByName(grouped_lines)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _q110_oracle() -> str:
+    vals = ",\n  ".join(
+        "({}, '{}')".format(i, l.replace("'", "''"))
+        for i, l in enumerate(INGEST_ARCHIVE)
+    )
+    body = "substring(split_part(sentence, '*', 1), 2)"
+    return f"""
+WITH raw(line_no, line) AS (VALUES
+  {vals}
+), base AS (
+  SELECT line_no, line, instr(line, '!') AS bang,
+         substring(line, instr(line, '!')) AS sentence
+  FROM raw
+), line_status AS (
+  SELECT line_no, sentence,
+    CASE WHEN line = '' THEN 'empty'
+         WHEN bang = 0 THEN 'no_bang'
+         WHEN instr(sentence, '*') = 0 THEN 'no_checksum'
+         WHEN list_reduce(list_transform(generate_series(1, length({body})),
+                                          i -> unicode({body}[i])),
+                          (a, b) -> xor(a, b))
+              IS DISTINCT FROM ('0x' || split_part(sentence, '*', 2))::INTEGER
+           THEN 'bad_checksum'
+         ELSE NULL END AS status
+  FROM base
+), valid AS (
+  SELECT line_no,
+         COALESCE(TRY_CAST(string_split(sentence, ',')[2] AS INTEGER), 1) AS total,
+         COALESCE(TRY_CAST(string_split(sentence, ',')[3] AS INTEGER), 1) AS num,
+         COALESCE(TRY_CAST(string_split(sentence, ',')[4] AS INTEGER), 0) AS seq_id
+  FROM line_status WHERE status IS NULL
+), g AS (
+  SELECT line_no - (num - 1) AS gkey, seq_id, total, COUNT(*) AS n_frags,
+         list_sort(list(num)) AS nums
+  FROM valid GROUP BY 1, 2, 3
+), gl AS (
+  SELECT CASE WHEN g.n_frags = g.total AND g.nums = generate_series(1, g.total)
+              THEN 'assembled' ELSE 'orphaned' END AS status
+  FROM valid v
+  JOIN g ON v.line_no - (v.num - 1) = g.gkey
+        AND v.seq_id = g.seq_id AND v.total = g.total
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT status FROM line_status WHERE status IS NOT NULL
+      UNION ALL SELECT status FROM gl) u
+GROUP BY status
+"""
+
+
+ORACLE_Q110 = _q110_oracle()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6758,7 +6882,15 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # enrichment stays exercised in-window via q71's snapshot joins and
     # q55's dimension joins, and q03 stays full-catalog parity-tested):
     # per-domain document cap through the skew-safe two-phase top-K
-    "q89_domain_cap": (q89_domain_cap, ORACLE_Q89),
+    # NEW r13 (in-window at registration; q89_domain_cap rotates out —
+    # green r10-r12 rows, re-simmed on current code; its two-phase
+    # per-group top-K shape stays exercised in-window by q51/q52's
+    # partition-pre-ranked top-k and q99's two-phase global rank, and
+    # the per-domain cap itself is one CASE stage of in-window q54):
+    # ingest quarantine census — the reason-coded account of every
+    # dropped line the reference discards silently; the diagnosability
+    # twin of q88's emitted-rows contract
+    "q110_ingest_census": (q110_ingest_census, ORACLE_Q110),
     "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
     "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
     # --- r9 gate-debt retirement: the 14 never-driver-gated rows ---
@@ -6942,6 +7074,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r13 for q109 (cluster holdout): green r7-r12 rows; its
     # entire construction runs inside in-window q109 (see that note)
     "q42_dedup_keep_list": (q42_dedup_keep_list, ORACLE_Q42),
+    # rotated out r13 for q110 (ingest census): green r10-r12 rows; see
+    # the q110 registration note (two-phase top-K shape stays gated)
+    "q89_domain_cap": (q89_domain_cap, ORACLE_Q89),
 }
 
 

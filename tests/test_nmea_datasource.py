@@ -67,3 +67,50 @@ def test_decode_path_runs_on_datasource_output(spark, archive_dir):
         r["t"] for r in decoded.select(F.col("ais.messageType").alias("t")).collect()
     )
     assert types == [1, 5]  # the position report and the reassembled static
+
+
+def test_ingest_census_accounts_for_every_line(spark):
+    """q110's conservation law: line statuses + group outcomes account for
+    EVERY archive line exactly once, and the counts equal an independent
+    pure-Python replay of the documented contract (third implementation
+    next to the engine and the DuckDB oracle)."""
+    from functools import reduce
+    from operator import xor
+
+    from pincspark.plans.queries import INGEST_ARCHIVE, q110_ingest_census
+
+    expect: dict[str, int] = {}
+    valid = []  # (line_no, total, num, seq)
+    for i, line in enumerate(INGEST_ARCHIVE):
+        if line == "":
+            k = "empty"
+        elif "!" not in line:
+            k = "no_bang"
+        else:
+            sentence = line[line.index("!"):]
+            if "*" not in sentence:
+                k = "no_checksum"
+            else:
+                body, _, decl = sentence.partition("*")
+                if reduce(xor, body[1:].encode(), 0) != int(decl, 16):
+                    k = "bad_checksum"
+                else:
+                    p = sentence.split(",")
+                    valid.append((i, int(p[1] or 1), int(p[2] or 1), int(p[3] or 0)))
+                    continue
+        expect[k] = expect.get(k, 0) + 1
+    groups: dict[tuple, list[int]] = {}
+    for line_no, total, num, seq in valid:
+        groups.setdefault((line_no - (num - 1), seq, total), []).append(num)
+    for (gkey, seq, total), nums in groups.items():
+        ok = sorted(nums) == list(range(1, total + 1))
+        k = "assembled" if ok else "orphaned"
+        expect[k] = expect.get(k, 0) + len(nums)
+
+    got = {r["status"]: r["n"] for r in q110_ingest_census(spark, "").collect()}
+    assert sum(got.values()) == len(INGEST_ARCHIVE)
+    assert got == expect
+    # the corpus really exercises every class
+    assert set(expect) == {
+        "empty", "no_bang", "no_checksum", "bad_checksum", "assembled", "orphaned"
+    }
