@@ -158,6 +158,9 @@ def test_set_similarity_join_matches_brute_force(spark):
         )
 
     base = [doc() for _ in range(40)]
+    # short docs: 1- and 2-token texts exercise the sub-n ELSE branch of
+    # the shingle builder and the tiny-prefix arithmetic
+    base += ["solo", "two tokens", "two tokens", ""]
     # plant near-dups: copies with small edits
     for i in range(8):
         toks = base[i].split()

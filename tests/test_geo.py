@@ -243,3 +243,45 @@ def test_resample_tracks_grid_aligned_fix_not_duplicated(spark):
     assert sorted(keys) == [(7, 600), (7, 1200)]  # each exactly once
     vals = {r["grid_ts"]: (r["latitude"], r["longitude"]) for r in out}
     assert vals[600] == (1.0, 1.0) and vals[1200] == (2.0, 2.0)
+
+
+def test_resample_tracks_matches_python_reference_on_random_tracks(spark):
+    """Randomized property: the operator equals a pure-Python replay of
+    the documented contract (grid instants, half-open segments, gap
+    guard, interpolation arithmetic) on irregular random tracks."""
+    import random
+
+    from pincspark.operators.geo import resample_tracks
+
+    rng = random.Random(1319)
+    rows = []
+    for v in range(12):
+        t = rng.randrange(0, 500)
+        for _ in range(rng.randrange(2, 14)):
+            rows.append((v, t, rng.uniform(-60, 60), rng.uniform(-170, 170)))
+            t += rng.randrange(1, 9000)
+    step, max_gap = 600, 4000
+    df = spark.createDataFrame(
+        rows, "mmsi BIGINT, epoch BIGINT, latitude DOUBLE, longitude DOUBLE"
+    ).selectExpr("mmsi", "timestamp_seconds(epoch) AS ts", "latitude", "longitude")
+
+    expect = {}
+    by_v: dict[int, list] = {}
+    for v, t, la, lo in rows:
+        by_v.setdefault(v, []).append((t, la, lo))
+    for v, fixes in by_v.items():
+        fixes.sort()
+        for (t0, la0, lo0), (t1, la1, lo1) in zip(fixes, fixes[1:]):
+            if not (0 < t1 - t0 <= max_gap):
+                continue
+            g = ((t0 + step - 1) // step) * step
+            while g < t1:
+                frac = (g - t0) / (t1 - t0)
+                expect[(v, g)] = (la0 + (la1 - la0) * frac, lo0 + (lo1 - lo0) * frac)
+                g += step
+
+    got = {
+        (r["mmsi"], r["grid_ts"]): (r["latitude"], r["longitude"])
+        for r in resample_tracks(df, step_s=step, max_gap_s=max_gap).collect()
+    }
+    assert got == expect  # exact float equality: same arithmetic, same order

@@ -179,3 +179,18 @@ def test_minhash_signature_cols_match_grouped_signatures(spark):
         for r in df.select("doc_id", *minhash_signature_cols("text", 3, 16)).collect()
     }
     assert narrow == grouped
+
+
+def test_narrow_form_with_empty_snapshot_keeps_everything(spark):
+    """Cold-start edge: an empty prior snapshot (day zero of a crawl)
+    must keep every new document — no null-bucket join surprises."""
+    from pincspark.operators.dedup import dedup_snapshot, incremental_dedup_narrow
+
+    prior = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    snap = dedup_snapshot(prior, "doc_id", "text", n=3, num_perms=16)
+    new = spark.createDataFrame(NEW, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in incremental_dedup_narrow(new, snap).collect()}
+    assert set(out) == {101, 102, 103, 104}
+    for r in out.values():
+        assert (r["exact_dup"], r["near_dup"], r["kept"]) == (0, 0, 1)
+        assert r["best_est"] is None

@@ -946,3 +946,34 @@ def test_encounters_stream_resumes_from_checkpoint(spark, tmp_path):
     # some pairs, and the second life added pairs it could only form by
     # recovering the first life's state
     assert first and len(combined) > len(first)
+
+
+def test_cms_sketch_builds_over_a_stream(spark, tmp_path):
+    """Same property as the HDR fold, for the CMS cells: complete-mode
+    streaming build == batch sketch cell-for-cell (Spark's incremental
+    aggregation state IS cms_merge)."""
+    from pincspark.operators.sketches import cms_sketch
+
+    df = spark.createDataFrame(
+        [(f"tok{i % 37}",) for i in range(4000)], "token STRING"
+    )
+    want = sorted(map(tuple, cms_sketch(df, "token").collect()))
+    src = tmp_path / "toks"
+    src.mkdir()
+    for c in range(3):
+        df.filter(F.abs(F.hash("token")) % 3 == c).write.parquet(str(src / f"c{c}"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        cms_sketch(stream, "token")
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .start()
+    )
+    _start_and_drain(q)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM cms_stream").collect()))
+    assert got == want
