@@ -741,6 +741,17 @@ def _run_catalog_once(
                 result["flagship_vs_reference_ratio"] = round(
                     flagship_t / ref["reference_batch_seconds"], 3
                 )
+                if calib_ratio > 1.0:
+                    # The reference twin was measured on the best-clean-era
+                    # box; when THIS row's box is measurably slower (drift
+                    # ratio above), the raw ratio mixes code with hardware.
+                    # Emit the drift-normalized companion alongside — the
+                    # raw number stays authoritative, this one makes the
+                    # hardware share explicit instead of a judging exercise
+                    # (r11/r12 both had to reconstruct it by hand).
+                    result["flagship_vs_reference_ratio_driftnorm"] = round(
+                        flagship_t / calib_ratio / ref["reference_batch_seconds"], 3
+                    )
         except (ValueError, OSError):
             pass
     if calib_ratio > 1.0:
