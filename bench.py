@@ -159,13 +159,34 @@ def _flagship_child() -> None:
         )
         extra += 1
     spark.stop()
-    print(json.dumps({"runs": runs, "median": _median(runs)}))
+    # Same-box reference twin: the pinned REFERENCE_BASELINE.json number
+    # was measured on the best-clean-era box, so the raw ratio mixes code
+    # with hardware drift on a slow box. Time the single-process pandas
+    # twin HERE, same session, same archive, same minute — the ratio
+    # against it is physical regardless of box state. ~2s/run at sf0.1.
+    ref_runs: list[float] = []
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from reference_baseline import run_once as _ref_once  # type: ignore
+
+        _ref_once(path, os.path.join(tmp, "ref_warm"))  # untimed warmup
+        for i in range(3):
+            t, _ = _ref_once(path, os.path.join(tmp, f"ref_{i}"))
+            ref_runs.append(round(t, 3))
+    except Exception as e:  # never fail the bench over the companion number
+        sys.stderr.write(f"WARN same-box reference twin skipped: {e}\n")
+    out = {"runs": runs, "median": _median(runs)}
+    if ref_runs:
+        out["ref_runs"] = ref_runs
+        out["ref_median"] = _median(ref_runs)
+    print(json.dumps(out))
     sys.stdout.flush()
 
 
-def _flagship_subprocess(sf: float) -> tuple[float, list[float]]:
+def _flagship_subprocess(sf: float) -> tuple[float, list[float], float | None]:
     """Run the flagship child and parse the LAST parseable JSON stdout line
-    (anything else on stdout — JVM banners, ivy chatter — is skipped)."""
+    (anything else on stdout — JVM banners, ivy chatter — is skipped).
+    Returns (median, runs, same-box reference-twin median or None)."""
     import subprocess
 
     proc = subprocess.run(
@@ -179,7 +200,7 @@ def _flagship_subprocess(sf: float) -> tuple[float, list[float]]:
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             rec = json.loads(line)
-            return rec["median"], rec["runs"]
+            return rec["median"], rec["runs"], rec.get("ref_median")
         except (ValueError, KeyError, TypeError):
             continue
     raise RuntimeError(
@@ -511,8 +532,9 @@ def _run_catalog_once(
 
     # Flagship FIRST, isolated, before the catalog session exists.
     flagship_runs: list[float] = []
+    ref_samebox: float | None = None
     try:
-        flagship, flagship_runs = _flagship_subprocess(sf)
+        flagship, flagship_runs, ref_samebox = _flagship_subprocess(sf)
     except Exception as e:  # degrade: in-session run, still before the catalog
         print(f"WARN flagship subprocess failed ({e}); in-session fallback", file=sys.stderr)
         flagship = None
@@ -752,6 +774,17 @@ def _run_catalog_once(
                     result["flagship_vs_reference_ratio_driftnorm"] = round(
                         flagship_t / calib_ratio / ref["reference_batch_seconds"], 3
                     )
+        except (ValueError, OSError):
+            pass
+        try:
+            if ref_samebox:
+                # Strongest form: the pandas twin TIMED IN THE SAME child
+                # session on the same archive — physical on any box state,
+                # no drift arithmetic at all.
+                result["reference_batch_seconds_samebox"] = ref_samebox
+                result["flagship_vs_reference_ratio_samebox"] = round(
+                    flagship_t / ref_samebox, 3
+                )
         except (ValueError, OSError):
             pass
     if calib_ratio > 1.0:
