@@ -1,4 +1,10 @@
-"""Streaming throughput slope for the ST2 zone state machine.
+"""Streaming throughput slopes for the stateful operators.
+
+``--op zones`` (default) probes the ST2 zone state machine;
+``--op encounters`` probes the r13 pair-encounter detector — fleet
+grows with AREA (constant traffic density, the honest growth model:
+pair output is density-bound, so growing density measures the answer
+size, not the operator), state sharded by (bucket, cell).
 
 The batch operators have measured cost curves (scale_probe.py); this
 probe answers the streaming question: does micro-batch throughput
@@ -105,7 +111,10 @@ def main() -> None:
     ap.add_argument("--base", type=int, default=100_000, help="events at 1x")
     ap.add_argument("--scale", type=int, default=8)
     ap.add_argument("--events-per-vessel", type=int, default=50)
+    ap.add_argument("--op", choices=("zones", "encounters"), default="zones")
     args = ap.parse_args()
+    if args.op == "encounters":
+        return _encounters_probe(args)
 
     from pincspark.operators.geo import zones_df
     from pincspark.session import get_spark
@@ -156,6 +165,95 @@ def main() -> None:
         f"throughput ratio {args.scale}x/1x: "
         f"{rk['events_per_sec'] / r1['events_per_sec']:.2f} "
         f"(1.0 = perfectly flat; >{1/args.scale:.2f} required for sublinear wall)"
+    )
+    spark.stop()
+
+
+
+
+def _encounter_fleet(spark, vessels: int, fixes_per_vessel: int):
+    """Deterministic fleet over an area PROPORTIONAL to fleet size
+    (constant density ~4 vessels per 0.05-degree cell): lat/lon walk
+    inside each vessel's home cell, so close pairs exist in every cell
+    but candidate volume per cell is bounded."""
+    from pyspark.sql import functions as F
+
+    # 4 vessels per cell BY CONSTRUCTION (cell = mmsi div 4 laid out on a
+    # sqrt grid): every cell holds close pairs at every scale, and density
+    # stays constant as the fleet grows — the AREA grows instead (the
+    # honest growth model; growing density measures answer size).
+    cells = max(1, vessels // 4)
+    side = int(cells ** 0.5) + 1
+    cell = F.expr("CAST(mmsi div 4 AS BIGINT)")
+    return (
+        spark.range(vessels)
+        .select(
+            F.col("id").alias("mmsi"),
+            F.explode(F.sequence(F.lit(0), F.lit(fixes_per_vessel - 1))).alias("k"),
+        )
+        .select(
+            "mmsi",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("k") * 60).alias("ts"),
+            (F.lit(1.0)
+             + (cell % F.lit(side)) * F.lit(0.05)
+             + (F.col("mmsi") % 4) * F.lit(0.003)       # in-cell vessel spread
+             + (F.col("k") % 10) * F.lit(0.001)).alias("latitude"),
+            (F.lit(100.0)
+             + F.expr(f"CAST((mmsi div 4) div {side} AS BIGINT)") * F.lit(0.05)
+             + (F.col("k") % 7) * F.lit(0.001)).alias("longitude"),
+        )
+    )
+
+
+def _encounters_probe(args) -> None:
+    import json
+    import tempfile
+    import shutil
+    import time
+
+    from pincspark.session import get_spark
+    from pincspark.streaming.encounters import encounters_stream
+
+    spark = get_spark("pincspark-stream-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for tag, n_events in (("1x", args.base), (f"{args.scale}x", args.base * args.scale)):
+        vessels = max(1, n_events // args.events_per_vessel)
+        tmp = tempfile.mkdtemp(prefix="pincspark_enc_probe_")
+        try:
+            src = os.path.join(tmp, "fixes")
+            fixes = _encounter_fleet(spark, vessels, args.events_per_vessel)
+            fixes.write.parquet(src)
+            schema = spark.read.parquet(src).schema
+            stream = spark.readStream.schema(schema).parquet(src)
+            sink = f"enc_probe_{tag.replace('x', '')}"
+            t0 = time.time()
+            q = (
+                encounters_stream(stream, timeout_ms=None)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            _drain(q)
+            wall = time.time() - t0
+            pairs = spark.sql(f"SELECT count(*) c FROM {sink}").collect()[0]["c"]
+            results[tag] = {
+                "fixes": n_events,
+                "vessels": vessels,
+                "wall_s": round(wall, 2),
+                "fixes_per_sec": int(n_events / wall),
+                "pair_events": pairs,
+            }
+            print(f"{tag}: {results[tag]}", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    r1, rk = results["1x"], results[f"{args.scale}x"]
+    print(
+        f"throughput ratio {args.scale}x/1x: "
+        f"{rk['fixes_per_sec'] / r1['fixes_per_sec']:.2f} "
+        f"(1.0 = perfectly flat)"
     )
     spark.stop()
 
