@@ -506,3 +506,40 @@ def test_hdr_global_sketch_no_group_cols(spark):
     got = {r["q"]: r["value_lo"] for r in hdr_quantiles(sk, [0.5, 1.0]).collect()}
     assert got[1.0] <= 9999 and 9999 - got[1.0] <= 9999 >> 5
     assert got[0.5] <= 4999 and 4999 - got[0.5] <= 4999 >> 5
+
+
+def test_hdr_bin_random_int64_matches_python_reference(spark):
+    """5000 seeded random values across the full non-negative int64 range:
+    the column expression equals the bit-exact Python formula (floor-log2
+    via bit_length, truncating shifts), and lo <= v < lo + 2^shift."""
+    import random
+
+    from pincspark.operators.sketches import _hdr_bin, _hdr_lo
+    from pyspark.sql import functions as F
+
+    p = 5
+    rng = random.Random(1321)
+    vals = sorted(
+        {rng.randrange(0, 1 << b) for b in range(1, 63) for _ in range(85)}
+    )
+
+    def py_bin(v):
+        shift = max(v.bit_length() - 1 - p, 0)
+        return shift * (1 << p) + (v >> shift)
+
+    def py_lo(b):
+        shift = max(b // (1 << p) - 1, 0)
+        return (b - shift * (1 << p)) << shift
+
+    df = spark.createDataFrame([(v,) for v in vals], "v BIGINT")
+    rows = (
+        df.select("v", _hdr_bin(F.col("v"), p).alias("b"))
+        .withColumn("lo", _hdr_lo(F.col("b"), p))
+        .collect()
+    )
+    assert len(rows) == len(vals)
+    for r in rows:
+        assert r["b"] == py_bin(r["v"]), r
+        assert r["lo"] == py_lo(r["b"]), r
+        shift = max(r["b"] // (1 << p) - 1, 0)
+        assert r["lo"] <= r["v"] < r["lo"] + (1 << shift), r
