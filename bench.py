@@ -776,17 +776,17 @@ def _run_catalog_once(
                     )
         except (ValueError, OSError):
             pass
-        try:
-            if ref_samebox:
-                # Strongest form: the pandas twin TIMED IN THE SAME child
-                # session on the same archive — physical on any box state,
-                # no drift arithmetic at all.
-                result["reference_batch_seconds_samebox"] = ref_samebox
-                result["flagship_vs_reference_ratio_samebox"] = round(
-                    flagship_t / ref_samebox, 3
-                )
-        except (ValueError, OSError):
-            pass
+    # ADVICE r13: the same-box block depends only on flagship_t — it is
+    # the one form that needs NO pinned baseline file, so it must not sit
+    # behind the REFERENCE_BASELINE.json existence guard.
+    if flagship_t and ref_samebox:
+        # Strongest form: the pandas twin TIMED IN THE SAME child
+        # session on the same archive — physical on any box state,
+        # no drift arithmetic at all.
+        result["reference_batch_seconds_samebox"] = ref_samebox
+        result["flagship_vs_reference_ratio_samebox"] = round(
+            flagship_t / ref_samebox, 3
+        )
     if calib_ratio > 1.0:
         # Box measurably slower than the best-clean era: per-query flag
         # thresholds above were scaled by this (capped 1.35) — the

@@ -848,28 +848,63 @@ def simhash_hamming_pairs(
     bucket's |b|^2 pairs over 16 tasks. Final hamming = bit_count(a XOR b)
     in whole-stage codegen.
     """
+    sim = simhash(df, id_col, text_col, bits)
+    return banded_hamming_pairs(
+        sim,
+        id_col,
+        "simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        stage_label="simhash:banded",
+    )
+
+
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    stage_label: str = "hamming:banded",
+) -> DataFrame:
+    """Generic Hamming-ball LSH banding over PRECOMPUTED ``bits``-wide
+    fingerprints (simhash, image dhash/phash, any bit signature): emits
+    (id_a < id_b, hamming <= max_hamming) pairs, exact for
+    max_hamming <= bands-1 by the pigeonhole argument in
+    `simhash_hamming_pairs` (which delegates here — q43's oracle gates
+    this machinery; q111 gates it again over image dhashes).
+
+    Shape (100 TB): one shuffle on (band, slice); broadcast size-table
+    cap; the within-bucket expansion is the _PAIR_SALTS replicated-salt
+    self-join; hamming = bit_count(a XOR b) in whole-stage codegen.
+    Signed fingerprints are fine: band slices mask after the shift, and
+    bit_count reads the two's-complement bits identically in Spark and
+    DuckDB."""
     width = bits // bands
     mask = (1 << width) - 1
-    sim = simhash(df, id_col, text_col, bits)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
+                F.shiftright(F.col(hash_col), b * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("slice"),
             )
             for b in range(bands)
         ]
     )
-    banded = sim.select(
-        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bs")
-    ).select(id_col, "simhash", "bs.band", "bs.slice")
+    banded = hashed.select(
+        F.col(id_col), F.col(hash_col), F.explode(band_structs).alias("bs")
+    ).select(id_col, hash_col, "bs.band", "bs.slice")
     # Staged once: three consumers below (size table, both join sides)
-    # would each re-run the simhash fold otherwise — same single-scan
-    # policy as q54's shingle staging. At cluster scale swap for
-    # checkpoint() on reliable storage.
-    banded = stage(banded, "simhash:banded", eager=False)
+    # would each re-run the upstream fingerprint computation otherwise —
+    # same single-scan policy as q54's shingle staging. At cluster scale
+    # swap for checkpoint() on reliable storage.
+    banded = stage(banded, stage_label, eager=False)
     # bands * 2^width rows at most — always broadcastable
     sizes = (
         banded.groupBy("band", "slice")
@@ -882,14 +917,14 @@ def simhash_hamming_pairs(
         "band",
         "slice",
         F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("__sa"),
+        F.col(hash_col).alias("__sa"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(_PAIR_SALTS)).alias("__salt"),
     )
     b = ok.select(
         "band",
         "slice",
         F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("__sb"),
+        F.col(hash_col).alias("__sb"),
         F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALTS - 1))).alias("__salt"),
     )
     pairs = (

@@ -415,10 +415,15 @@ def resample_tracks(
     grid explode is narrow with fan-out bounded by max_gap_s/step_s per
     segment; everything else is whole-stage-codegen arithmetic.
     """
-    w = Window.partitionBy(key).orderBy("t0")
+    # ADVICE r13: order the pairing window by the ORIGINAL ts, not the
+    # epoch-truncated t0 — two fixes with distinct sub-second timestamps
+    # in the same second would otherwise pair nondeterministically (and
+    # diverge from the oracle, whose window orders by the full ts).
+    w = Window.partitionBy(key).orderBy("_ts_ord")
     seg = (
         fixes.select(
             F.col(key),
+            F.col(ts_col).alias("_ts_ord"),
             F.unix_timestamp(F.col(ts_col)).alias("t0"),
             F.col(lat_col).alias("lat0"),
             F.col(lon_col).alias("lon0"),
@@ -426,6 +431,7 @@ def resample_tracks(
         .withColumn("t1", F.lead("t0").over(w))
         .withColumn("lat1", F.lead("lat0").over(w))
         .withColumn("lon1", F.lead("lon0").over(w))
+        .drop("_ts_ord")
         .filter(
             F.col("t1").isNotNull()
             & (F.col("t1") > F.col("t0"))

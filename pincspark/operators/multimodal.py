@@ -1102,16 +1102,17 @@ def _raster_features(
     return mean, feats
 
 
-def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | None:
-    """(mean_intensity, grid feature) for formats decodable WITHOUT codec
-    libraries — P6 PPM (pure numpy), PNG (stdlib zlib + unfilter), GIF
-    (from-scratch LZW), JPEG (from-scratch Huffman + IDCT,
-    `operators/jpeg.py`), lossless WebP (from-scratch VP8L,
-    `operators/webp.py`), and baseline TIFF (from-scratch IFD +
-    PackBits/TIFF-LZW/Deflate, `operators/tiff.py`); None when a real
-    codec library would be needed (lossy VP8/VP8X WebP, AVIF, ...).
-    Feature = luminance block-averaged onto a fixed (gh, gw) grid — the
-    deterministic resize step — flattened row-major."""
+def _decode_image_raster(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Raw container dispatch: ((h, w, 3) int64 raster, maxval) for
+    formats decodable WITHOUT codec libraries — P6 PPM (pure numpy), PNG
+    (stdlib zlib + unfilter), GIF (from-scratch LZW), JPEG (from-scratch
+    Huffman + IDCT, `operators/jpeg.py`), lossless WebP (from-scratch
+    VP8L, `operators/webp.py`), baseline TIFF (from-scratch IFD +
+    PackBits/TIFF-LZW/Deflate, `operators/tiff.py`), and BMP; None when a
+    real codec library would be needed (lossy VP8/VP8X WebP, AVIF, ...)
+    or the blob is corrupt (must-not-kill-the-job policy). Shared by the
+    feature extractor below and the perceptual-hash kernel
+    (`operators/image_hash.py`)."""
     if data.startswith(b"P6"):
         decode = _decode_ppm_raw
     elif data.startswith(_PNG_SIG):
@@ -1135,12 +1136,22 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
     else:
         return None
     try:
-        raster, maxval = decode(data)  # (h, w, 3) int64
+        return decode(data)  # (h, w, 3) int64
     except Exception:
         # truncated raster / malformed chunk / bad filter: a corrupt blob
         # must not kill a 100-TB job — treat as undecodable (strict
         # raises, default falls back to the deterministic fake)
         return None
+
+
+def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | None:
+    """(mean_intensity, grid feature) from `_decode_image_raster`:
+    luminance block-averaged onto a fixed (gh, gw) grid — the
+    deterministic resize step — flattened row-major."""
+    decoded = _decode_image_raster(data)
+    if decoded is None:
+        return None
+    raster, maxval = decoded
     return _raster_features(raster, maxval, dim)
 
 

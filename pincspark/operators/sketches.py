@@ -597,10 +597,27 @@ def hdr_sketch(
     """Build the sketch: (*group_cols, bin_id BIGINT, cnt BIGINT), one row
     per non-empty bin. ``value_col`` must be a non-negative BIGINT measure
     (scale money to cents etc. upstream). Persist this table; it is the
-    whole summary. One group-keyed shuffle; output is histogram-sized."""
+    whole summary. One group-keyed shuffle; output is histogram-sized.
+
+    Negative inputs RAISE (VERDICT r13): a negative value would feed
+    ``length(bin(v))`` a 64-char two's-complement string in Spark and
+    something else entirely in DuckDB — silently wrong bins. The guard
+    rides the same projection (zero extra passes)."""
     g = list(group_cols or [])
+    v = F.col(value_col).cast("bigint")
+    checked = F.when(
+        v < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"hdr_sketch: negative {value_col} ("),
+                v.cast("string"),
+                F.lit("); the sketch bins non-negative BIGINTs only — "
+                      "scale/offset the measure upstream"),
+            )
+        ).cast("bigint"),
+    ).otherwise(v)
     return (
-        df.select(*g, _hdr_bin(F.col(value_col).cast("bigint"), precision).alias("bin_id"))
+        df.select(*g, _hdr_bin(checked, precision).alias("bin_id"))
         .groupBy(*g, "bin_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

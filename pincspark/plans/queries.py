@@ -6579,7 +6579,29 @@ def _q110_oracle() -> str:
         "({}, '{}')".format(i, l.replace("'", "''"))
         for i, l in enumerate(INGEST_ARCHIVE)
     )
+    # ADVICE r13: the bad_checksum branch mirrors the engine's
+    # checksum_valid EXACTLY so future INGEST_ARCHIVE additions can't
+    # crash or silently diverge the oracle:
+    #   * declared = text after the LAST '*' (engine substring_index
+    #     ..., -1), not split_part's first-'*' field;
+    #   * the hex parse replays Spark conv(x,16,10): longest valid hex
+    #     prefix, 0 when no hex digit, NULL on the empty string — via
+    #     regexp_extract + TRY_CAST, which cannot throw;
+    #   * an empty checksum body ('!*XX') folds to 0 instead of feeding
+    #     list_reduce an empty list (a DuckDB error).
     body = "substring(split_part(sentence, '*', 1), 2)"
+    declared = "string_split(sentence, '*')[-1]"
+    hexpfx = f"regexp_extract(upper({declared}), '^[0-9A-F]+')"
+    parsed = (
+        f"CASE WHEN {declared} = '' THEN NULL "
+        f"WHEN {hexpfx} = '' THEN 0 "
+        f"ELSE TRY_CAST('0x' || {hexpfx} AS INTEGER) END"
+    )
+    folded = (
+        f"CASE WHEN length({body}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform(generate_series(1, length({body})),"
+        f" i -> unicode({body}[i])), (a, b) -> xor(a, b)) END"
+    )
     return f"""
 WITH raw(line_no, line) AS (VALUES
   {vals}
@@ -6592,10 +6614,7 @@ WITH raw(line_no, line) AS (VALUES
     CASE WHEN line = '' THEN 'empty'
          WHEN bang = 0 THEN 'no_bang'
          WHEN instr(sentence, '*') = 0 THEN 'no_checksum'
-         WHEN list_reduce(list_transform(generate_series(1, length({body})),
-                                          i -> unicode({body}[i])),
-                          (a, b) -> xor(a, b))
-              IS DISTINCT FROM ('0x' || split_part(sentence, '*', 2))::INTEGER
+         WHEN {folded} IS DISTINCT FROM ({parsed})
            THEN 'bad_checksum'
          ELSE NULL END AS status
   FROM base
@@ -6624,6 +6643,98 @@ GROUP BY status
 
 
 ORACLE_Q110 = _q110_oracle()
+
+
+def q111_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-duplicate pairs — the dedup tier a
+    multimodal curation run needs that neither exact bytes nor text
+    shingles give (VERDICT r13 #1). Corpus: every document mints an
+    18x8 RGB raster from its md5 hex (the q56/q57 mint, widened so the
+    dhash grid divides evenly), PNG-encoded across all five scanline
+    filters + Adam7; docs with doc_id % 7 == 3 additionally plant a
+    TWIN — the same image 2x pixel-replicated (36x16) and RE-ENCODED as
+    BMP (different container, different size, byte-disjoint blob;
+    media_id = doc_id + 1e9). Engine: strict decode of BOTH containers
+    through the from-scratch codecs -> exact-integer dhash
+    (`operators/image_hash.image_dhash`) -> the q43 Hamming-ball LSH
+    banding (4 bands x 16 bits, exact for hamming <= 3). Every twin
+    must surface at hamming 0 because block-mean dhash is invariant
+    under exact pixel replication — the engine EARNS that by decoding a
+    real 16x36 BMP to the same 64 bits the oracle computes from the
+    8x18 hex bytes; a drift anywhere (either codec, the grid reduction,
+    the bit packing, the banded join) breaks parity. The oracle is
+    BRUTE-FORCE all-pairs (like q106): banding is exact for
+    max_hamming <= bands-1 and the 16-bit band buckets sit orders of
+    magnitude under the cap (pinned by test_image_hash.py), so the
+    engine's never-all-pairs path must reproduce the exhaustive answer.
+
+    100 TB: mint+decode+hash is one narrow Arrow stage; only 64-bit
+    fingerprints shuffle, once, on (band, slice)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.dedup import _spread
+    from pincspark.operators.image_hash import image_neardup_pairs
+    from pincspark.operators.multimodal import bmp_encode, png_encode
+
+    def _mint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+                ras = np.frombuffer(
+                    (hexd * 14)[:432].encode("ascii"), dtype=np.uint8
+                ).reshape(8, 18, 3)
+                did = int(row.doc_id)
+                rows.append((did, png_encode(ras, did % 5, interlace=bool(did % 2))))
+                if did % 7 == 3:
+                    twin = ras.repeat(2, axis=0).repeat(2, axis=1)
+                    rows.append((did + 1_000_000_000, bmp_encode(twin)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    media = docs.mapInPandas(
+        _mint, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("image"))
+    return image_neardup_pairs(
+        media, hash_col="dhash", bands=4, max_hamming=3, strict=True
+    )
+
+
+def _q111_oracle() -> str:
+    from pincspark.operators.image_hash import dhash_sql
+
+    # the 2x-replicated twin shares the base's dhash BY THE OPERATOR'S
+    # INVARIANCE (every block sum and count scale by the same factor, so
+    # every comparison bit is unchanged) — the oracle computes the hash
+    # once per document from the raw hex bytes and asserts the engine's
+    # independently-decoded 16x36 BMP lands on the same 64 bits
+    h = dhash_sql("ras", width=18, height=8).replace(
+        "__ras__",
+        "(SELECT doc_id AS media_id, "
+        "substring(repeat(md5(text), 14), 1, 432) AS ras FROM documents)",
+    )
+    return f"""
+WITH h AS (
+  {h}
+), m AS (
+  SELECT media_id, dh FROM h
+  UNION ALL
+  SELECT media_id + 1000000000 AS media_id, dh FROM h WHERE media_id % 7 = 3
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+FROM m a JOIN m b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 3
+"""
+
+
+ORACLE_Q111 = _q111_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -6804,7 +6915,17 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # subsumes-q59 precedent): near-dup-cluster-aware holdout split,
     # the leakage guard a row- or user-level split cannot give
     "q109_cluster_holdout": (q109_cluster_holdout, ORACLE_Q109),
-    "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
+    # NEW r14 (in-window at registration; q43_simhash_pairs rotates out —
+    # green r1-r13 rows; the Hamming-ball LSH banding q43 gated now runs
+    # IN-WINDOW through this query (simhash_hamming_pairs delegates to
+    # the same banded_hamming_pairs), and q111 gates strictly more on
+    # top: the from-scratch PNG + BMP codecs feeding an exact-integer
+    # perceptual dhash, the 2x-rescale/re-encode invariance, and a
+    # BRUTE-FORCE all-pairs oracle instead of q43's banding-mirror one.
+    # q43's unique residue — the simhash fingerprint fold itself — stays
+    # parity-tested over the full catalog (q21 + q43 in
+    # tests/test_oracle_parity.py) and golden-pinned locally.
+    "q111_image_neardup": (q111_image_neardup, ORACLE_Q111),
     # NEW r13 (in-window at registration; q49_weather_decode_sql rotates
     # out — green r9-r12 rows; the decode SQL-twin tier keeps SIX
     # in-window gates on the same bit-slice kernel and CASE routing
@@ -6961,6 +7082,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # window funnel over events, green r10+r11 rows; the window tier
     # stays gated in-window via q78/q84/q89
     "q79_funnel": (q79_funnel, ORACLE_Q79),
+    # rotated out r14 for q111 (image perceptual near-dup): green r1-r13
+    # rows; its banded Hamming-pair machinery now runs in-window through
+    # q111 (same banded_hamming_pairs code path), and the simhash fold
+    # stays full-catalog parity-tested here + via q21
+    "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
     # rotated out r12 for q95 (text decode families): native group-agg +
     # window voyage rollup, green r10+r11 rows; the native agg tier
     # stays gated in-window via q01 and q85

@@ -285,3 +285,41 @@ def test_resample_tracks_matches_python_reference_on_random_tracks(spark):
         for r in resample_tracks(df, step_s=step, max_gap_s=max_gap).collect()
     }
     assert got == expect  # exact float equality: same arithmetic, same order
+
+
+def test_resample_tracks_subsecond_ordering_deterministic(spark):
+    """ADVICE r13: the pairing window orders by the ORIGINAL timestamp,
+    not the epoch-truncated second — two fixes 300ms apart inside the
+    same second must pair in true time order (oracle semantics), giving
+    a deterministic segment chain."""
+    from pincspark.operators.geo import resample_tracks
+
+    rows = [
+        (1, "2024-01-01 00:00:00.200", 10.0, 20.0),
+        (1, "2024-01-01 00:00:00.700", 99.0, 99.0),  # same second, later
+        (1, "2024-01-01 00:20:00.000", 30.0, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "mmsi BIGINT, s STRING, latitude DOUBLE, longitude DOUBLE").selectExpr(
+        "mmsi", "CAST(s AS TIMESTAMP) AS ts", "latitude", "longitude"
+    )
+    out = {
+        r["grid_ts"]: (r["latitude"], r["longitude"])
+        for r in resample_tracks(df, step_s=600, max_gap_s=5000).collect()
+    }
+    # both same-second fixes truncate to t0=epoch(00:00:00); the pair
+    # (first fix -> second fix) spans 0 seconds after truncation and is
+    # filtered (t1 > t0 fails); the surviving segment MUST start from the
+    # LATER fix (99.0) — ordering by t0 alone could pick either.
+    import datetime
+
+    base = int(
+        datetime.datetime(
+            2024, 1, 1, 0, 0, 0, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    )
+    # t0=base is grid-aligned, so the surviving segment emits g=base and
+    # g=base+600, interpolating from the SECOND same-second fix (lat 99)
+    # to lat 30 at t=base+1200
+    assert set(out) == {base, base + 600}, out
+    assert out[base] == (99.0, 99.0), out  # the LATER same-second fix won
+    assert out[base + 600] == (64.5, 69.5), out  # 99 + (30-99)*0.5

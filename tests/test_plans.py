@@ -491,7 +491,12 @@ def test_harness_window_composition_is_pinned():
         # q42_dedup_keep_list rotated out r13 for q109 (cluster holdout):
         # green r7-r12 rows; q109 contains q42's entire construction.
         "q109_cluster_holdout",
-        "q43_simhash_pairs",
+        # q43_simhash_pairs rotated out r14 for q111 (image perceptual
+        # near-dup): green r1-r13 rows; the banded Hamming-pair machinery
+        # q43 gated now runs IN-WINDOW through q111 (simhash_hamming_pairs
+        # delegates to the same banded_hamming_pairs), the simhash fold
+        # stays full-catalog parity-tested (q21+q43) and golden-pinned.
+        "q111_image_neardup",
         # q49_weather_decode_sql rotated out r13 for q106 (exact
         # similarity join): green r9-r12 rows; the decode SQL-twin tier
         # keeps six in-window gates (q31/q33/q34/q50/q94/q95) on the

@@ -543,3 +543,18 @@ def test_hdr_bin_random_int64_matches_python_reference(spark):
         assert r["lo"] == py_lo(r["b"]), r
         shift = max(r["b"] // (1 << p) - 1, 0)
         assert r["lo"] <= r["v"] < r["lo"] + (1 << shift), r
+
+
+def test_hdr_sketch_rejects_negative_values(spark):
+    """VERDICT r13 hardening: a negative measure would feed length(bin(v))
+    a 64-char two's-complement string (silently wrong bins); the sketch
+    now raises instead of mis-binning."""
+    import pytest
+
+    from pincspark.operators.sketches import hdr_sketch
+
+    ok = spark.createDataFrame([(0,), (5,), (1 << 40,)], "v BIGINT")
+    assert hdr_sketch(ok, "v").count() == 3  # zero stays legal (bin 0)
+    bad = spark.createDataFrame([(5,), (-3,)], "v BIGINT")
+    with pytest.raises(Exception, match="non-negative"):
+        hdr_sketch(bad, "v").collect()
