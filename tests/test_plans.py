@@ -503,7 +503,12 @@ def test_harness_window_composition_is_pinned():
         # same bit-slice kernel and the DAC1/FID31 fields ride q50.
         "q106_exact_similarity_join",
         "q50_type6_egress",
-        "q51_pq_topk", "q52_ivfpq_topk", "q54_curation_pipeline",
+        # q51_pq_topk rotated out r14 for q112 (incremental ANN index
+        # maintenance — frozen-centroid fold + parquet append, the q107
+        # pattern for vectors): green r1-r13 rows; the PQ codebook/ADC
+        # machinery stays in-window composed inside q52.
+        "q112_ann_index_update",
+        "q52_ivfpq_topk", "q54_curation_pipeline",
         "q55_hybrid_retrieval",
         # q57_png_decode rotated out r11 for q92 (session windows): green
         # r10 row, re-simmed green on current code; the codec tier keeps

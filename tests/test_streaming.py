@@ -977,3 +977,153 @@ def test_cms_sketch_builds_over_a_stream(spark, tmp_path):
     _start_and_drain(q)
     got = sorted(map(tuple, spark.sql("SELECT * FROM cms_stream").collect()))
     assert got == want
+
+
+def _nmea(body: str) -> str:
+    """Mint a checksum-valid NMEA line from its body (between '!' and '*')."""
+    x = 0
+    for ch in body:
+        x ^= ord(ch)
+    return f"!{body}*{x:02X}"
+
+
+_CENSUS_CORPUS = [
+    "",                                   # empty
+    "$GPGGA,none",                        # no_bang
+    "!ABVDM,1,1,,A,NOSTAR,0",             # no_checksum
+    "!ABVDM,1,1,,A,P1,0*00",              # bad_checksum (wrong XOR)
+    _nmea("ABVDM,1,1,,A,PAYLOAD1,0"),     # valid singleton -> assembled
+    _nmea("ABVDM,2,1,5,A,AAA,0"),         # 2-part group, in order
+    _nmea("ABVDM,2,2,5,A,BBB,0"),         #   -> assembled x2
+    _nmea("ABVDM,1,2,,A,XX,0"),           # malformed singleton -> orphaned
+    _nmea("ABVDM,2,1,6,A,CC,0"),          # duplicate num=1 pair: neither
+    _nmea("ABVDM,2,1,6,A,CC,0"),          #   completes -> orphaned x2
+]
+
+# reason-coded expectation both the batch and stream censuses must meet
+_CENSUS_WANT = {
+    "empty": 1,
+    "no_bang": 1,
+    "no_checksum": 1,
+    "bad_checksum": 1,
+    "assembled": 3,
+    "orphaned": 3,
+}
+
+
+def test_quarantine_census_stream_matches_batch(spark, tmp_path):
+    """The streaming quarantine census (reason-coded row per input line)
+    agrees with q110's batch census on an in-order, complete corpus —
+    the regime where the adjacency key and the keyed state are defined
+    to coincide. The stateless tier is the SAME expression object on
+    both paths (pincspark/streaming/census.py), so only the group
+    outcomes could ever drift — and this pins them."""
+    from pincspark.streaming.census import (
+        batch_ingest_census,
+        quarantine_census_stream,
+    )
+
+    batch = {
+        r["status"]: r["n"]
+        for r in batch_ingest_census(
+            spark.createDataFrame(
+                list(enumerate(_CENSUS_CORPUS)), "line_idx LONG, value STRING"
+            )
+        ).collect()
+    }
+    assert batch == _CENSUS_WANT
+
+    src = tmp_path / "census_lines"
+    src.mkdir()
+    (src / "feed.txt").write_text("\n".join(_CENSUS_CORPUS) + "\n")
+    stream = spark.readStream.format("text").load(str(src))
+    q = (
+        quarantine_census_stream(stream, timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("census_out")
+        .outputMode("append")
+        .start()
+    )
+    _start_and_drain(q)
+    rows = spark.sql("SELECT * FROM census_out").collect()
+    assert len(rows) == len(_CENSUS_CORPUS)  # every line accounted for
+    got = {}
+    for r in rows:
+        got[r["status"]] = got.get(r["status"], 0) + 1
+    assert got == batch
+    # the quarantine rows carry the group key an operator pages on
+    orphans = {(r["seq_id"], r["num"]) for r in rows if r["status"] == "orphaned"}
+    assert (6, 1) in orphans
+
+
+def test_quarantine_census_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: a multi-part group SPLIT ACROSS the stop/restart
+    is still assembled (keyed state recovered from the checkpoint), no
+    line's verdict is emitted twice, and every line is accounted
+    exactly once — the exactly-once ingest accounting a 1000-executor
+    deployment needs under driver loss."""
+    from pincspark.streaming.census import quarantine_census_stream
+
+    wave1 = [
+        _nmea("ABVDM,2,1,8,A,FIRSTHALF,0"),  # part 1 of the split group
+        _nmea("ABVDM,1,1,,A,SOLO,0"),
+        "!ABVDM,1,1,,A,NOSTAR,0",
+    ]
+    wave2 = [
+        _nmea("ABVDM,2,2,8,A,SECONDHALF,0"),  # completes across restart
+        "",
+    ]
+    src = tmp_path / "census_ckpt_lines"
+    src.mkdir()
+    ckpt = str(tmp_path / "census_ckpt")
+    out = str(tmp_path / "census_parquet")
+
+    def run(name, lines):
+        (src / name).write_text("\n".join(lines) + "\n")
+        stream = spark.readStream.format("text").load(str(src))
+        q = (
+            quarantine_census_stream(stream, timeout_ms=None)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _start_and_drain(q)
+        return [tuple(r) for r in spark.read.parquet(out).collect()]
+
+    first = run("w1.txt", wave1)
+    combined = run("w2.txt", wave2)
+    # first life: only the solo + no_checksum verdicts can emit (the
+    # 2-part group is pending in state)
+    statuses1 = sorted(s for *_, s in first)
+    assert statuses1 == ["assembled", "no_checksum"]
+    # second life recovers the buffered part 1 and assembles the group
+    statuses = sorted(s for *_, s in combined)
+    assert statuses == ["assembled", "assembled", "assembled", "empty", "no_checksum"]
+    # exactly-once: 5 input lines, 5 verdicts, none duplicated
+    assert len(combined) == 5
+
+
+def test_census_kernel_timeout_evicts_as_orphaned():
+    """The timeout branch, driven directly (processing-time timeouts are
+    nondeterministic under a test trigger): an evicted partial group
+    emits one orphaned row per buffered fragment and clears its state."""
+    import pandas as pd
+
+    from pincspark.streaming.census import _make_census_group
+
+    class _Stub:
+        hasTimedOut = True
+        exists = True
+        get = ([1, 3], 4)
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = _Stub()
+    out = list(_make_census_group(60_000)((9, "A"), iter([]), st))
+    assert st.removed
+    rows = pd.concat(out).values.tolist()
+    assert sorted(rows) == [[9, "A", 1, "orphaned"], [9, "A", 3, "orphaned"]]
