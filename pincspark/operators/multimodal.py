@@ -1155,13 +1155,15 @@ def _decode_image_bytes(data: bytes, dim: int) -> tuple[float, list[float]] | No
     return _raster_features(raster, maxval, dim)
 
 
-def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[float]] | None:
-    """(rms, sample_rate, duration_ms, band-RMS feature) for PCM WAV
+def _decode_audio_samples(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Raw container dispatch: (integer sample array, rate) for PCM WAV
     ('RIFF' magic, stdlib wave), IMA-ADPCM WAV, G.711 u-law/A-law WAV
     (format tags 7/6, audioop-pinned tables), Sun AU ('.snd' magic:
     u-law/A-law/linear), and FLAC ('fLaC' magic, from-scratch decoder in
     `operators/flac.py`); None for formats needing codec libs
-    (mp3/ogg/...)."""
+    (mp3/ogg/...) or corrupt blobs (must-not-kill-the-job policy).
+    Shared by the feature extractor below and the audio contour-hash
+    kernel (`operators/audio_hash.py`)."""
     if data.startswith(b"fLaC"):
         from pincspark.operators.flac import decode_flac_audio
 
@@ -1191,6 +1193,16 @@ def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[fl
         # a corrupt header can declare framerate 0 while carrying frames;
         # dividing by it below would kill the mapInPandas task (ADVICE r4)
         return None
+    return x, rate
+
+
+def _decode_audio_bytes(data: bytes, dim: int) -> tuple[float, int, int, list[float]] | None:
+    """(rms, sample_rate, duration_ms, band-RMS feature) from
+    `_decode_audio_samples`: banded RMS over integer linspace edges."""
+    decoded = _decode_audio_samples(data)
+    if decoded is None:
+        return None
+    x, rate = decoded
     if len(x) == 0:
         return 0.0, rate, 0, [0.0] * dim
     edges = np.linspace(0, len(x), dim + 1).astype(int)

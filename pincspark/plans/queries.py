@@ -6807,6 +6807,99 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score FROM (
 """
 
 
+def q113_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-duplicate pairs — the audio twin of q111
+    and the third consumer of the shared Hamming-ball banding
+    (`operators/audio_hash.py`). Corpus: every document mints a
+    1040-sample mono FLAC (65 constant 16-sample blocks, block values =
+    md5 hex ASCII — real Rice/UTF-8/CRC bitstream decode in the hot
+    path, the q61 discipline); docs with doc_id % 5 == 2 plant a TWIN:
+    the SAME clip at 3x GAIN re-encoded as Sun AU 16-bit linear PCM
+    (different container, different bytes, different amplitudes;
+    media_id = doc_id + 1e9). The energy-contour hash is gain- and
+    container-invariant by construction, so every twin must surface at
+    hamming 0 — and the engine EARNS it by decoding a real AU clip at
+    3x amplitude onto the same 64 bits the oracle computes from the raw
+    hex bytes; a drift in either codec, the block reduction, the bit
+    packing, or the banded join breaks parity. Oracle: brute-force
+    all-pairs (banding exact for hamming <= bands-1).
+
+    100 TB: mint+decode+hash one narrow Arrow stage; only 64-bit
+    fingerprints shuffle, once, on (band, slice)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.audio_hash import audio_neardup_pairs
+    from pincspark.operators.dedup import _spread
+    from pincspark.operators.flac import flac_encode
+    from pincspark.operators.multimodal import au_encode
+
+    def _mint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+                vals = np.array(
+                    [ord(c) for c in (hexd * 3)[:65]], dtype=np.int64
+                )
+                sig = np.repeat(vals, 16)
+                did = int(row.doc_id)
+                rows.append((did, flac_encode(sig, rate=8000, mode="fixed2")))
+                if did % 5 == 2:
+                    rows.append((
+                        did + 1_000_000_000,
+                        au_encode(sig * 3, 8000, encoding=3),
+                    ))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    media = docs.mapInPandas(
+        _mint, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("audio"))
+    return audio_neardup_pairs(media, bands=4, max_hamming=3, strict=True)
+
+
+def _q113_oracle() -> str:
+    # equal 16-sample constant blocks: the engine's cross-multiplied
+    # block-sum comparison reduces to the raw block-value comparison
+    # bv[k] < bv[k+1]; the 3x-gain AU twin shares the hash BY THE
+    # OPERATOR'S INVARIANCE (every |sample| sum scales by 3 — the
+    # engine proves it on genuinely decoded 3x samples)
+    terms = []
+    for k in range(64):
+        coeff = -(1 << 63) if k == 63 else (1 << k)
+        terms.append(
+            f"(CASE WHEN bv[{k + 1}] < bv[{k + 2}] "
+            f"THEN CAST({coeff} AS BIGINT) ELSE 0 END)"
+        )
+    return f"""
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(generate_series(1, 65),
+                        i -> CAST(ascii(substring(repeat(md5(text), 3), i, 1)) AS BIGINT)) AS bv
+  FROM documents
+), h AS (
+  SELECT media_id, {' + '.join(terms)} AS ah FROM b
+), m AS (
+  SELECT media_id, ah FROM h
+  UNION ALL
+  SELECT media_id + 1000000000 AS media_id, ah FROM h WHERE media_id % 5 = 2
+)
+SELECT a.media_id AS id_a, b2.media_id AS id_b,
+       CAST(bit_count(xor(a.ah, b2.ah)) AS INTEGER) AS hamming
+FROM m a JOIN m b2 ON a.media_id < b2.media_id
+WHERE bit_count(xor(a.ah, b2.ah)) <= 3
+"""
+
+
+ORACLE_Q113 = _q113_oracle()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7100,7 +7193,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # assembly — each user's deterministically-ordered event journey
     # (array_sort over collected structs, NOT the non-deterministic
     # collect_list-over-frame), the event-log-to-training-example step
-    "q102_user_journeys": (q102_user_journeys, ORACLE_Q102),
+    # NEW r14 (in-window at registration; q102_user_journeys rotates out
+    # — green r12+r13 rows; its native array_sort/collect shape is the
+    # LOWEST-risk class in the window, and deterministic sequence
+    # assembly stays gated via q45's packing and q101's ordered frames):
+    # perceptual AUDIO near-dup — FLAC + 3x-gain AU twins decoded onto
+    # one gain/container-invariant energy-contour hash, third consumer
+    # of the q43/q111 banding, brute-force all-pairs oracle
+    "q113_audio_neardup": (q113_audio_neardup, ORACLE_Q113),
     # NEW r12 (in-window at registration; q70_zorder_layout rotates out —
     # green r9/r10/r11 rows, re-simmed on current code; the layout tier
     # keeps q87's physical-rewrite identity in-window, partition/files
@@ -7168,6 +7268,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # r1-r13 rows; the PQ codebook build + ADC scoring stay in-window
     # composed inside q52 (same pq_codebooks / lookup-table code path)
     "q51_pq_topk": (q51_pq_topk, ORACLE_Q51),
+    # rotated out r14 for q113 (audio perceptual near-dup): green r12+r13
+    # rows; native array_sort-over-collected-structs assembly, the
+    # lowest-risk class in the window — sequence building stays gated
+    # via q45 (packing) and q101 (ordered frames)
+    "q102_user_journeys": (q102_user_journeys, ORACLE_Q102),
     # rotated out r12 for q95 (text decode families): native group-agg +
     # window voyage rollup, green r10+r11 rows; the native agg tier
     # stays gated in-window via q01 and q85

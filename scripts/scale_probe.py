@@ -105,6 +105,13 @@ DEFAULT_QUERIES = [
     "q105_hdr_quantiles",
     "q106_exact_similarity_join",
     "q108_track_resample",
+    # r14 additions: perceptual-hash image near-dup (codec decode +
+    # banded Hamming pairs — pair volume is corpus-dependent) and the
+    # incremental ANN fold+serve (index cached per sf_dir, so the timed
+    # runs measure the serving path like q62's row)
+    "q111_image_neardup",
+    "q112_ann_index_update",
+    "q113_audio_neardup",
 ]
 
 

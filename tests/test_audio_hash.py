@@ -1,0 +1,83 @@
+"""Perceptual audio hashing (operators/audio_hash.py): gain/container/
+replication invariances on planted twins, kernel edge cases, and the
+banded pair pipeline end-to-end."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pincspark.operators.audio_hash import (
+    audio_contour_hash,
+    audio_neardup_pairs,
+    decode_audio_hashes,
+)
+from pincspark.operators.flac import flac_encode
+from pincspark.operators.multimodal import au_encode, wav_ima_encode
+
+
+def _sig(seed: int, blocks: int = 65, width: int = 16) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return np.repeat(rng.randint(1, 120, size=blocks).astype(np.int64), width)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_contour_hash_invariances():
+    x = _sig(3)
+    h = audio_contour_hash(x)
+    assert audio_contour_hash(x * 7) == h          # positive gain
+    assert audio_contour_hash(x / 32768.0) == h    # decoder normalization
+    assert audio_contour_hash(np.repeat(x, 2)) == h  # 65 | len: exact
+    assert audio_contour_hash(-x) == h             # |x| contour
+    assert audio_contour_hash(np.array([], dtype=np.int64)) is None
+    other = _sig(4)
+    assert _hamming(audio_contour_hash(other), h) > 10
+
+
+def test_decode_audio_hashes_containers_and_gain_agree(spark):
+    """One clip, three lossless containers (FLAC / AU linear / WAV
+    IMA-ADPCM is LOSSY -> excluded), with a 3x-gain AU twin: hashes
+    identical through genuinely different bitstreams; a distinct clip's
+    is not."""
+    x = _sig(11)
+    rows = [
+        (1, bytearray(flac_encode(x, rate=8000, mode="fixed2"))),
+        (2, bytearray(au_encode(x, 8000, encoding=3))),
+        (3, bytearray(au_encode(x * 3, 8000, encoding=3))),  # gain twin
+        (4, bytearray(flac_encode(_sig(12), rate=8000, mode="fixed2"))),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY").withColumn(
+        "kind", F.lit("audio")
+    )
+    got = {r["media_id"]: r["ahash"]
+           for r in decode_audio_hashes(df, strict=True).collect()}
+    assert got[1] == got[2] == got[3] == audio_contour_hash(x)
+    assert _hamming(got[4], got[1]) > 10
+
+
+def test_contour_hash_survives_ima_adpcm_approximately():
+    """IMA-ADPCM is lossy (step-size-quantized deltas): the contour hash
+    is not bit-pinned through it, but the coarse energy shape survives —
+    the operational claim a near-dup tier makes about lossy re-encodes."""
+    from pincspark.operators.multimodal import _decode_audio_samples
+
+    x = _sig(21) * 120  # use more of the 16-bit range than the mint
+    h = audio_contour_hash(x)
+    y, _ = _decode_audio_samples(wav_ima_encode(x, 8000))
+    assert _hamming(audio_contour_hash(np.asarray(y)), h) <= 12
+
+
+def test_audio_neardup_pairs_finds_twin_not_distinct(spark):
+    clips = {i: _sig(100 + i) for i in range(5)}
+    rows = [(i, bytearray(flac_encode(c, rate=8000, mode="fixed2")))
+            for i, c in clips.items()]
+    rows.append((1002, bytearray(au_encode(clips[2] * 5, 8000, encoding=3))))
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY").withColumn(
+        "kind", F.lit("audio")
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_neardup_pairs(df, strict=True).collect()}
+    assert pairs == {(2, 1002): 0}

@@ -292,6 +292,7 @@ def test_entire_catalog_is_scale_safe(spark):
         "q18_knn_cosine",
         "q22_ivf_topk",
         "q62_ivf_index_topk",  # same bounded centroid/query-batch crosses as q22
+        "q112_ann_index_update",  # serves through q62's bounded crosses
         "q41_quantized_knn",
         "q48_bm25_scores",  # 1-row corpus-stats aggregate crossed on
         "q104_text_index_bm25",  # the same 1-row stats sidecar crossed on
@@ -553,7 +554,12 @@ def test_harness_window_composition_is_pinned():
         # NEW r12 third wave: deterministic sequence assembly (array_sort
         # over collected structs — the event-log-to-training-example step)
         # and the count-min frequency sketch (mergeable BIGINT cells).
-        "q102_user_journeys", "q103_cms_frequency",
+        # q102_user_journeys rotated out r14 for q113 (audio perceptual
+        # near-dup): green r12+r13 rows; native array_sort assembly, the
+        # lowest-risk class in the window — sequence building stays
+        # gated via q45 packing + q101 ordered frames.
+        "q113_audio_neardup",
+        "q103_cms_frequency",
         # NEW r12 fourth wave: persistent inverted-index BM25 serving
         # (build-once/serve-many, term-bucket partition pruning).
         "q104_text_index_bm25",
