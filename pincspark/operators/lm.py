@@ -104,6 +104,13 @@ def dsir_log_weights(
     """
     if target_filter is None:
         target_filter = F.lit(True)
+    # r14 (the q91 lesson, measured): the explode + per-feature md5
+    # bucket hash is this operator's heaviest compute and sits BELOW the
+    # first exchange — on a single-split documents table it all ran on
+    # one task. Conditional spread (no-op on a well-split corpus).
+    from pincspark.operators.dedup import _spread
+
+    df = _spread(df, id_col)
     toks = ws_tokens(F.col(text_col))
     feats = F.concat(
         toks,
@@ -161,8 +168,14 @@ def doc_bigram_counts(
     """Per-document bigram counts: (id, is_train, w1, w2, cnt).
 
     One Generate + one hash aggregate; the exchange carries distinct
-    (doc, bigram) keys, already partially combined map-side.
+    (doc, bigram) keys, already partially combined map-side. Conditional
+    spread first (r14): the bigram explode + map-side combine is the
+    heavy front and must not run on one task when the corpus arrives as
+    a single split.
     """
+    from pincspark.operators.dedup import _spread
+
+    df = _spread(df, id_col)
     return (
         df.select(
             F.col(id_col),
