@@ -53,7 +53,15 @@ def bm25_scores(
     # dominates) — the shrink matters when dl x N is the 100-TB token
     # stream. Corpus stats aggregate the SAME projection's dl instead of
     # re-tokenizing the corpus, removing one full normalize+split pass.
-    tok = df.select(
+    # r14 (the q91/q67 lesson, measured): the normalize+tokenize front is
+    # this scorer's heaviest compute, has TWO consumers (matched rows +
+    # the corpus-stats aggregate), and sat on the raw scan — a
+    # single-split corpus ran it twice on one task. Conditional spread
+    # (no-op on a well-split table); value-safe under any fold order
+    # because dl is integer-valued (float64 sums of ints are exact).
+    from pincspark.operators.dedup import _spread
+
+    tok = _spread(df, id_col).select(
         F.col(id_col),
         ws_tokens(normalize_text(F.col(text_col))).alias("__toks"),
     ).select(
