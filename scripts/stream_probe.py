@@ -111,10 +111,14 @@ def main() -> None:
     ap.add_argument("--base", type=int, default=100_000, help="events at 1x")
     ap.add_argument("--scale", type=int, default=8)
     ap.add_argument("--events-per-vessel", type=int, default=50)
-    ap.add_argument("--op", choices=("zones", "encounters"), default="zones")
+    ap.add_argument(
+        "--op", choices=("zones", "encounters", "census"), default="zones"
+    )
     args = ap.parse_args()
     if args.op == "encounters":
         return _encounters_probe(args)
+    if args.op == "census":
+        return _census_probe(args)
 
     from pincspark.operators.geo import zones_df
     from pincspark.session import get_spark
@@ -253,6 +257,93 @@ def _encounters_probe(args) -> None:
     print(
         f"throughput ratio {args.scale}x/1x: "
         f"{rk['fixes_per_sec'] / r1['fixes_per_sec']:.2f} "
+        f"(1.0 = perfectly flat)"
+    )
+    spark.stop()
+
+
+def _census_lines(n: int) -> list[str]:
+    """Deterministic ingest mix: ~50% valid singletons, ~30% in-order
+    2-part groups (seq id cycles 0-9 like the on-air slot protocol),
+    ~20% quarantine classes (bad checksum / no '*' / empty / no NMEA).
+    Every line's fate is decided by the operator, not the generator."""
+    def nmea(body: str) -> str:
+        x = 0
+        for ch in body:
+            x ^= ord(ch)
+        return f"!{body}*{x:02X}"
+
+    out: list[str] = []
+    i = 0
+    while len(out) < n:
+        m = i % 10
+        if m < 3:  # 2-part group, in order
+            s = i % 10
+            out.append(nmea(f"ABVDM,2,1,{s},A,PART1x{i},0"))
+            out.append(nmea(f"ABVDM,2,2,{s},A,PART2x{i},0"))
+        elif m < 8:
+            out.append(nmea(f"ABVDM,1,1,,A,SOLO{i},0"))
+        elif m == 8:
+            out.append(f"!ABVDM,1,1,,A,BAD{i},0*00")  # wrong checksum
+        else:
+            out.append("" if i % 20 == 9 else f"$GP{i},nobang")
+        i += 1
+    return out[:n]
+
+
+def _census_probe(args) -> None:
+    """Throughput of the r14 streaming quarantine census: the stateless
+    classifier tier + (seq_id, channel) keyed reassembly outcomes, one
+    reason-coded verdict row per input line. Key cardinality is FIXED by
+    the NMEA slot protocol (seq id 0-9 x channel), so growing volume
+    measures per-line cost, not state growth — flat lines/sec expected."""
+    from pincspark.session import get_spark
+    from pincspark.streaming.census import quarantine_census_stream
+
+    spark = get_spark("pincspark-stream-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for tag, n_lines in (("1x", args.base), (f"{args.scale}x", args.base * args.scale)):
+        tmp = tempfile.mkdtemp(prefix="pincspark_census_probe_")
+        try:
+            src = os.path.join(tmp, "lines")
+            os.makedirs(src)
+            lines = _census_lines(n_lines)
+            with open(os.path.join(src, "feed.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            stream = spark.readStream.format("text").load(src)
+            sink = f"census_probe_{tag.replace('x', '')}"
+            t0 = time.time()
+            q = (
+                quarantine_census_stream(stream, timeout_ms=None)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            _drain(q)
+            wall = time.time() - t0
+            census = {
+                r["status"]: r["c"]
+                for r in spark.sql(
+                    f"SELECT status, count(*) c FROM {sink} GROUP BY status"
+                ).collect()
+            }
+            assert sum(census.values()) == len(lines), (census, len(lines))
+            results[tag] = {
+                "lines": len(lines),
+                "wall_s": round(wall, 2),
+                "lines_per_sec": int(len(lines) / wall),
+                "census": census,
+            }
+            print(f"{tag}: {results[tag]}", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    r1, rk = results["1x"], results[f"{args.scale}x"]
+    print(
+        f"throughput ratio {args.scale}x/1x: "
+        f"{rk['lines_per_sec'] / r1['lines_per_sec']:.2f} "
         f"(1.0 = perfectly flat)"
     )
     spark.stop()
