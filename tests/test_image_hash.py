@@ -175,3 +175,64 @@ def test_dhash_band_buckets_far_under_cap(spark):
 def test_dhash_sql_rejects_nondivisible_grid():
     with pytest.raises(ValueError):
         dhash_sql("ras", width=17, height=8)
+
+
+def test_banded_hamming_pairs_exact_vs_brute_force_random(spark):
+    """Direct property gate on the machinery all three modality tiers
+    share (q43 text / q111 image / q113 audio): for random signed 64-bit
+    fingerprints with planted near-misses, the banded join returns
+    EXACTLY the brute-force hamming <= 3 answer (pigeonhole exactness
+    for max_hamming <= bands-1, including negative hashes where the
+    arithmetic shift + mask banding must still slice correctly)."""
+    import random
+
+    from pincspark.operators.dedup import banded_hamming_pairs
+
+    rng = random.Random(4242)
+    hashes = {}
+    for i in range(120):
+        hashes[i] = rng.getrandbits(64) - (1 << 63)  # signed, sign bit common
+    # plant near-misses at hamming 1-4 off existing entries (4 must NOT pair)
+    for j, d in enumerate((1, 2, 3, 4, 3, 1)):
+        base = hashes[j]
+        flipped = base
+        for b in rng.sample(range(64), d):
+            flipped ^= (1 << b) if b < 63 else -(1 << 63)
+        # ^= with the sign-bit value keeps the int in signed-64 range
+        flipped = (flipped + (1 << 63)) % (1 << 64) - (1 << 63)
+        hashes[1000 + j] = flipped
+    df = spark.createDataFrame(list(hashes.items()), "media_id LONG, h LONG")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in banded_hamming_pairs(df, "media_id", "h").collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            hm = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if hm <= 3:
+                want[(a, b)] = hm
+    assert got == want
+    assert want  # the plants actually produced pairs
+
+
+def test_decode_image_hashes_nonstrict_fallback_pairs_identical_blobs(spark):
+    """Undecodable blobs in non-strict mode get deterministic byte-digest
+    hashes: byte-identical blobs still near-dup at hamming 0, distinct
+    blobs do not — the pipeline shape survives a format the sandbox
+    cannot decode."""
+    blob = bytes(range(64)) * 4  # no known magic
+    rows = [(1, bytearray(blob)), (2, bytearray(blob)), (3, bytearray(blob[::-1]))]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY").withColumn(
+        "kind", F.lit("image")
+    )
+    got = {r["media_id"]: (r["dhash"], r["phash"])
+           for r in decode_image_hashes(df, strict=False).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    import pytest
+
+    with pytest.raises(Exception, match="no codec"):
+        decode_image_hashes(df, strict=True).collect()
