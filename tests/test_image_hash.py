@@ -236,3 +236,43 @@ def test_decode_image_hashes_nonstrict_fallback_pairs_identical_blobs(spark):
 
     with pytest.raises(Exception, match="no codec"):
         decode_image_hashes(df, strict=True).collect()
+
+
+def test_dhash_cross_multiplication_equals_exact_rational_means():
+    """The no-division claim, pinned against exact arithmetic: for random
+    raster sizes that do NOT divide the (8, 9) grid (unequal cell pixel
+    counts — where a float mean would be the tempting-but-lossy form),
+    every dhash bit equals the Fraction-exact mean comparison."""
+    import random
+    from fractions import Fraction
+
+    import numpy as np
+
+    rng = random.Random(777)
+    for trial in range(12):
+        # h >= GRID_H, w >= GRID_W+1: below the grid, _grid_sums inherits
+        # np.add.reduceat's empty-bin behavior (the boundary row/col
+        # repeats — a deterministic nearest-neighbor upsample, documented
+        # since q56), which a zero-for-empty rational reference would
+        # mismodel; the exactness claim is about UNEQUAL non-empty cells
+        h = rng.randrange(8, 40)
+        w = rng.randrange(9, 50)
+        r = np.random.RandomState(trial).randint(0, 256, size=(h, w, 3)).astype(
+            np.int64
+        )
+        got = image_dhash(r) & ((1 << 64) - 1)
+        plane = r.sum(axis=2)
+        re = np.linspace(0, h, GRID_H + 1).astype(int)
+        ce = np.linspace(0, w, GRID_W + 2).astype(int)
+
+        def cell_mean(y, x):
+            block = plane[re[y]:re[y + 1], ce[x]:ce[x + 1]]
+            if block.size == 0:
+                return Fraction(0)
+            return Fraction(int(block.sum()), block.size)
+
+        for y in range(GRID_H):
+            for x in range(GRID_W):
+                k = y * GRID_W + x
+                want_bit = int(cell_mean(y, x) < cell_mean(y, x + 1))
+                assert (got >> k) & 1 == want_bit, (trial, h, w, y, x)
