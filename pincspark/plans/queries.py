@@ -6864,12 +6864,11 @@ def q113_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_neardup_pairs(media, bands=4, max_hamming=3, strict=True)
 
 
-def _q113_oracle() -> str:
-    # equal 16-sample constant blocks: the engine's cross-multiplied
-    # block-sum comparison reduces to the raw block-value comparison
-    # bv[k] < bv[k+1]; the 3x-gain AU twin shares the hash BY THE
-    # OPERATOR'S INVARIANCE (every |sample| sum scales by 3 — the
-    # engine proves it on genuinely decoded 3x samples)
+def _contour_hash_sql() -> str:
+    """SQL twin of `audio_hash.audio_contour_hash` over a 65-element
+    BIGINT list column ``bv`` of equal-count block values (the q113/q114
+    mint shape): the cross-multiplied block-sum comparison reduces to
+    bv[k] < bv[k+1], packed with the signed bit-63 arithmetic."""
     terms = []
     for k in range(64):
         coeff = -(1 << 63) if k == 63 else (1 << k)
@@ -6877,6 +6876,15 @@ def _q113_oracle() -> str:
             f"(CASE WHEN bv[{k + 1}] < bv[{k + 2}] "
             f"THEN CAST({coeff} AS BIGINT) ELSE 0 END)"
         )
+    return " + ".join(terms)
+
+
+def _q113_oracle() -> str:
+    # equal 16-sample constant blocks: the engine's cross-multiplied
+    # block-sum comparison reduces to the raw block-value comparison
+    # bv[k] < bv[k+1]; the 3x-gain AU twin shares the hash BY THE
+    # OPERATOR'S INVARIANCE (every |sample| sum scales by 3 — the
+    # engine proves it on genuinely decoded 3x samples)
     return f"""
 WITH b AS (
   SELECT doc_id AS media_id,
@@ -6884,7 +6892,7 @@ WITH b AS (
                         i -> CAST(ascii(substring(repeat(md5(text), 3), i, 1)) AS BIGINT)) AS bv
   FROM documents
 ), h AS (
-  SELECT media_id, {' + '.join(terms)} AS ah FROM b
+  SELECT media_id, {_contour_hash_sql()} AS ah FROM b
 ), m AS (
   SELECT media_id, ah FROM h
   UNION ALL
@@ -6898,6 +6906,175 @@ WHERE bit_count(xor(a.ah, b2.ah)) <= 3
 
 
 ORACLE_Q113 = _q113_oracle()
+
+
+def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL near-dup keep-list — the r14 capstone composition: a
+    multimodal curation run must drop a document when ANY of its
+    modalities duplicates another document's (same article re-posted
+    with the same photo, same clip under different text, ...). Edges
+    from all three tiers feed ONE connected-component keep-list:
+
+        text:  MinHash-LSH pairs (the q19/q109 parameters)
+        image: dhash banded-Hamming pairs over STRICT-decoded PNGs
+        audio: energy-contour pairs over STRICT-decoded FLACs
+
+    Each doc mints one image and one clip; cross-doc media twins are
+    planted by SEED SHARING (doc_id % 9 in (4,5) render the same
+    'img<group>' raster through different PNG filter/interlace paths;
+    doc_id % 11 in (2,3) the same 'aud<group>' clip), so the oracle can
+    recompute every hash from the seeds while the engine must EARN the
+    pairs through the real codecs. Pairs union -> `dedup_clusters`
+    (min-id components) -> (doc_id, cluster_id, keep). The oracle
+    replays all three pair sets in SQL (the q19 minhash construction,
+    brute-force dhash and contour-hash joins) and the recursive
+    transitive closure — a drift in ANY tier, the union seam, or the
+    component labels breaks parity.
+
+    100 TB: three narrow mint/hash stages + the three audited pair
+    shuffles + label-only propagation; the corpus text/pixels/samples
+    never fan out."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.audio_hash import audio_neardup_pairs
+    from pincspark.operators.dedup import (
+        _spread,
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from pincspark.operators.flac import flac_encode
+    from pincspark.operators.image_hash import image_neardup_pairs
+    from pincspark.operators.multimodal import png_encode
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    tpairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perms=16, bands=4
+    ).select("id_a", "id_b")
+
+    def _mint_images(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                d = int(row.doc_id)
+                seed = f"img{d // 9}" if d % 9 in (4, 5) else row.text
+                hexd = hashlib.md5(seed.encode("utf-8")).hexdigest()
+                ras = np.frombuffer(
+                    (hexd * 14)[:432].encode("ascii"), dtype=np.uint8
+                ).reshape(8, 18, 3)
+                rows.append((d, png_encode(ras, d % 5, interlace=bool(d % 2))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def _mint_audio(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                d = int(row.doc_id)
+                seed = f"aud{d // 11}" if d % 11 in (2, 3) else row.text
+                hexd = hashlib.md5(seed.encode("utf-8")).hexdigest()
+                vals = np.array([ord(c) for c in (hexd * 3)[:65]], dtype=np.int64)
+                rows.append(
+                    (d, flac_encode(np.repeat(vals, 16), rate=8000, mode="fixed2"))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    imgs = docs.mapInPandas(
+        _mint_images, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("image"))
+    clips = docs.mapInPandas(
+        _mint_audio, "media_id BIGINT, content BINARY"
+    ).withColumn("kind", F.lit("audio"))
+    ipairs = image_neardup_pairs(
+        imgs, hash_col="dhash", bands=4, max_hamming=3, strict=True
+    ).select("id_a", "id_b")
+    apairs = audio_neardup_pairs(
+        clips, bands=4, max_hamming=3, strict=True
+    ).select("id_a", "id_b")
+
+    # Each tier materializes EAGERLY before the union: dedup_clusters'
+    # edges checkpoint is one action, and without these barriers all
+    # three mint+decode Arrow pipelines execute CONCURRENTLY under it —
+    # measured at the 64x probe scale, three simultaneous kernel stages
+    # blew a single JVM's heap, while staged one-at-a-time the same
+    # workload fits (peak memory is max-of-tiers, not sum-of-tiers;
+    # pairs frames are id-pairs only, KBs per million docs).
+    tpairs = stage(tpairs, "q114:text_pairs", eager=True)
+    ipairs = stage(ipairs, "q114:image_pairs", eager=True)
+    apairs = stage(apairs, "q114:audio_pairs", eager=True)
+    pairs = tpairs.unionByName(ipairs).unionByName(apairs)
+    clusters = dedup_clusters(pairs)
+    return (
+        docs.select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
+def _q114_oracle() -> str:
+    from pincspark.operators.image_hash import dhash_sql
+
+    img_src = (
+        "(SELECT doc_id AS media_id, substring(repeat(md5("
+        "CASE WHEN doc_id % 9 IN (4, 5) "
+        "THEN 'img' || CAST(doc_id // 9 AS VARCHAR) ELSE text END"
+        "), 14), 1, 432) AS ras FROM documents)"
+    )
+    ih = dhash_sql("ras", width=18, height=8).replace("__ras__", img_src)
+    return f"""
+WITH RECURSIVE tpairs AS (
+{_minhash_oracle()}
+), ih AS (
+  {ih}
+), ipairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM ih a JOIN ih b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dh, b.dh)) <= 3
+), ab AS (
+  SELECT doc_id AS media_id,
+         list_transform(generate_series(1, 65),
+                        i -> CAST(ascii(substring(repeat(md5(
+                          CASE WHEN doc_id % 11 IN (2, 3)
+                               THEN 'aud' || CAST(doc_id // 11 AS VARCHAR)
+                               ELSE text END), 3), i, 1)) AS BIGINT)) AS bv
+  FROM documents
+), ah AS (
+  SELECT media_id, {_contour_hash_sql()} AS ah FROM ab
+), apairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM ah a JOIN ah b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.ah, b.ah)) <= 3
+), allpairs AS (
+  SELECT id_a, id_b FROM tpairs
+  UNION SELECT id_a, id_b FROM ipairs
+  UNION SELECT id_a, id_b FROM apairs
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM allpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM allpairs
+), walk(src, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+), comp AS (
+  SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+ORACLE_Q114 = _q114_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -7233,7 +7410,14 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # bounded-frame sliding stats — the trailing-window rolling-feature
     # shape no other catalog window covers (q11 is unbounded-preceding,
     # q13/q92 are gap sessions), with the DECIMAL-exact frame sum
-    "q101_moving_stats": (q101_moving_stats, ORACLE_Q101),
+    # NEW r14 (in-window at registration; q101_moving_stats rotates out —
+    # green r12+r13 rows; a native bounded-frame window call, and the
+    # window-frame tier keeps q11-family coverage sweep-side): the
+    # CROSS-MODAL near-dup keep-list capstone — text MinHash + image
+    # dhash + audio contour pairs union into one connected-component
+    # keep-list; the oracle replays all three pair sets AND the
+    # recursive closure, so any tier or the union seam breaks parity
+    "q114_multimodal_keeplist": (q114_multimodal_keeplist, ORACLE_Q114),
     # NEW r12 (in-window at registration; q83_kmv_join_size rotates out —
     # green r9/r10/r11 rows, re-simmed on current code; the KMV core
     # stays in-window via q84's bottom-k quantiles and the join-size
@@ -7273,6 +7457,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # lowest-risk class in the window — sequence building stays gated
     # via q45 (packing) and q101 (ordered frames)
     "q102_user_journeys": (q102_user_journeys, ORACLE_Q102),
+    # rotated out r14 for q114 (cross-modal keep-list): green r12+r13
+    # rows; native bounded-frame window call (sum/avg over a trailing
+    # frame), the next-lowest-risk class after q102
+    "q101_moving_stats": (q101_moving_stats, ORACLE_Q101),
     # rotated out r12 for q95 (text decode families): native group-agg +
     # window voyage rollup, green r10+r11 rows; the native agg tier
     # stays gated in-window via q01 and q85

@@ -237,3 +237,24 @@ def test_set_similarity_join_exact_on_boilerplate_corpus(spark):
     }
     assert got == want, got ^ want
     assert want  # the Zipf head makes genuine near-dup pairs
+
+
+def test_q114_cross_modal_transitive_closure(spark):
+    """The capstone's defining property: a doc dropped through a CHAIN
+    that crosses modalities. doc 58 shares its AUDIO with 57
+    (57 = 11*5+2, 58 = 11*5+3 -> seed 'aud5') and its IMAGE with 59
+    (58 = 9*6+4, 59 = 9*6+5 -> seed 'img6'), so 57 and 59 — which share
+    NO modality directly — must land in one cluster via 58."""
+    from pincspark.plans.queries import q114_multimodal_keeplist
+    from tests.conftest import SF_DIR
+
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in q114_multimodal_keeplist(spark, SF_DIR).collect()}
+    c57, c58, c59 = rows[57][0], rows[58][0], rows[59][0]
+    assert c57 == c58 == c59  # cross-modal closure merged them
+    kept = [d for d in (57, 58, 59) if rows[d][1]]
+    # at most the cluster's min doc survives from this trio (the min of
+    # the full cluster may be an even smaller text-linked doc)
+    assert len(kept) <= 1
+    assert all(rows[d][0] <= d for d in rows)  # min-id labels
+    assert any(v[1] for v in rows.values())  # and somebody IS kept

@@ -550,7 +550,11 @@ def test_harness_window_composition_is_pinned():
         # stays in-window via q54 stage 1), the leakage-safe group-holdout
         # split (NEW sampling operator), and the bounded-frame sliding
         # stats (the one window-frame shape the catalog lacked).
-        "q99_global_rank", "q100_holdout_split", "q101_moving_stats",
+        "q99_global_rank", "q100_holdout_split",
+        # q101_moving_stats rotated out r14 for q114 (cross-modal
+        # keep-list capstone): green r12+r13 rows; native bounded-frame
+        # window call, the next-lowest-risk class after q102.
+        "q114_multimodal_keeplist",
         # NEW r12 third wave: deterministic sequence assembly (array_sort
         # over collected structs — the event-log-to-training-example step)
         # and the count-min frequency sketch (mergeable BIGINT cells).
