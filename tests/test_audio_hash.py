@@ -81,3 +81,29 @@ def test_audio_neardup_pairs_finds_twin_not_distinct(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in audio_neardup_pairs(df, strict=True).collect()}
     assert pairs == {(2, 1002): 0}
+
+
+def test_contour_sql_twin_matches_python_on_random_values():
+    """The q113/q114 oracle expression (`plans.queries._contour_hash_sql`)
+    and the kernel agree bit-for-bit — checked via DuckDB over random
+    65-block value lists, including the signed bit-63 packing."""
+    import random
+
+    import duckdb
+
+    from pincspark.plans.queries import _contour_hash_sql
+
+    rng = random.Random(515)
+    rows = []
+    py = {}
+    for i in range(200):
+        vals = [rng.randrange(0, 1 << 20) for _ in range(65)]
+        rows.append((i, vals))
+        py[i] = audio_contour_hash(np.repeat(np.array(vals, dtype=np.int64), 16))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (media_id BIGINT, bv BIGINT[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = dict(
+        con.execute(f"SELECT media_id, {_contour_hash_sql()} FROM t").fetchall()
+    )
+    assert got == py
