@@ -646,6 +646,10 @@ def _run_catalog_once(
                 continue
             t0 = time.time()
             try:
+                # NOTE: the builder call sits INSIDE the timed span on
+                # purpose — staged queries (q114's eager tier barriers)
+                # run Spark jobs at plan-construction time (ADVICE r14
+                # #5), and those belong to the query's cost.
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             except Exception as e:  # one broken query must not cost the
                 failed[name] = str(e)[:200]  # whole round its bench artifact
@@ -763,17 +767,18 @@ def _run_catalog_once(
                 result["flagship_vs_reference_ratio"] = round(
                     flagship_t / ref["reference_batch_seconds"], 3
                 )
-                if calib_ratio > 1.0:
-                    # The reference twin was measured on the best-clean-era
-                    # box; when THIS row's box is measurably slower (drift
-                    # ratio above), the raw ratio mixes code with hardware.
-                    # Emit the drift-normalized companion alongside — the
-                    # raw number stays authoritative, this one makes the
-                    # hardware share explicit instead of a judging exercise
-                    # (r11/r12 both had to reconstruct it by hand).
-                    result["flagship_vs_reference_ratio_driftnorm"] = round(
-                        flagship_t / calib_ratio / ref["reference_batch_seconds"], 3
-                    )
+                # The reference twin was measured on the best-clean-era
+                # box; when THIS row's box is measurably slower (drift
+                # ratio above), the raw ratio mixes code with hardware.
+                # Emit the drift-normalized companion alongside — the
+                # raw number stays authoritative, this one makes the
+                # hardware share explicit instead of a judging exercise
+                # (r11/r12 both had to reconstruct it by hand). Always
+                # printed (VERDICT r14 #1: "all three ratio forms") — on
+                # a no-drift box it simply equals the raw ratio.
+                result["flagship_vs_reference_ratio_driftnorm"] = round(
+                    flagship_t / calib_ratio / ref["reference_batch_seconds"], 3
+                )
         except (ValueError, OSError):
             pass
     # ADVICE r13: the same-box block depends only on flagship_t — it is
@@ -903,6 +908,130 @@ def _flagged(result: dict) -> bool:
     return bool(result.get("contended")) or "suspect_uniform_inflation" in result
 
 
+def _composite_result(
+    attempts: list[dict], hist_rows: list[dict], sf: float
+) -> dict:
+    """Official row when EVERY attempt flagged (VERDICT r14 #1): per-query
+    MINIMA across attempts, never a single contended attempt.
+
+    r14's failure mode: with all three attempts flagged at drift 1.35, the
+    attempt with the lowest catalog TOTAL was printed — but that attempt
+    (loadavg 5.4) carried the WORST flagship (3.877 s, raw ratio 2.824)
+    while the same session's final retry read 2.551 s = 1.858 raw.
+    Selecting any one attempt lets one wave own the headline. The minimum
+    per query across attempts is immune to that: a noop-sink sample cannot
+    be spuriously FAST (every pass re-executes the full plan), so the min
+    is the least-contended observation each query got this session, and a
+    GENUINE regression still shows — all attempts carry it, so its minimum
+    does too. The flagship's ratio forms are recomputed from the attempt
+    that produced the minimum flagship (its same-box twin and calib were
+    measured in that same session, so the forms stay internally
+    consistent). Raw per-attempt rows remain in bench_history.jsonl."""
+    # Per-query minima over the FULL-named hist rows (attempt timings are
+    # short-keyed on stdout; hist rows carry the registry names the
+    # baseline helpers key on).
+    timings: dict[str, float] = {}
+    for row in hist_rows:
+        for q, t in row.get("queries", {}).items():
+            if q not in timings or t < timings[q]:
+                timings[q] = t
+    total = round(sum(timings.values()), 3)
+
+    def _short(name: str) -> str:
+        m = re.match(r"(q\d+)_", name)
+        return m.group(1) if m else name
+
+    shorts = {_short(k) for k in timings}
+    if len(shorts) != len(timings):
+        def _short(name: str) -> str:  # noqa: F811 — collision fallback
+            return name
+
+    result = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {_short(k): v for k, v in timings.items()},
+        "sf": sf,
+        "composite_minima": True,
+        "all_attempts_flagged": len(attempts),
+    }
+    first = attempts[0]
+    if "untimed_correctness_queries" in first:
+        result["untimed_correctness_queries"] = first[
+            "untimed_correctness_queries"
+        ]
+    # A query counts failed only if NO attempt timed it.
+    failed_any: set[str] = set()
+    for r in attempts:
+        failed_any.update(r.get("failed_queries", []))
+    failed_all = sorted(
+        q
+        for q in failed_any
+        if all(q not in r.get("queries", {}) for r in attempts)
+    )
+    if failed_all:
+        result["failed_queries"] = failed_all
+    # Box-state markers: the least-loaded attempt's view, plus the spread.
+    loads = [r.get("loadavg_1min") for r in hist_rows if r.get("loadavg_1min") is not None]
+    if loads:
+        result["loadavg_1min"] = min(loads)
+        result["loadavg_1min_max"] = max(loads)
+    calibs = [r.get("calib_drift_ratio") for r in hist_rows if r.get("calib_drift_ratio")]
+    calib_ratio = min(calibs) if calibs else 1.0
+    if calib_ratio > 1.0:
+        result["calib_drift_ratio"] = round(calib_ratio, 3)
+    if all(r.get("contended") for r in attempts):
+        result["contended"] = True
+
+    # Flagship ratio forms, recomputed from the min-flagship attempt.
+    flagship_t = timings.get("ais_flagship")
+    if flagship_t is not None:
+        src_i = min(
+            range(len(hist_rows)),
+            key=lambda i: hist_rows[i].get("queries", {}).get(
+                "ais_flagship", float("inf")
+            ),
+        )
+        src, src_row = attempts[src_i], hist_rows[src_i]
+        ref_batch = src.get("reference_batch_seconds")
+        if ref_batch:
+            result["reference_batch_seconds"] = ref_batch
+            result["flagship_vs_reference_ratio"] = round(
+                flagship_t / ref_batch, 3
+            )
+            result["flagship_vs_reference_ratio_driftnorm"] = round(
+                flagship_t
+                / max(src_row.get("calib_drift_ratio", 1.0), 1.0)
+                / ref_batch,
+                3,
+            )
+        ref_samebox = src.get("reference_batch_seconds_samebox")
+        if ref_samebox:
+            result["reference_batch_seconds_samebox"] = ref_samebox
+            result["flagship_vs_reference_ratio_samebox"] = round(
+                flagship_t / ref_samebox, 3
+            )
+
+    # Regression/inflation detectors re-run on the minima: a wave that
+    # inflated every attempt uniformly still shows here (honest marker); a
+    # per-attempt spike that a sibling attempt escaped does not.
+    best = _best_per_query(sf, _hist_path())
+    rolling = _rolling_median_baseline(sf, _hist_path())
+    regressions = _flag_regressions(timings, best, calib_ratio, rolling)
+    if regressions:
+        result["regression_count"] = len(regressions)
+        result["worst_regression"] = max(
+            regressions, key=lambda q: regressions[q]["ratio"]
+        )
+    med_ratio = _uniform_inflation(timings, best)
+    if med_ratio is not None:
+        result["suspect_uniform_inflation"] = med_ratio
+    vs_prior = _prior_intersection_totals(timings, sf, _hist_path())
+    if vs_prior is not None:
+        result["vs_prior_clean"] = vs_prior
+    return result
+
+
 def _hist_path() -> str:
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
@@ -957,6 +1086,7 @@ def main() -> None:
     max_attempts = 1 + max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
 
     attempts: list[dict] = []
+    hist_rows: list[dict] = []
     for attempt in range(max_attempts):
         result, hist_row = _run_catalog_once(
             sf_dir, cpus, sf, is_retry=attempt > 0
@@ -965,6 +1095,7 @@ def main() -> None:
         with open(_hist_path(), "a") as f:
             f.write(json.dumps(hist_row) + "\n")
         attempts.append(result)
+        hist_rows.append(hist_row)
         if not _flagged(result):
             break
         if attempt + 1 < max_attempts:
@@ -983,8 +1114,12 @@ def main() -> None:
         if len(attempts) > 1:
             final["retries_before_clean"] = len(attempts) - 1
     else:
-        final = min(attempts, key=lambda r: r["value"])
-        final["all_attempts_flagged"] = len(attempts)
+        # All attempts flagged: never publish a single contended attempt
+        # (VERDICT r14 #1 — selecting by catalog total let a loadavg-5.4
+        # attempt's 2.824 flagship ratio become the official number while
+        # the same session measured 1.858). Publish per-query minima
+        # across attempts instead; raw attempts stay in bench_history.
+        final = _composite_result(attempts, hist_rows, sf)
         best_hist = _best_clean_history(sf, len(final.get("queries", {})))
         if best_hist is not None:
             final["best_clean_history"] = best_hist

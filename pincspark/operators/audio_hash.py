@@ -69,8 +69,8 @@ def audio_contour_hash(x: np.ndarray) -> int | None:
     raw-integer comparison — which is also WHY the SQL oracle can
     rebuild the bits from the un-normalized mint values: the hash is
     invariant under any positive gain, 1/2^B included. None for empty
-    clips (nothing to fingerprint; callers drop them like undecodable
-    blobs)."""
+    clips (nothing to fingerprint; `decode_audio_hashes` records them
+    with ahash NULL so they stay visible to accounting)."""
     from pincspark.operators.image_hash import _pack_bits
 
     n = len(x)
@@ -111,9 +111,12 @@ def decode_audio_hashes(df: DataFrame, strict: bool = False) -> DataFrame:
                 data = bytes(row.content) if row.content is not None else b""
                 decoded = _decode_audio_samples(data)
                 if decoded is not None:
+                    # Empty-but-valid clips keep their row with ahash NULL
+                    # (ADVICE r14 #1): a zero-sample WAV must stay visible
+                    # to downstream accounting like every other decodable
+                    # blob — NULL fingerprints generate no band slices, so
+                    # the pair stage ignores them for free.
                     ah = audio_contour_hash(decoded[0])
-                    if ah is None:  # empty clip: fingerprint of nothing
-                        continue
                 elif strict:
                     raise NotImplementedError(
                         "no codec for this audio format in this environment; "

@@ -95,6 +95,15 @@ def image_dhash(raster: np.ndarray) -> int:
     pixel replication (every cell's sum and count scale by the same
     factor), which is what makes the q111 rescaled-twin plant a real
     invariance check, not a tautology.
+
+    Sub-grid rasters (h < GRID_H or w < GRID_W + 1 = 9; ADVICE r14 #4):
+    the integer linspace edges then repeat, and ``np.add.reduceat``'s
+    repeated-edge behavior means boundary cells DUPLICATE a row/column
+    while counts clamp to 1 — a deterministic nearest-neighbor UPSAMPLE,
+    so the hash is still well-defined and replication-stable, but the
+    exact-mean-comparison contract above only holds at h >= 8, w >= 9.
+    Real-world thumbnails below 8x9 hash consistently with each other,
+    just not as block MEANS of the original plane.
     """
     from pincspark.operators.multimodal import _grid_sums
 

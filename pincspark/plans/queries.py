@@ -6724,7 +6724,35 @@ WHERE bit_count(xor(a.dh, b.dh)) <= 3
 ORACLE_Q111 = _q111_oracle()
 
 
-_ANN_UPDATE_CACHE: dict[str, str] = {}
+_ANN_UPDATE_CACHE: dict[tuple, str] = {}
+
+
+def _ann_update_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Cache key for q112's built-once index (VERDICT r14 #7 + ADVICE r14
+    #3): (applicationId, sf_dir, embeddings fingerprint). The module
+    global outlives Spark sessions AND input regenerations —
+    - applicationId: a second session in one process must not serve
+      tempdir files the first session wrote;
+    - mtime/size fingerprint: a test fixture that regenerates
+      embeddings.parquet under the same sf_dir must trigger a rebuild,
+      not stale-index parity breaks."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    sig: tuple
+    try:
+        st = os.stat(p)
+        if os.path.isdir(p):
+            parts = []
+            for f in sorted(os.listdir(p)):
+                s = os.stat(os.path.join(p, f))
+                parts.append((f, s.st_mtime_ns, s.st_size))
+            sig = tuple(parts)
+        else:
+            sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        sig = ()
+    return (spark.sparkContext.applicationId, sf_dir, sig)
 
 
 def q112_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6752,13 +6780,14 @@ def q112_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    path = _ANN_UPDATE_CACHE.get(sf_dir)
+    key = _ann_update_cache_key(spark, sf_dir)
+    path = _ANN_UPDATE_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="pincspark_ivf_upd_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, num_cells=16)
         update_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 1), path)
-        _ANN_UPDATE_CACHE[sf_dir] = path
+        _ANN_UPDATE_CACHE[key] = path
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -6996,6 +7025,10 @@ def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         clips, bands=4, max_hamming=3, strict=True
     ).select("id_a", "id_b")
 
+    # Timing contract (ADVICE r14 #5): these eager barriers run Spark
+    # jobs at PLAN-CONSTRUCTION time, so a harness must start its clock
+    # before calling the query builder — bench.py and scale_probe both
+    # time `fn(spark, sf_dir).write...` as one span, which covers it.
     # Each tier materializes EAGERLY before the union: dedup_clusters'
     # edges checkpoint is one action, and without these barriers all
     # three mint+decode Arrow pipelines execute CONCURRENTLY under it —

@@ -266,7 +266,13 @@ def _census_lines(n: int) -> list[str]:
     """Deterministic ingest mix: ~50% valid singletons, ~30% in-order
     2-part groups (seq id cycles 0-9 like the on-air slot protocol),
     ~20% quarantine classes (bad checksum / no '*' / empty / no NMEA).
-    Every line's fate is decided by the operator, not the generator."""
+    Every line's fate is decided by the operator, not the generator.
+
+    Returns AT LEAST ``n`` lines, extended to the next group boundary
+    (ADVICE r14 #2): a hard ``out[:n]`` could cut a 2-part group in
+    half for arbitrary --base/--scale, leaving an orphan part-1 pending
+    forever under timeout_ms=None and tripping the probe's own
+    sum(census)==len(lines) assert; callers count the list they get."""
     def nmea(body: str) -> str:
         x = 0
         for ch in body:
@@ -288,7 +294,7 @@ def _census_lines(n: int) -> list[str]:
         else:
             out.append("" if i % 20 == 9 else f"$GP{i},nobang")
         i += 1
-    return out[:n]
+    return out
 
 
 def _census_probe(args) -> None:

@@ -120,3 +120,41 @@ def test_update_equals_frozen_rebuild_and_touches_only_batch_files(
         for r in spark.read.parquet(f"{full}/postings").collect()
     )
     assert inc_rows == full_rows
+
+
+def test_q112_cache_key_isolates_sessions_and_input_changes(tmp_path):
+    """VERDICT r14 #7 + ADVICE r14 #3: q112's built-once index cache is a
+    module global that outlives Spark sessions and input files — its key
+    must change when either the session or the embeddings parquet does, so
+    a second session in one process (or a fixture that regenerates the
+    data in place) rebuilds instead of serving the first session's
+    tempdir."""
+    import os
+    import time
+    from types import SimpleNamespace
+
+    from pincspark.plans.queries import _ann_update_cache_key
+
+    emb = tmp_path / "embeddings.parquet"
+    emb.write_bytes(b"v1-bytes")
+
+    def fake_spark(app_id):
+        return SimpleNamespace(
+            sparkContext=SimpleNamespace(applicationId=app_id)
+        )
+
+    k1 = _ann_update_cache_key(fake_spark("app-1"), str(tmp_path))
+    assert k1 == _ann_update_cache_key(fake_spark("app-1"), str(tmp_path))
+    # a different session never reuses the first session's entry
+    assert k1 != _ann_update_cache_key(fake_spark("app-2"), str(tmp_path))
+    # regenerating the parquet in place invalidates too
+    emb.write_bytes(b"v2-bytes-longer")
+    os.utime(emb, ns=(time.time_ns(), time.time_ns() + 1))
+    assert k1 != _ann_update_cache_key(fake_spark("app-1"), str(tmp_path))
+    # directory-style parquet (multi-part) fingerprints its members
+    d = tmp_path / "dirsf"
+    (d / "embeddings.parquet").mkdir(parents=True)
+    (d / "embeddings.parquet" / "part-0.parquet").write_bytes(b"p0")
+    ka = _ann_update_cache_key(fake_spark("app-1"), str(d))
+    (d / "embeddings.parquet" / "part-1.parquet").write_bytes(b"p1")
+    assert ka != _ann_update_cache_key(fake_spark("app-1"), str(d))

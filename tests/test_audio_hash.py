@@ -107,3 +107,27 @@ def test_contour_sql_twin_matches_python_on_random_values():
         con.execute(f"SELECT media_id, {_contour_hash_sql()} FROM t").fetchall()
     )
     assert got == py
+
+
+def test_empty_valid_clip_keeps_row_with_null_hash(spark):
+    """ADVICE r14 #1: a decodable-but-EMPTY clip (zero-sample AU) must
+    not vanish from the hash output — it gets its row with ahash NULL
+    (visible to accounting), and the pair stage ignores NULL
+    fingerprints for free (NULL band slices never join)."""
+    x = _sig(11)
+    empty = np.array([], dtype=np.int64)
+    rows = [
+        (1, bytearray(au_encode(empty, 8000, encoding=3))),
+        (2, bytearray(flac_encode(x, rate=8000, mode="fixed2"))),
+        (3, bytearray(au_encode(x, 8000, encoding=3))),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY").withColumn(
+        "kind", F.lit("audio")
+    )
+    got = {r["media_id"]: r["ahash"]
+           for r in decode_audio_hashes(df, strict=True).collect()}
+    assert set(got) == {1, 2, 3}          # the empty clip is VISIBLE
+    assert got[1] is None                 # ... with a NULL fingerprint
+    assert got[2] == got[3] is not None
+    pairs = audio_neardup_pairs(df, strict=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}

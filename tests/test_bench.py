@@ -338,3 +338,89 @@ def test_prior_intersection_totals(tmp_path):
     assert out["n_common"] == 2
     assert out["prior_total_common"] == 2.0
     assert out["total_common"] == 2.0  # like-for-like: flat, not 2x slower
+
+
+def test_composite_minima_never_publishes_contended_attempt(tmp_path, monkeypatch):
+    """VERDICT r14 #1: when every attempt flags, the official row is the
+    per-query MINIMA across attempts — a single contended attempt (even the
+    one with the lowest catalog total) can never own the headline. The
+    flagship's ratio forms are recomputed from the attempt that produced
+    the minimum flagship, using that attempt's own same-box twin + calib."""
+    monkeypatch.setattr(bench, "_hist_path", lambda: str(tmp_path / "h.jsonl"))
+    # Attempt 1: contended wave — lowest TOTAL but worst flagship (the r14
+    # failure shape). Attempt 2: retry — faster flagship, slower elsewhere.
+    a1 = {
+        "value": 4.877, "queries": {"ais_flagship": 3.877, "q01": 1.0},
+        "contended": True, "loadavg_1min": 5.4,
+        "reference_batch_seconds": 1.373,
+        "reference_batch_seconds_samebox": 2.079,
+        "untimed_correctness_queries": ["q87"],
+    }
+    h1 = {
+        "queries": {"ais_flagship": 3.877, "q01_pricing_summary": 1.0},
+        "calib_drift_ratio": 1.35, "loadavg_1min": 5.4, "contended": True,
+    }
+    a2 = {
+        "value": 4.051, "queries": {"ais_flagship": 2.551, "q01": 1.5},
+        "suspect_uniform_inflation": 1.44,
+        "reference_batch_seconds": 1.373,
+        "reference_batch_seconds_samebox": 1.9,
+        "untimed_correctness_queries": ["q87"],
+    }
+    h2 = {
+        "queries": {"ais_flagship": 2.551, "q01_pricing_summary": 1.5},
+        "calib_drift_ratio": 1.3, "loadavg_1min": 3.0, "contended": False,
+    }
+    final = bench._composite_result([a1, a2], [h1, h2], 0.1)
+    assert final["composite_minima"] is True
+    assert final["all_attempts_flagged"] == 2
+    # per-query minima: flagship from attempt 2, q01 from attempt 1
+    assert final["queries"]["ais_flagship"] == 2.551
+    assert final["queries"]["q01"] == 1.0
+    assert final["value"] == round(2.551 + 1.0, 3)
+    # all three ratio forms, from the min-flagship attempt's session
+    assert final["flagship_vs_reference_ratio"] == round(2.551 / 1.373, 3)
+    assert final["flagship_vs_reference_ratio_driftnorm"] == round(
+        2.551 / 1.3 / 1.373, 3
+    )
+    assert final["reference_batch_seconds_samebox"] == 1.9
+    assert final["flagship_vs_reference_ratio_samebox"] == round(2.551 / 1.9, 3)
+    # contended only when ALL attempts were; loadavg reports min + max
+    assert "contended" not in final
+    assert final["loadavg_1min"] == 3.0
+    assert final["loadavg_1min_max"] == 5.4
+    assert final["untimed_correctness_queries"] == ["q87"]
+
+
+def test_composite_replay_of_r14_all_flagged_session():
+    """Replay the ACTUAL r14 bench session (the last three attempt rows in
+    committed bench_history.jsonl, all flagged at drift 1.35): the old
+    min-by-total selection published attempt 1's flagship 3.877 (raw ratio
+    2.824); the composite must carry the session minimum 2.551 instead."""
+    import json
+
+    rows = [
+        r
+        for r in bench._iter_history(0.1, bench._hist_path())
+        if 1786906000 <= r.get("ts", 0) <= 1786908000 and r.get("attempt")
+    ]
+    if len(rows) != 3:  # history file trimmed/regenerated — nothing to replay
+        import pytest
+
+        pytest.skip("r14 attempt rows not present in history")
+    attempts = [
+        {
+            "value": r["value"],
+            "queries": {"ais_flagship": r["queries"]["ais_flagship"]},
+            "contended": r.get("contended", False),
+        }
+        for r in rows
+    ]
+    final = bench._composite_result(attempts, rows, 0.1)
+    flagships = [r["queries"]["ais_flagship"] for r in rows]
+    assert final["queries"]["ais_flagship"] == min(flagships) == 2.551
+    # the composite total is <= every single attempt's total
+    assert final["value"] <= min(r["value"] for r in rows)
+    # the r14 defect: min-by-total picked attempt 1 (worst flagship)
+    old_pick = min(rows, key=lambda r: r["value"])
+    assert old_pick["queries"]["ais_flagship"] == 3.877  # what used to ship
