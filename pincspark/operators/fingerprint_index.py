@@ -1,0 +1,242 @@
+"""Persistent banded perceptual-fingerprint index: incremental near-dup
+for media batches — the fingerprint twin of `text_index.py` (q107) and
+`ann_index.py` (q112).
+
+The batch perceptual tiers (q111 image dhash, q113 audio contour hash)
+re-hash the FULL corpus every run; a real crawl pipeline near-dups each
+NEW media batch against history without rescanning it (VERDICT r14 #2 —
+the one incremental regime the pipeline was missing). This module
+persists the banded fingerprint table once and folds batches in O(batch):
+
+- ``<path>/bands`` — (media_id, fhash, band, slice), WRITTEN PARTITIONED
+  BY ``pb`` (partition bucket = band * n_buckets + slice mod n_buckets):
+  a batch's candidate lookup pushes ``pb IN (...)`` into the scan as a
+  PARTITION filter and physically reads only the band buckets the batch
+  fingerprints land in — never the corpus-wide table (pruning asserted in
+  tests/test_fingerprint_index.py). History MEDIA (pixels/samples) are
+  never re-read: only 64-bit fingerprints live here.
+
+Modality-agnostic by design: callers hand in an already-hashed
+(id, fingerprint) frame — `image_hash.decode_image_hashes` for rasters,
+`audio_hash.decode_audio_hashes` for clips, `dedup.simhash` for text —
+so ONE persisted index discipline serves every perceptual tier, the same
+way `dedup.banded_hamming_pairs` is the one in-memory banding all three
+modalities share.
+
+Exactness: identical pigeonhole argument as `banded_hamming_pairs` —
+with ``bands`` bands over ``bits`` bits, any pair at hamming <=
+``bands - 1`` agrees exactly on at least one band slice, so the
+band-bucket equi-join generates every qualifying candidate and the full
+64-bit hamming check keeps exactly the true pairs. NULL fingerprints
+(e.g. empty-but-decodable clips) produce NULL slices and fall out of the
+equi-join for free.
+
+Scale (100 TB): the build pays one banding shuffle over fingerprints
+ONCE; an update hashes only the batch (narrow, upstream of this module),
+appends its band rows into the partitioned table (history files
+untouched — path+mtime-pinned in tests), and generates pairs with one
+partition-pruned join whose left side is the batch. Nothing is ever
+all-pairs; the per-bucket ``max_bucket_size`` cap bounds a degenerate
+bucket (near-uniform corpora sit orders of magnitude under it) with the
+same skip semantics as `banded_hamming_pairs`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pincspark.planhooks import record_staged_plan
+
+
+def banded_fingerprints(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "fhash",
+    bits: int = 64,
+    bands: int = 4,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(media_id, fhash, band, slice, pb) — one row per (row, band).
+
+    Same band/slice arithmetic as `dedup.banded_hamming_pairs` (shift +
+    mask, signed-safe); ``pb`` folds (band, slice) onto
+    ``bands * n_buckets`` partition buckets so the persisted table has a
+    bounded directory count while a lookup still prunes to the buckets
+    it touches."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("slice"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        hashed.select(
+            F.col(id_col).alias("media_id"),
+            F.col(hash_col).alias("fhash"),
+            F.explode(band_structs).alias("bs"),
+        )
+        .select("media_id", "fhash", "bs.band", "bs.slice")
+        .withColumn(
+            "pb",
+            (
+                F.col("band") * F.lit(n_buckets)
+                + F.pmod(F.col("slice"), F.lit(n_buckets))
+            ).cast("int"),
+        )
+    )
+
+
+def build_fingerprint_index(
+    hashed: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    hash_col: str = "fhash",
+    bits: int = 64,
+    bands: int = 4,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the banded fingerprint table, partitioned by ``pb``. The
+    corpus fingerprints are banded exactly once; every later update or
+    lookup reads only the partitions it probes."""
+    banded = banded_fingerprints(hashed, id_col, hash_col, bits, bands, n_buckets)
+    record_staged_plan(banded, "fp_index:build")
+    banded.write.mode("overwrite").partitionBy("pb").parquet(f"{path}/bands")
+
+
+def fingerprint_pairs_for_batch(
+    spark: SparkSession,
+    path: str,
+    batch_hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "fhash",
+    bits: int = 64,
+    bands: int = 4,
+    n_buckets: int = 64,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the batch, against a persisted index that
+    already contains the batch (the serving half of
+    :func:`update_fingerprint_index`, separated so repeat servings never
+    re-append): (id_a < id_b, hamming). Covers batch-vs-history AND
+    batch-vs-batch in one partition-pruned join; history-history pairs
+    are structurally absent (the left side is always a batch row).
+
+    The probed partition buckets are collected driver-side from the
+    batch's banded frame — bounded by ``bands * n_buckets`` values
+    (256 at the defaults) regardless of batch size — and pushed as a
+    partition ``IN`` filter, so the index scan reads only those buckets'
+    files."""
+    batch = banded_fingerprints(
+        batch_hashed, id_col, hash_col, bits, bands, n_buckets
+    )
+    pbs = [
+        r["pb"]
+        for r in batch.select("pb").distinct().collect()
+        if r["pb"] is not None
+    ]
+    idx = spark.read.parquet(f"{path}/bands").filter(F.col("pb").isin(pbs))
+    # Bucket cap, the banded_hamming_pairs discipline: a degenerate
+    # (band, slice) bucket (near-constant fingerprints) would make this
+    # join |batch_bucket| x |bucket|; buckets over the cap are skipped
+    # (bounded work beats unbounded exactness on pathological corpora —
+    # the skip is the documented semantics, mirrored in the cap tests).
+    # DISTINCT media ids, not rows: a crash-retried streaming append may
+    # leave duplicate band rows in the store (pairs stay exact through
+    # the final .distinct()); the cap must measure bucket POPULATION,
+    # not append history.
+    sizes = (
+        idx.groupBy("band", "slice")
+        .agg(F.count_distinct("media_id").alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .select("band", "slice")
+    )
+    ok = idx.join(F.broadcast(sizes), ["band", "slice"]).select(
+        "band",
+        "slice",
+        F.col("media_id").alias("__oid"),
+        F.col("fhash").alias("__oh"),
+    )
+    cand = batch.select(
+        "band",
+        "slice",
+        F.col("media_id").alias("__bid"),
+        F.col("fhash").alias("__bh"),
+    ).join(ok, ["band", "slice"])
+    return (
+        cand.filter(F.col("__bid") != F.col("__oid"))
+        .select(
+            F.least("__bid", "__oid").alias("id_a"),
+            F.greatest("__bid", "__oid").alias("id_b"),
+            F.bit_count(
+                F.col("__bh").bitwiseXOR(F.col("__oh"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def update_fingerprint_index(
+    spark: SparkSession,
+    batch_hashed: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    hash_col: str = "fhash",
+    bits: int = 64,
+    bands: int = 4,
+    n_buckets: int = 64,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Fold a NEW media batch into a persisted fingerprint index and
+    return the near-dup pairs it creates — the steady-state crawl
+    operation (VERDICT r14 #2): O(batch + probed buckets), history media
+    never re-hashed, history index files never rewritten (appended
+    partitions get NEW files only; path+mtime-pinned in tests).
+
+    Precondition (the `update_text_index` / `dedup_snapshot` contract):
+    batch media ids must be NEW — append-only corpus growth; screen
+    re-crawls upstream with `dedup_incremental`. Under it, the updated
+    index is row-identical to a rebuild over old ∪ batch, and the
+    returned pairs equal the brute-force pairs over old ∪ batch
+    restricted to pairs touching the batch (pinned in
+    tests/test_fingerprint_index.py; oracle-gated end-to-end by q115).
+
+    The HASHED batch is staged eagerly (two consumers — the append and
+    the pair join — must not re-run the upstream decode kernel; the
+    banding itself is a narrow explode, cheap to do twice)."""
+    from pincspark.staging import stage
+
+    batch_hashed = stage(
+        batch_hashed.select(F.col(id_col), F.col(hash_col)),
+        "fp_index:update-batch",
+        eager=True,
+    )
+    banded_fingerprints(
+        batch_hashed, id_col, hash_col, bits, bands, n_buckets
+    ).write.mode("append").partitionBy("pb").parquet(f"{path}/bands")
+    # The index read inside the pair join happens AFTER the append, so
+    # one join sees old ∪ batch: batch-vs-history pairs arrive once,
+    # batch-vs-batch twice ((a,b) and (b,a)) — least/greatest + distinct
+    # collapse both.
+    return fingerprint_pairs_for_batch(
+        spark,
+        path,
+        batch_hashed,
+        id_col,
+        hash_col,
+        bits,
+        bands,
+        n_buckets,
+        max_hamming,
+        max_bucket_size,
+    )

@@ -6632,6 +6632,34 @@ GROUP BY status
 ORACLE_Q110 = _q110_oracle()
 
 
+def _mint_raster_stream(seed: str, n: int = 14) -> str:
+    """432-char APERIODIC byte stream for the minted 18x8 rasters of the
+    perceptual-tier corpora (q111/q114/q115): 14 chained md5 digests,
+    truncated. Replaces the r14 ``(md5(seed) * 14)[:432]`` construction,
+    whose 32-char period made every raster a phase-shifted repeat of one
+    digest — the 64 dhash comparison bits then collapsed onto ~16
+    independent phases and the corpus' distinct-hash count flattened
+    (measured at the 64x probe: 30k docs -> 9,577 distinct dhashes, top
+    cluster 47, ~16M accidental hamming-0 pairs corpus-wide — a
+    QUADRATIC pair tier that OOM'd q114's composition; the chained
+    stream restores 29,627/30,000 distinct with max cluster 2 = exactly
+    the planted twins). Mirrored in SQL by :func:`_mint_raster_stream_sql`.
+    """
+    import hashlib
+
+    return "".join(
+        hashlib.md5(f"{seed}#{i}".encode("utf-8")).hexdigest()
+        for i in range(n)
+    )[:432]
+
+
+def _mint_raster_stream_sql(seed_expr: str, n: int = 14) -> str:
+    """DuckDB twin of :func:`_mint_raster_stream`: concatenated chained
+    md5s of ``seed_expr`` (a SQL string expression), truncated to 432."""
+    parts = " || ".join(f"md5(({seed_expr}) || '#{i}')" for i in range(n))
+    return f"substring({parts}, 1, 432)"
+
+
 def q111_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash IMAGE near-duplicate pairs — the dedup tier a
     multimodal curation run needs that neither exact bytes nor text
@@ -6657,7 +6685,6 @@ def q111_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: mint+decode+hash is one narrow Arrow stage; only 64-bit
     fingerprints shuffle, once, on (band, slice)."""
-    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
@@ -6671,9 +6698,9 @@ def q111_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for row in pdf.itertuples(index=False):
-                hexd = hashlib.md5(row.text.encode("utf-8")).hexdigest()
                 ras = np.frombuffer(
-                    (hexd * 14)[:432].encode("ascii"), dtype=np.uint8
+                    _mint_raster_stream(row.text).encode("ascii"),
+                    dtype=np.uint8,
                 ).reshape(8, 18, 3)
                 did = int(row.doc_id)
                 rows.append((did, png_encode(ras, did % 5, interlace=bool(did % 2))))
@@ -6704,7 +6731,7 @@ def _q111_oracle() -> str:
     h = dhash_sql("ras", width=18, height=8).replace(
         "__ras__",
         "(SELECT doc_id AS media_id, "
-        "substring(repeat(md5(text), 14), 1, 432) AS ras FROM documents)",
+        f"{_mint_raster_stream_sql('text')} AS ras FROM documents)",
     )
     return f"""
 WITH h AS (
@@ -6727,18 +6754,21 @@ ORACLE_Q111 = _q111_oracle()
 _ANN_UPDATE_CACHE: dict[tuple, str] = {}
 
 
-def _ann_update_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
-    """Cache key for q112's built-once index (VERDICT r14 #7 + ADVICE r14
-    #3): (applicationId, sf_dir, embeddings fingerprint). The module
-    global outlives Spark sessions AND input regenerations —
+def _ann_update_cache_key(
+    spark: SparkSession, sf_dir: str, table_name: str = "embeddings"
+) -> tuple:
+    """Cache key for a built-once per-process index (q112's IVF fold,
+    q115's fingerprint store; VERDICT r14 #7 + ADVICE r14 #3):
+    (applicationId, sf_dir, input-table fingerprint). The module global
+    outlives Spark sessions AND input regenerations —
     - applicationId: a second session in one process must not serve
       tempdir files the first session wrote;
-    - mtime/size fingerprint: a test fixture that regenerates
-      embeddings.parquet under the same sf_dir must trigger a rebuild,
-      not stale-index parity breaks."""
+    - mtime/size fingerprint: a test fixture that regenerates the input
+      parquet under the same sf_dir must trigger a rebuild, not
+      stale-index parity breaks."""
     import os
 
-    p = os.path.join(sf_dir, "embeddings.parquet")
+    p = os.path.join(sf_dir, f"{table_name}.parquet")
     sig: tuple
     try:
         st = os.stat(p)
@@ -6752,7 +6782,7 @@ def _ann_update_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
             sig = (st.st_mtime_ns, st.st_size)
     except OSError:
         sig = ()
-    return (spark.sparkContext.applicationId, sf_dir, sig)
+    return (spark.sparkContext.applicationId, sf_dir, table_name, sig)
 
 
 def q112_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6992,9 +7022,8 @@ def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 d = int(row.doc_id)
                 seed = f"img{d // 9}" if d % 9 in (4, 5) else row.text
-                hexd = hashlib.md5(seed.encode("utf-8")).hexdigest()
                 ras = np.frombuffer(
-                    (hexd * 14)[:432].encode("ascii"), dtype=np.uint8
+                    _mint_raster_stream(seed).encode("ascii"), dtype=np.uint8
                 ).reshape(8, 18, 3)
                 rows.append((d, png_encode(ras, d % 5, interlace=bool(d % 2))))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
@@ -7036,9 +7065,20 @@ def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blew a single JVM's heap, while staged one-at-a-time the same
     # workload fits (peak memory is max-of-tiers, not sum-of-tiers;
     # pairs frames are id-pairs only, KBs per million docs).
+    # The GC pulse after each stage frees the JUST-FINISHED tier's
+    # internal checkpoint/broadcast blocks (the rebind above drops the
+    # last reference to its pre-stage plan), so the composition's peak
+    # retained storage is ONE tier's working set + three KB-scale pairs
+    # frames — this is what lets the 64x probe fit the default 8g heap
+    # (VERDICT r14 #3; without the pulses it needed 24g).
+    from pincspark.staging import release_unreferenced_blocks
+
     tpairs = stage(tpairs, "q114:text_pairs", eager=True)
+    release_unreferenced_blocks(spark)
     ipairs = stage(ipairs, "q114:image_pairs", eager=True)
+    release_unreferenced_blocks(spark)
     apairs = stage(apairs, "q114:audio_pairs", eager=True)
+    release_unreferenced_blocks(spark)
     pairs = tpairs.unionByName(ipairs).unionByName(apairs)
     clusters = dedup_clusters(pairs)
     return (
@@ -7055,11 +7095,13 @@ def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q114_oracle() -> str:
     from pincspark.operators.image_hash import dhash_sql
 
-    img_src = (
-        "(SELECT doc_id AS media_id, substring(repeat(md5("
+    img_seed = (
         "CASE WHEN doc_id % 9 IN (4, 5) "
         "THEN 'img' || CAST(doc_id // 9 AS VARCHAR) ELSE text END"
-        "), 14), 1, 432) AS ras FROM documents)"
+    )
+    img_src = (
+        "(SELECT doc_id AS media_id, "
+        f"{_mint_raster_stream_sql(img_seed)} AS ras FROM documents)"
     )
     ih = dhash_sql("ras", width=18, height=8).replace("__ras__", img_src)
     return f"""
@@ -7108,6 +7150,156 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 
 
 ORACLE_Q114 = _q114_oracle()
+
+
+_FP_UPDATE_CACHE: dict[tuple, str] = {}
+
+
+def q115_fingerprint_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCEPTUAL dedup — the fingerprint twin of q107 (text
+    index fold) and q112 (ANN fold), closing VERDICT r14 #2: q111/q113
+    re-hash the full media corpus every run; a crawl pipeline must
+    near-dup each NEW batch against history without rescanning it.
+
+    Corpus: every document mints an image from a seed raster (the q111
+    18x8 md5 mint). EVEN doc_ids are HISTORY (PNG across filter/interlace
+    variants); ODD doc_ids arrive as the new crawl BATCH, encoded as BMP
+    of the 2x pixel-replicated raster — a different container AND a
+    different scale, so every cross twin is earned through both codecs
+    plus the dhash replication invariance. Planted twins by seed sharing:
+
+        doc_id % 10 in (6, 7): cross pair  (6=history PNG, 7=batch BMP)
+        doc_id % 10 in (1, 3): batch-batch pair (both BMP)
+        doc_id % 10 in (2, 4): history-history pair — must NOT surface
+                               (the update only emits pairs touching the
+                               batch; a leak here means the incremental
+                               path rescanned history)
+
+    Engine: history dhashes -> `build_fingerprint_index` (banded table
+    partitioned by pb, built ONCE per process via the q112 cache
+    discipline); the batch folds in with `update_fingerprint_index` —
+    O(batch), history media never re-decoded, history index files
+    path+mtime untouched (tests/test_fingerprint_index.py); repeat runs
+    serve `fingerprint_pairs_for_batch` against the updated store. The
+    oracle is BRUTE-FORCE all-pairs over old ∪ batch restricted to pairs
+    touching the batch — the engine's partition-pruned banded path must
+    reproduce the exhaustive answer.
+
+    100 TB: the batch hashes in one narrow Arrow stage; candidate lookup
+    reads only the (band, slice) partition buckets the batch touches;
+    nothing re-reads history pixels. Reference: the reference has no
+    incremental media tier; this is the steady-state crawl form of q111.
+    """
+    import atexit
+    import shutil
+    import tempfile
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.dedup import _spread
+    from pincspark.operators.fingerprint_index import (
+        build_fingerprint_index,
+        fingerprint_pairs_for_batch,
+        update_fingerprint_index,
+    )
+    from pincspark.operators.image_hash import decode_image_hashes
+    from pincspark.operators.multimodal import bmp_encode, png_encode
+
+    def _mint(parity: int):
+        def _go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    d = int(row.doc_id)
+                    if d % 2 != parity:
+                        continue
+                    m = d % 10
+                    if m in (6, 7):
+                        seed = f"xm{d // 10}"
+                    elif m in (1, 3):
+                        seed = f"bm{d // 10}"
+                    elif m in (2, 4):
+                        seed = f"hm{d // 10}"
+                    else:
+                        seed = row.text
+                    ras = np.frombuffer(
+                        _mint_raster_stream(seed).encode("ascii"),
+                        dtype=np.uint8,
+                    ).reshape(8, 18, 3)
+                    if parity == 0:
+                        blob = png_encode(
+                            ras, d % 5, interlace=bool((d // 2) % 2)
+                        )
+                    else:
+                        twin = ras.repeat(2, axis=0).repeat(2, axis=1)
+                        blob = bmp_encode(twin)
+                    rows.append((d, blob))
+                yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+        return _go
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def _hashed(parity: int) -> DataFrame:
+        media = docs.mapInPandas(
+            _mint(parity), "media_id BIGINT, content BINARY"
+        ).withColumn("kind", F.lit("image"))
+        return decode_image_hashes(media, strict=True).select(
+            "media_id", F.col("dhash").alias("fhash")
+        )
+
+    key = _ann_update_cache_key(spark, sf_dir, "documents")
+    path = _FP_UPDATE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pincspark_fp_upd_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_fingerprint_index(_hashed(0), path)
+        pairs = update_fingerprint_index(spark, _hashed(1), path)
+        _FP_UPDATE_CACHE[key] = path
+    else:
+        # Steady-state serving: the store already contains old ∪ batch;
+        # re-hash the batch (narrow, deterministic) and probe the pruned
+        # buckets — never re-append (idempotence pinned in tests).
+        pairs = fingerprint_pairs_for_batch(spark, path, _hashed(1))
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _q115_oracle() -> str:
+    from pincspark.operators.image_hash import dhash_sql
+
+    # Twin exactness: the batch's 2x-replicated BMP shares the base
+    # raster's dhash BY THE OPERATOR'S INVARIANCE (q111's argument), so
+    # the oracle computes every hash once from the 8x18 seed bytes while
+    # the engine must earn them through both real codecs at two scales.
+    seed = (
+        "CASE "
+        "WHEN doc_id % 10 IN (6, 7) THEN 'xm' || CAST(doc_id // 10 AS VARCHAR) "
+        "WHEN doc_id % 10 IN (1, 3) THEN 'bm' || CAST(doc_id // 10 AS VARCHAR) "
+        "WHEN doc_id % 10 IN (2, 4) THEN 'hm' || CAST(doc_id // 10 AS VARCHAR) "
+        "ELSE text END"
+    )
+    src = (
+        "(SELECT doc_id AS media_id, "
+        f"{_mint_raster_stream_sql(seed)} AS ras FROM documents)"
+    )
+    h = dhash_sql("ras", width=18, height=8).replace("__ras__", src)
+    return f"""
+WITH h AS (
+  {h}
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 3
+  AND (a.media_id % 2 = 1 OR b.media_id % 2 = 1)
+"""
+
+
+ORACLE_Q115 = _q115_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -7426,10 +7618,19 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # NEW r12 (in-window at registration; q75_kmv_distinct rotates out —
     # green r9/r10/r11 rows, re-simmed on current code; the KMV estimator
     # core keeps two in-window gates via q83 join-size + q84 quantiles,
-    # and the frequency-sketch tier adds q98): leakage-safe group-holdout
-    # split — NEW operator (sampling.group_holdout_split), the modular
-    # CASE arithmetic mirrored verbatim into the oracle
-    "q100_holdout_split": (q100_holdout_split, _q100_oracle()),
+    # NEW r15 (in-window at registration; q100_holdout_split rotates
+    # out — green r12-r14 rows; its md5-CASE split machinery stays
+    # hard-gated in-window through q109's cluster-aware holdout, which
+    # composes the same sampling draw): incremental perceptual dedup —
+    # a NEW media batch folds into a persisted (band,slice)-partitioned
+    # fingerprint store (operators/fingerprint_index.py), emitting
+    # batch-vs-history + batch-vs-batch pairs via partition-pruned
+    # joins; history files path+mtime untouched; oracle is brute-force
+    # over old ∪ batch restricted to pairs touching the batch
+    "q115_fingerprint_index_update": (
+        q115_fingerprint_index_update,
+        ORACLE_Q115,
+    ),
     # NEW r12 (in-window at registration; q80_cohort_retention rotates
     # out — green r9/r10/r11 rows, re-simmed on current code; a native
     # date-trunc window agg whose cohort/window shapes stay in-window via
@@ -7476,6 +7677,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # window funnel over events, green r10+r11 rows; the window tier
     # stays gated in-window via q78/q84/q89
     "q79_funnel": (q79_funnel, ORACLE_Q79),
+    # rotated out r15 for q115 (incremental fingerprint index): green
+    # r12-r14 rows; leakage-safe group-holdout split whose md5-CASE draw
+    # stays hard-gated in-window through q109's cluster-aware holdout
+    # (sampling.group_holdout_split is the same code path)
+    "q100_holdout_split": (q100_holdout_split, _q100_oracle()),
     # rotated out r14 for q111 (image perceptual near-dup): green r1-r13
     # rows; its banded Hamming-pair machinery now runs in-window through
     # q111 (same banded_hamming_pairs code path), and the simhash fold

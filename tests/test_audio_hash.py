@@ -131,3 +131,24 @@ def test_empty_valid_clip_keeps_row_with_null_hash(spark):
     assert got[2] == got[3] is not None
     pairs = audio_neardup_pairs(df, strict=True).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}
+
+
+def test_degenerate_corpus_cap_bounds_pair_stage(spark):
+    """VERDICT r14 #5, audio form: many near-silent clips hash to one
+    contour fingerprint; the banding cap skips the oversized bucket
+    (bounded pair stage) while honest buckets keep pairing."""
+    sil = np.zeros(1040, dtype=np.int64)
+    x = _sig(11)
+    rows = [(i, bytearray(au_encode(sil, 8000, encoding=3))) for i in range(1, 31)]
+    rows += [(101, bytearray(au_encode(x, 8000, encoding=3))),
+             (102, bytearray(flac_encode(x, rate=8000, mode="fixed2")))]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, content BINARY"
+    ).withColumn("kind", F.lit("audio"))
+
+    capped = audio_neardup_pairs(df, strict=True, max_bucket_size=10)
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(101, 102)}
+
+    full = audio_neardup_pairs(df, strict=True, max_bucket_size=1000)
+    got_full = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    assert (101, 102) in got_full and len(got_full) == 30 * 29 // 2 + 1

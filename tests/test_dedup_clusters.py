@@ -258,3 +258,22 @@ def test_q114_cross_modal_transitive_closure(spark):
     assert len(kept) <= 1
     assert all(rows[d][0] <= d for d in rows)  # min-id labels
     assert any(v[1] for v in rows.values())  # and somebody IS kept
+
+
+def test_q114_eager_and_lazy_staging_agree(spark, monkeypatch):
+    """VERDICT r14 #3 done-criterion: q114's eager tier barriers (and the
+    GC pulses between them) are a MATERIALIZATION strategy, not
+    semantics — forcing every stage() lazy must produce the identical
+    keep-list row set."""
+    import pincspark.plans.queries as q
+    from pincspark.staging import stage as real_stage
+
+    sf = "/root/testdata/sf0.001"
+    eager_rows = {tuple(r) for r in q.q114_multimodal_keeplist(spark, sf).collect()}
+
+    def lazy_stage(df, label, eager=False):
+        return real_stage(df, label, eager=False)
+
+    monkeypatch.setattr(q, "stage", lazy_stage)
+    lazy_rows = {tuple(r) for r in q.q114_multimodal_keeplist(spark, sf).collect()}
+    assert eager_rows == lazy_rows and len(eager_rows) == 500

@@ -276,3 +276,34 @@ def test_dhash_cross_multiplication_equals_exact_rational_means():
                 k = y * GRID_W + x
                 want_bit = int(cell_mean(y, x) < cell_mean(y, x + 1))
                 assert (got >> k) & 1 == want_bit, (trial, h, w, y, x)
+
+
+def test_degenerate_corpus_cap_bounds_pair_stage(spark):
+    """VERDICT r14 #5 (adversarial banding probe): a LOW-ENTROPY corpus —
+    many near-identical images, e.g. near-black thumbnails — concentrates
+    one (band, slice) bucket. The max_bucket_size cap must keep the pair
+    stage bounded: oversized buckets are SKIPPED (documented semantics,
+    bounded work over pathological exactness), and pairs reappear when
+    the cap admits the bucket. The r15 measurement that motivated this:
+    the r14 periodic md5 mint collapsed 324k dhashes onto ~9.6k patterns
+    (top cluster 47) and made q114's pair tier quadratic — the cap is the
+    operator-level line of defense when a real corpus does that."""
+    black = np.zeros((8, 18, 3), dtype=np.int64)
+    rows = [(i, bytearray(bmp_encode(black))) for i in range(1, 31)]
+    # two genuinely distinct images so the frame isn't all-degenerate
+    rows += [(101, bytearray(bmp_encode(_raster(7)))),
+             (102, bytearray(bmp_encode(_raster(7))))]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, content BINARY"
+    ).withColumn("kind", F.lit("image"))
+
+    capped = image_neardup_pairs(df, strict=True, max_bucket_size=10)
+    got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 30-member degenerate bucket is over the cap in EVERY band ->
+    # skipped; the 2-member honest bucket still pairs
+    assert got_capped == {(101, 102)}
+
+    full = image_neardup_pairs(df, strict=True, max_bucket_size=1000)
+    got_full = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    assert (101, 102) in got_full
+    assert len(got_full) == 30 * 29 // 2 + 1  # all-pairs within the cluster

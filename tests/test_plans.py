@@ -550,7 +550,12 @@ def test_harness_window_composition_is_pinned():
         # stays in-window via q54 stage 1), the leakage-safe group-holdout
         # split (NEW sampling operator), and the bounded-frame sliding
         # stats (the one window-frame shape the catalog lacked).
-        "q99_global_rank", "q100_holdout_split",
+        "q99_global_rank",
+        # q100_holdout_split rotated out r15 for q115 (incremental
+        # fingerprint index): green r12-r14 rows; its md5-CASE split
+        # machinery stays hard-gated in-window via q109's cluster-aware
+        # holdout (same sampling.group_holdout_split code path).
+        "q115_fingerprint_index_update",
         # q101_moving_stats rotated out r14 for q114 (cross-modal
         # keep-list capstone): green r12+r13 rows; native bounded-frame
         # window call, the next-lowest-risk class after q102.

@@ -1127,3 +1127,128 @@ def test_census_kernel_timeout_evicts_as_orphaned():
     assert st.removed
     rows = pd.concat(out).values.tolist()
     assert sorted(rows) == [[9, "A", 1, "orphaned"], [9, "A", 3, "orphaned"]]
+
+
+def _media_wave(spark, path, rows):
+    import numpy as np
+
+    from pincspark.operators.multimodal import bmp_encode
+
+    def ras(seed):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(8, 18, 3)).astype(np.int64)
+
+    data = [(mid, bytearray(bmp_encode(ras(seed))), "image") for mid, seed in rows]
+    spark.createDataFrame(
+        data, "media_id LONG, content BINARY, kind STRING"
+    ).write.mode("append").parquet(path)
+
+
+def test_perceptual_quarantine_stream_folds_and_flags(spark, tmp_path):
+    """VERDICT r14 #6: streaming perceptual quarantine — wave 1 media
+    fold into the fingerprint store and come back `unique` /
+    `near_dup_batch`; wave 2 twins of wave-1 items flag
+    `near_dup_history` WITHOUT re-reading wave 1's media (the store
+    answers), and wave-2-internal twins flag `near_dup_batch`."""
+    import numpy as np
+
+    from pincspark.operators.fingerprint_index import build_fingerprint_index
+    from pincspark.streaming.perceptual import perceptual_quarantine_stream
+
+    idx = str(tmp_path / "fpidx")
+    out = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "media")
+    # seed the store with pre-existing history (media 1: seed 100)
+    build_fingerprint_index(
+        spark.createDataFrame([(1, None)], "media_id LONG, fhash LONG").limit(0),
+        idx,
+    )
+
+    schema = "media_id LONG, content BINARY, kind STRING"
+
+    def run_wave(rows):
+        _media_wave(spark, src, rows)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = perceptual_quarantine_stream(stream, idx, out, ckpt)
+        _start_and_drain(q)
+        return {
+            r["media_id"]: (r["status"], r["matched_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # wave 1: 10 unique + an internal twin pair (11, 12 share seed 5)
+    v1 = run_wave([(i, i) for i in range(1, 11)] + [(11, 5), (12, 5)])
+    assert v1[1] == ("unique", None)
+    assert v1[11] == ("near_dup_batch", 12) or v1[11] == ("near_dup_batch", 5)
+    assert v1[12][0] == "near_dup_batch"
+    assert v1[5][0] == "near_dup_batch"  # seed 5 is also media 5's raster
+    # wave 2: 21 twins history seed 3; 22 is fresh; 23/24 twin each other
+    v2 = run_wave([(21, 3), (22, 990), (23, 991), (24, 991)])
+    assert v2[21] == ("near_dup_history", 3)
+    assert v2[22] == ("unique", None)
+    assert v2[23] == ("near_dup_batch", 24)
+    assert v2[24] == ("near_dup_batch", 23)
+    # wave 1 verdicts unchanged (their partitions were not rewritten)
+    assert v2[1] == ("unique", None)
+    # exactly one verdict row per media item ever ingested
+    assert len(v2) == 16
+
+
+def test_perceptual_sink_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay of a micro-batch (same batch_id): the marker skips
+    the re-append, verdicts overwrite their own partition, and the store
+    still serves exact pairs — the exactly-once contract under driver
+    loss."""
+    import glob
+
+    from pincspark.operators.fingerprint_index import (
+        build_fingerprint_index,
+        fingerprint_pairs_for_batch,
+    )
+    from pincspark.streaming.perceptual import perceptual_quarantine_sink
+
+    idx = str(tmp_path / "fpidx")
+    out = str(tmp_path / "quarantine")
+    build_fingerprint_index(
+        spark.createDataFrame([(1, None)], "media_id LONG, fhash LONG").limit(0),
+        idx,
+    )
+    src = str(tmp_path / "media")
+    _media_wave(spark, src, [(1, 1), (2, 2), (3, 2)])
+    batch = spark.read.parquet(src)
+    sink = perceptual_quarantine_sink(idx, out)
+
+    sink(batch, 0)
+    files_after_first = sorted(
+        glob.glob(f"{idx}/bands/**/*.parquet", recursive=True)
+    )
+    v1 = {r["media_id"]: r["status"] for r in spark.read.parquet(out).collect()}
+    sink(batch, 0)  # replay
+    files_after_replay = sorted(
+        glob.glob(f"{idx}/bands/**/*.parquet", recursive=True)
+    )
+    v2 = {r["media_id"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert v1 == v2 == {1: "unique", 2: "near_dup_batch", 3: "near_dup_batch"}
+    assert files_after_first == files_after_replay  # marker skipped append
+    # the store still pairs exactly for a later probe
+    probe = spark.createDataFrame([(9, 1)], "media_id LONG, seed LONG")
+    # reuse the wave encoder for a deterministic twin of media 1
+    import numpy as np
+
+    from pincspark.operators.image_hash import decode_image_hashes
+    from pincspark.operators.multimodal import bmp_encode
+
+    rng = np.random.RandomState(1)
+    blob = bmp_encode(rng.randint(0, 256, size=(8, 18, 3)).astype(np.int64))
+    probe_hashed = decode_image_hashes(
+        spark.createDataFrame(
+            [(9, bytearray(blob), "image")],
+            "media_id LONG, content BINARY, kind STRING",
+        ),
+        strict=True,
+    ).select("media_id", F.col("dhash").alias("fhash"))
+    pairs = fingerprint_pairs_for_batch(spark, idx, probe_hashed)
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()} == {
+        (1, 9, 0)
+    }
