@@ -78,12 +78,15 @@ def audio_contour_hash(x: np.ndarray) -> int | None:
         return None
     edges = np.linspace(0, n, BLOCKS + 2).astype(int)
     a = np.abs(np.asarray(x, dtype=np.float64))
-    sums = [float(a[edges[i]:edges[i + 1]].sum()) for i in range(BLOCKS + 1)]
-    counts = [max(int(edges[i + 1] - edges[i]), 1) for i in range(BLOCKS + 1)]
-    bits = [
-        int(sums[k] * counts[k + 1] < sums[k + 1] * counts[k])
-        for k in range(BLOCKS)
-    ]
+    widths = np.diff(edges)
+    # reduceat sums segment [edges[i], edges[i+1]); a REPEATED edge
+    # (empty segment, n < BLOCKS + 1) makes reduceat return a[edges[i]]
+    # instead of the loop's 0.0 — mask those back to zero so the
+    # vectorized form is bit-identical to the original slice loop.
+    sums = np.add.reduceat(a, edges[:-1])
+    sums[widths == 0] = 0.0
+    counts = np.maximum(widths, 1).astype(np.float64)
+    bits = (sums[:-1] * counts[1:] < sums[1:] * counts[:-1]).astype(int)
     return _pack_bits(bits)
 
 

