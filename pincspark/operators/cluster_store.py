@@ -1,0 +1,219 @@
+"""Persistent dedup-cluster store with O(batch) incremental maintenance —
+the missing last stage of the incremental crawl pipeline.
+
+`dedup_clusters` (q42/q109/q114) computes a near-dup keep-list from
+scratch; `update_fingerprint_index` (q115) finds the PAIRS a new crawl
+batch creates without rescanning history. This module closes the loop:
+fold those pairs into PERSISTED cluster labels so the keep-list itself
+is maintained incrementally — including the hard case, a batch document
+BRIDGING two previously-distinct history clusters, which must merge
+them without rewriting the corpus-wide label table.
+
+Layout:
+
+- ``<path>/labels``    — (node, cluster_id) APPEND-ONLY, partitioned by
+  ``nb`` (xxhash64 of node mod n_buckets): point lookups of a batch's
+  pair partners push ``nb IN (...)`` as a partition filter; history
+  files are never rewritten (path+mtime-pinned in tests).
+- ``<path>/redirects`` — (old_root, new_root), the merge overlay: when
+  a fold merges clusters, the losing roots REDIRECT instead of their
+  members being rewritten. Kept transitively compacted (depth 1): each
+  fold first re-maps existing targets through the new merge mapping, so
+  serving is ONE broadcast join, never an iterative chase. Bounded by
+  the number of merges ever performed — orders of magnitude smaller
+  than the label table — and crash-safe-swapped (the J5 tmp/aside/
+  rename discipline shared with `text_index._swap`).
+
+Semantics: cluster_id of every node equals the MINIMUM node id of its
+full connected component — exactly `dedup_clusters`' labels — so an
+incremental fold is row-identical to a from-scratch recompute over all
+pairs ever seen (pinned in tests; oracle-gated end-to-end by q116,
+whose oracle replays the full recursive closure in SQL).
+
+Precondition (the `update_text_index` / `update_fingerprint_index`
+contract): batch node ids are NEW. Pairs must each touch the batch —
+exactly what `update_fingerprint_index` emits.
+
+Scale: a fold reads only the pruned label buckets of the batch's pair
+partners plus the (small, broadcast) redirect sidecar; the condensed
+merge graph has at most one node per touched cluster + batch node and
+resolves with the same size-gated driver/distributed union-find as
+`dedup_clusters`; the append touches only the batch's buckets. Nothing
+is ever O(history).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pincspark.planhooks import record_staged_plan
+
+
+def _nb(col: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _swap(frame: DataFrame, live: str) -> None:
+    """Crash-safe sidecar replacement: write tmp, rename live aside,
+    rename tmp in, drop aside — recovering a crash between renames."""
+    tmp, old = live + ".__tmp__", live + ".__old__"
+    if os.path.exists(old) and not os.path.exists(live):
+        os.rename(old, live)
+    frame.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(tmp, live)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def build_cluster_store(
+    labels: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """Persist (node, cluster_id) labels — normally `dedup_clusters`'
+    output over the initial corpus — partitioned by node bucket, with an
+    empty redirect sidecar."""
+    spark = labels.sparkSession
+    base = labels.select("node", "cluster_id").withColumn(
+        "nb", _nb(F.col("node"), n_buckets)
+    )
+    record_staged_plan(base, "cluster_store:build")
+    base.write.mode("overwrite").partitionBy("nb").parquet(f"{path}/labels")
+    empty = spark.createDataFrame(
+        [], labels.select(
+            F.col("cluster_id").alias("old_root"),
+            F.col("cluster_id").alias("new_root"),
+        ).schema,
+    )
+    _swap(empty, f"{path}/redirects")
+
+
+def read_cluster_store(spark: SparkSession, path: str) -> DataFrame:
+    """Current labels: base LEFT JOIN broadcast(redirects) — one join,
+    depth-1 by the compaction invariant."""
+    base = spark.read.parquet(f"{path}/labels")
+    red = spark.read.parquet(f"{path}/redirects")
+    return base.join(
+        F.broadcast(red), base["cluster_id"] == red["old_root"], "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("new_root"), F.col("cluster_id")).alias("cluster_id"),
+    )
+
+
+def update_cluster_store(
+    spark: SparkSession,
+    new_pairs: DataFrame,
+    new_nodes: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Fold a batch into the store: ``new_pairs`` (id_a, id_b — each
+    pair touching the batch, e.g. `update_fingerprint_index`'s output),
+    ``new_nodes`` (node — EVERY batch node, paired or not; unpaired ones
+    become singleton clusters).
+
+    Steps (all O(batch + touched clusters)):
+    1. the batch's pair PARTNERS that are history nodes get their current
+       roots from the pruned label buckets + redirect resolution;
+    2. pairs condense to root-level edges; the condensed component
+       labels come from `dedup_clusters` (size-gated driver union-find
+       for the common tiny case);
+    3. batch nodes append into their buckets with final labels;
+    4. losing roots redirect to their component's new root; existing
+       redirect targets re-map through the new mapping so chains stay
+       depth 1."""
+    from pincspark.operators.dedup import dedup_clusters
+    from pincspark.staging import stage
+
+    pairs = stage(
+        new_pairs.select("id_a", "id_b"), "cluster_store:pairs", eager=True
+    )
+    batch = new_nodes.select("node").distinct()
+    partners = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .join(batch, "node", "left_anti")  # history side only
+    )
+    pbs = [r["nb"] for r in partners.select(
+        _nb(F.col("node"), n_buckets).alias("nb")
+    ).distinct().collect()]
+    base = spark.read.parquet(f"{path}/labels").filter(F.col("nb").isin(pbs))
+    red = spark.read.parquet(f"{path}/redirects")
+    partner_roots = (
+        partners.join(base, "node")
+        .join(F.broadcast(red), F.col("cluster_id") == F.col("old_root"), "left")
+        .select(
+            "node",
+            F.coalesce(F.col("new_root"), F.col("cluster_id")).alias("root"),
+        )
+    )
+    record_staged_plan(partner_roots, "cluster_store:partner-lookup")
+    # Condense: every pair endpoint -> its root (batch nodes root as
+    # themselves), then component-label the root graph. Roots are the
+    # minima of their old memberships and batch ids are themselves, so
+    # the condensed component minimum IS the full component minimum.
+    a_root = pairs.join(
+        partner_roots.withColumnRenamed("node", "id_a").withColumnRenamed(
+            "root", "ra"
+        ),
+        "id_a",
+        "left",
+    ).join(
+        partner_roots.withColumnRenamed("node", "id_b").withColumnRenamed(
+            "root", "rb"
+        ),
+        "id_b",
+        "left",
+    ).select(
+        F.coalesce(F.col("ra"), F.col("id_a")).alias("id_a"),
+        F.coalesce(F.col("rb"), F.col("id_b")).alias("id_b"),
+    )
+    comp = dedup_clusters(a_root)  # (node=root-or-batch-id, cluster_id)
+    comp = stage(comp, "cluster_store:condensed", eager=True)
+
+    # 3. batch labels: component label where paired, self otherwise.
+    batch_labels = (
+        batch.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+        .withColumn("nb", _nb(F.col("node"), n_buckets))
+    )
+    batch_labels.write.mode("append").partitionBy("nb").parquet(
+        f"{path}/labels"
+    )
+
+    # 4. redirect maintenance: an OLD history root whose component label
+    # changed redirects; existing redirects re-map through the new
+    # mapping (old targets were current roots, so a changed target is in
+    # `changed` too) — the depth-1 compaction invariant.
+    changed = (
+        partner_roots.select(F.col("root").alias("old_root"))
+        .distinct()
+        .join(comp.withColumnRenamed("node", "old_root"), "old_root")
+        .filter(F.col("cluster_id") != F.col("old_root"))
+        .select("old_root", F.col("cluster_id").alias("new_root"))
+    )
+    remapped = (
+        red.join(
+            changed.withColumnRenamed("old_root", "t_old").withColumnRenamed(
+                "new_root", "t_new"
+            ),
+            red["new_root"] == F.col("t_old"),
+            "left",
+        )
+        .select(
+            "old_root",
+            F.coalesce(F.col("t_new"), F.col("new_root")).alias("new_root"),
+        )
+    )
+    _swap(remapped.unionByName(changed), f"{path}/redirects")

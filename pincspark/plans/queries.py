@@ -7316,6 +7316,227 @@ WHERE bit_count(xor(a.dh, b.dh)) <= 3
 ORACLE_Q115 = _q115_oracle()
 
 
+def _handcrafted_raster(flips: tuple[int, ...] = ()) -> str:
+    """8x18x3 raster with cell-constant bytes whose dhash realizes a
+    CHOSEN 64-bit pattern: dhash cell (y, x) is 1 px tall, 2 px wide and
+    constant, so bit k = y*8+x is simply c[y][x] < c[y][x+1] — walk each
+    row +-1 from 'A' per desired bit. Base pattern P0 = alternating
+    bits; ``flips`` lists the bit indices to invert. This is how q116
+    plants documents at EXACT pairwise hamming distances (something the
+    md5 mints cannot do), e.g. two history docs at hamming 6 — distinct
+    clusters under max_hamming 3 — bridged by a batch doc at hamming 3
+    from each: the cross-cluster MERGE case. The same 432-char strings
+    embed verbatim in the SQL oracle, which recomputes their hashes
+    through dhash_sql like every other document's."""
+    bits = [k % 2 == 0 for k in range(64)]
+    for k in flips:
+        bits[k] = not bits[k]
+    rows = []
+    for y in range(8):
+        c = [65]
+        for x in range(8):
+            c.append(c[-1] + (1 if bits[y * 8 + x] else -1))
+        rows.append("".join(chr(v) * 6 for v in c))
+    return "".join(rows)
+
+
+# The merge plant: 18/38 are HISTORY (even), 45 is BATCH (odd); all three
+# sit in the q115 seed scheme's untouched class (doc_id % 10 in {5, 8}).
+_Q116_SPECIALS = {
+    18: _handcrafted_raster(()),                 # h1: base pattern
+    38: _handcrafted_raster((0, 1, 2, 3, 4, 5)),  # h2: hamming 6 from h1
+    45: _handcrafted_raster((0, 1, 2)),           # bridge: 3 from each
+}
+
+
+def q116_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KEEP-LIST maintenance — the last stage of the
+    incremental crawl pipeline (`operators/cluster_store.py`): q115
+    folds a batch's near-dup PAIRS out of the persisted fingerprint
+    store; this query folds those pairs into persisted CLUSTER LABELS,
+    so the keep-list a curation run applies is maintained in O(batch) —
+    including the hard case, a batch document BRIDGING two
+    previously-distinct history clusters, which must MERGE them without
+    rewriting the corpus-wide label table (handled by the store's
+    depth-1 redirect overlay).
+
+    Corpus: the q115 media mint (even = history PNGs, odd = batch 2x
+    BMPs, seed-shared twins) plus three handcrafted rasters: history
+    docs 18 and 38 at dhash hamming 6 (distinct clusters) and batch doc
+    45 at hamming 3 from each — after the fold all three must share one
+    cluster rooted at 18. Engine: history hashes -> banded pairs ->
+    `dedup_clusters` -> `build_cluster_store`; batch ->
+    `update_fingerprint_index` -> `update_cluster_store`; serve
+    `read_cluster_store` (one broadcast redirect join). The oracle
+    recomputes every hash in SQL (handcrafted rasters embedded as
+    literals), takes ALL pairs at hamming <= 3 over the full corpus, and
+    replays the recursive transitive closure — a lost merge, a stale
+    redirect chain, or a dropped singleton all break parity.
+
+    100 TB: history is hashed once into the two stores; every later
+    crawl batch pays one narrow hash stage, one partition-pruned pair
+    join, one pruned label lookup, and a condensed-graph CC bounded by
+    the clusters it touches."""
+    import atexit
+    import shutil
+    import tempfile
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pincspark.operators.cluster_store import (
+        build_cluster_store,
+        read_cluster_store,
+        update_cluster_store,
+    )
+    from pincspark.operators.dedup import (
+        _spread,
+        banded_hamming_pairs,
+        dedup_clusters,
+    )
+    from pincspark.operators.fingerprint_index import (
+        build_fingerprint_index,
+        update_fingerprint_index,
+    )
+    from pincspark.operators.image_hash import decode_image_hashes
+    from pincspark.operators.multimodal import bmp_encode, png_encode
+
+    def _mint(parity: int):
+        def _go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    d = int(row.doc_id)
+                    if d % 2 != parity:
+                        continue
+                    if d in _Q116_SPECIALS:
+                        stream = _Q116_SPECIALS[d]
+                    else:
+                        m = d % 10
+                        if m in (6, 7):
+                            seed = f"xm{d // 10}"
+                        elif m in (1, 3):
+                            seed = f"bm{d // 10}"
+                        elif m in (2, 4):
+                            seed = f"hm{d // 10}"
+                        else:
+                            seed = row.text
+                        stream = _mint_raster_stream(seed)
+                    ras = np.frombuffer(
+                        stream.encode("ascii"), dtype=np.uint8
+                    ).reshape(8, 18, 3)
+                    if parity == 0:
+                        blob = png_encode(
+                            ras, d % 5, interlace=bool((d // 2) % 2)
+                        )
+                    else:
+                        twin = ras.repeat(2, axis=0).repeat(2, axis=1)
+                        blob = bmp_encode(twin)
+                    rows.append((d, blob))
+                yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+        return _go
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def _hashed(parity: int) -> DataFrame:
+        media = docs.mapInPandas(
+            _mint(parity), "media_id BIGINT, content BINARY"
+        ).withColumn("kind", F.lit("image"))
+        return decode_image_hashes(media, strict=True).select(
+            "media_id", F.col("dhash").alias("fhash")
+        )
+
+    key = _ann_update_cache_key(spark, sf_dir, "documents")
+    root = _Q116_CACHE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="pincspark_clusters_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        fpath, cpath = f"{root}/fp", f"{root}/cs"
+        hist = _hashed(0)
+        build_fingerprint_index(hist, fpath)
+        hist_pairs = banded_hamming_pairs(
+            hist, "media_id", "fhash", bits=64, bands=4, max_hamming=3,
+            stage_label="q116:hist:banded",
+        ).select("id_a", "id_b")
+        labels = dedup_clusters(hist_pairs)
+        singles = (
+            hist.select(F.col("media_id").alias("node"))
+            .join(labels.select("node"), "node", "left_anti")
+            .withColumn("cluster_id", F.col("node"))
+        )
+        build_cluster_store(labels.unionByName(singles), cpath)
+        batch = _hashed(1)
+        bpairs = update_fingerprint_index(spark, batch, fpath)
+        update_cluster_store(
+            spark,
+            bpairs,
+            batch.select(F.col("media_id").alias("node")),
+            cpath,
+        )
+        _Q116_CACHE[key] = root
+    return (
+        read_cluster_store(spark, f"{root}/cs")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            (F.col("cluster_id") == F.col("node")).alias("keep"),
+        )
+    )
+
+
+_Q116_CACHE: dict[tuple, str] = {}
+
+
+def _q116_oracle() -> str:
+    from pincspark.operators.image_hash import dhash_sql
+
+    seed = (
+        "CASE "
+        "WHEN doc_id % 10 IN (6, 7) THEN 'xm' || CAST(doc_id // 10 AS VARCHAR) "
+        "WHEN doc_id % 10 IN (1, 3) THEN 'bm' || CAST(doc_id // 10 AS VARCHAR) "
+        "WHEN doc_id % 10 IN (2, 4) THEN 'hm' || CAST(doc_id // 10 AS VARCHAR) "
+        "ELSE text END"
+    )
+    specials = " ".join(
+        f"WHEN doc_id = {d} THEN '{ras}'" for d, ras in _Q116_SPECIALS.items()
+    )
+    src = (
+        f"(SELECT doc_id AS media_id, CASE {specials} "
+        f"ELSE {_mint_raster_stream_sql(seed)} END AS ras FROM documents)"
+    )
+    h = dhash_sql("ras", width=18, height=8).replace("__ras__", src)
+    return f"""
+WITH RECURSIVE h AS (
+  {h}
+), allpairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM h a JOIN h b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dh, b.dh)) <= 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM allpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM allpairs
+), walk(src, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+), comp AS (
+  SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+ORACLE_Q116 = _q116_oracle()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7601,7 +7822,19 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q78_scd2_history": (q78_scd2_history, ORACLE_Q78),
     "q81_fuzzy_pairs": (q81_fuzzy_pairs, ORACLE_Q81),
     # --- r9 gate-debt retirement: the 14 never-driver-gated rows ---
-    "q68_dsir_weights": (q68_dsir_weights, ORACLE_Q68),
+    # NEW r15 (in-window at registration; q68_dsir_weights rotates out —
+    # green r11-r14 rows; the lm.py count-table staging + spread
+    # machinery it shares with q67 stays hard-gated in-window via q67,
+    # and the DSIR importance-ratio arithmetic stays full-catalog
+    # parity-tested): incremental cluster-store maintenance — q115's
+    # batch pairs fold into PERSISTED cluster labels
+    # (operators/cluster_store.py), including the cross-cluster-merge
+    # case planted via handcrafted exact-hamming rasters; the oracle
+    # replays the full recursive closure over every pair
+    "q116_incremental_clusters": (
+        q116_incremental_clusters,
+        ORACLE_Q116,
+    ),
     # NEW r12 (in-window at registration; q69_temperature_sample rotates
     # out — green r10/r11 rows, re-simmed on current code; its
     # sample_hash filter machinery is freshly in-window via q100, and the
@@ -7696,6 +7929,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # stays hard-gated in-window through q109's cluster-aware holdout
     # (sampling.group_holdout_split is the same code path)
     "q100_holdout_split": (q100_holdout_split, _q100_oracle()),
+    # rotated out r15 for q116 (incremental cluster store): green
+    # r11-r14 rows; the lm.py count-table staging + conditional-spread
+    # machinery stays hard-gated in-window via q67 (same code path);
+    # DSIR's importance-ratio arithmetic stays parity-tested here
+    "q68_dsir_weights": (q68_dsir_weights, ORACLE_Q68),
     # rotated out r14 for q111 (image perceptual near-dup): green r1-r13
     # rows; its banded Hamming-pair machinery now runs in-window through
     # q111 (same banded_hamming_pairs code path), and the simhash fold

@@ -112,9 +112,11 @@ DEFAULT_QUERIES = [
     "q111_image_neardup",
     "q112_ann_index_update",
     "q113_audio_neardup",
-    # r15 addition: incremental fingerprint fold+serve (index cached per
-    # process like q112, so the timed runs measure the serving path)
+    # r15 additions: incremental fingerprint fold+serve and the cluster
+    # store fold (both cache their build per process like q112, so the
+    # timed runs measure the serving path)
     "q115_fingerprint_index_update",
+    "q116_incremental_clusters",
 ]
 
 

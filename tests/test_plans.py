@@ -443,7 +443,9 @@ def test_harness_window_composition_is_pinned():
         # q70_zorder_layout rotated out r12 for q104 (text-index serving):
         # green r9-r11 rows, re-simmed on current code; layout identity
         # stays in-window via q87, pruning via q62/q104.
-        "q68_dsir_weights",
+        # q68_dsir_weights rotated out r15 for q116 (incremental cluster
+        # store): green r11-r14 rows; lm.py machinery stays in-window
+        # via q67.
         "q72_bloom_decontam", "q73_warc_extract", "q74_html_extract",
         # q75_kmv_distinct rotated out r12 for q100 (holdout split): green
         # r9-r11 rows, re-simmed on current code; the KMV core keeps two
@@ -535,6 +537,10 @@ def test_harness_window_composition_is_pinned():
         # TIFF stays golden- and ImageIO-cross-validated locally.
         "q107_text_index_update",
         "q66_semantic_dedup", "q67_lm_perplexity",
+        # q68_dsir_weights rotated out r15 for q116 (incremental cluster
+        # store): green r11-r14 rows; the lm.py count-table machinery
+        # stays in-window via q67 (same staging + spread code path).
+        "q116_incremental_clusters",
         # q77_url_canonicalize rotated out r12 for q98 (heavy hitters):
         # green r10/r11 rows, re-simmed on current code; native regex
         # chain, string tier stays in-window via q73/q74.
