@@ -84,7 +84,11 @@ def build_cluster_store(
         "nb", _nb(F.col("node"), n_buckets)
     )
     record_staged_plan(base, "cluster_store:build")
-    base.write.mode("overwrite").partitionBy("nb").parquet(f"{path}/labels")
+    # one file per bucket (hash partitioning on nb), not one per
+    # upstream partition — the fp_index small-files discipline
+    base.repartition("nb").write.mode("overwrite").partitionBy("nb").parquet(
+        f"{path}/labels"
+    )
     empty = spark.createDataFrame(
         [], labels.select(
             F.col("cluster_id").alias("old_root"),
@@ -188,9 +192,9 @@ def update_cluster_store(
         )
         .withColumn("nb", _nb(F.col("node"), n_buckets))
     )
-    batch_labels.write.mode("append").partitionBy("nb").parquet(
-        f"{path}/labels"
-    )
+    batch_labels.repartition("nb").write.mode("append").partitionBy(
+        "nb"
+    ).parquet(f"{path}/labels")
 
     # 4. redirect maintenance: an OLD history root whose component label
     # changed redirects; existing redirects re-map through the new

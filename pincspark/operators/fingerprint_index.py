@@ -108,7 +108,14 @@ def build_fingerprint_index(
     lookup reads only the partitions it probes."""
     banded = banded_fingerprints(hashed, id_col, hash_col, bits, bands, n_buckets)
     record_staged_plan(banded, "fp_index:build")
-    banded.write.mode("overwrite").partitionBy("pb").parquet(f"{path}/bands")
+    # repartition on pb first: hash partitioning sends each bucket to
+    # exactly ONE task, so every pb directory gets ONE file instead of
+    # one per upstream partition (a 32-partition build otherwise writes
+    # up to 32 tiny files per bucket and serve-time scans pay a task per
+    # file — measured 296-task scans at bench scale).
+    banded.repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
+        f"{path}/bands"
+    )
 
 
 def fingerprint_pairs_for_batch(
@@ -134,16 +141,39 @@ def fingerprint_pairs_for_batch(
     batch's banded frame — bounded by ``bands * n_buckets`` values
     (256 at the defaults) regardless of batch size — and pushed as a
     partition ``IN`` filter, so the index scan reads only those buckets'
-    files."""
-    batch = banded_fingerprints(
-        batch_hashed, id_col, hash_col, bits, bands, n_buckets
+    files. The banded batch is staged eagerly: the bucket collect and
+    the candidate join would otherwise each re-run the upstream hash
+    pipeline (the decode kernel — the expensive part of a serve)."""
+    from pincspark.staging import stage
+
+    batch = stage(
+        banded_fingerprints(batch_hashed, id_col, hash_col, bits, bands, n_buckets),
+        "fp_index:probe-batch",
+        eager=True,
     )
     pbs = [
         r["pb"]
         for r in batch.select("pb").distinct().collect()
         if r["pb"] is not None
     ]
-    idx = spark.read.parquet(f"{path}/bands").filter(F.col("pb").isin(pbs))
+    # Staged after the partition filter: the bucket-size table and the
+    # candidate join would otherwise each rescan the pruned buckets'
+    # files; the checkpoint holds just (id, hash, band, slice) rows for
+    # the probed buckets — fingerprints only, never media.
+    from pincspark.staging import stage as _stage
+
+    # coalesce: tiny per-bucket files each get their own scan task
+    # otherwise (openCostInBytes >= maxSplitBytes disables packing for
+    # KB-scale files — measured 251 single-file tasks per serve);
+    # narrow merge down to the core count, no shuffle.
+    par = spark.sparkContext.defaultParallelism
+    idx = _stage(
+        spark.read.parquet(f"{path}/bands")
+        .filter(F.col("pb").isin(pbs))
+        .coalesce(par),
+        "fp_index:probe-idx",
+        eager=True,
+    )
     # Bucket cap, the banded_hamming_pairs discipline: a degenerate
     # (band, slice) bucket (near-constant fingerprints) would make this
     # join |batch_bucket| x |bucket|; buckets over the cap are skipped
@@ -223,7 +253,9 @@ def update_fingerprint_index(
     )
     banded_fingerprints(
         batch_hashed, id_col, hash_col, bits, bands, n_buckets
-    ).write.mode("append").partitionBy("pb").parquet(f"{path}/bands")
+    ).repartition("pb").write.mode("append").partitionBy("pb").parquet(
+        f"{path}/bands"
+    )
     # The index read inside the pair join happens AFTER the append, so
     # one join sees old ∪ batch: batch-vs-history pairs arrive once,
     # batch-vs-batch twice ((a,b) and (b,a)) — least/greatest + distinct

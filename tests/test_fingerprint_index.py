@@ -111,12 +111,21 @@ def test_pair_join_scan_is_partition_pruned(spark, tmp_path):
     ]
     build_fingerprint_index(_hashed(spark, hist), path)
     batch = _hashed(spark, [(901, hist[0][1] ^ 0b1)])  # hamming 1 vs id 1
-    pairs = fingerprint_pairs_for_batch(spark, path, batch)
-    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 901)}
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[[^\]]*pb[^\]]*IN \(([^)]+)\)", plan)
+    from pincspark.planhooks import capture_staged_plans
+
+    with capture_staged_plans() as sink:
+        pairs = fingerprint_pairs_for_batch(spark, path, batch)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 901)}
+    # the index scan sits behind the serve-time checkpoint; its
+    # pre-stage plan (recorded by the staging hook) carries the filter
+    plan = next(p for lbl, p in sink if lbl == "fp_index:probe-idx")
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*pb#\d+ (?:= (-?\d+)|IN \(([^)]+)\))",
+        plan,
+    )
     assert m, plan
-    probed_pbs = {int(x) for x in re.findall(r"-?\d+", m.group(1))}
+    probed_pbs = {int(x) for x in re.findall(r"-?\d+", m.group(1) or m.group(2))}
     all_pbs = {
         int(d.split("pb=")[1])
         for d in os.listdir(f"{path}/bands")
