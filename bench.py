@@ -517,14 +517,22 @@ def _uniform_inflation(
 
 
 def _run_catalog_once(
-    sf_dir: str, cpus: int, sf: float, is_retry: bool = False
+    sf_dir: str,
+    cpus: int,
+    sf: float,
+    is_retry: bool = False,
+    baselines: tuple[dict, dict] | None = None,
 ) -> tuple[dict, dict]:
     """One full bench pass (flagship subprocess + interleaved catalog);
     returns (stdout_result, history_row) without printing or persisting —
     the caller decides whether the pass is clean enough to be the round's
     artifact or needs a retry. ``is_retry``: judge contention on the 1-min
     loadavg only (the 5-min one still carries our own previous attempt —
-    see _load_guard)."""
+    see _load_guard). ``baselines``: pre-session (best_per_query,
+    rolling_median) snapshot taken BEFORE any of this session's attempt
+    rows were appended to history — without it a retry attempt's
+    detectors would read its own sibling attempts as baseline
+    (ADVICE r15 #3)."""
     loadavg, contended = _load_guard(ignore_l5=is_retry)
     cpu_calib = _cpu_calibration()
 
@@ -814,9 +822,14 @@ def _run_catalog_once(
     # have one. Machine noise is documented at up to ~2x vs all-time BESTS
     # but only ~1.3x vs the rolling median, so regressions are REPORTED in
     # the JSON and on stderr rather than failing the run; >1.5x the
-    # rolling median is the flag threshold.
-    best = _best_per_query(sf, _hist_path())
-    rolling = _rolling_median_baseline(sf, _hist_path())
+    # rolling median is the flag threshold. Baselines come from the
+    # caller's pre-session snapshot when provided, so sibling attempts of
+    # this session never feed their own detectors (ADVICE r15 #3).
+    if baselines is not None:
+        best, rolling = baselines
+    else:
+        best = _best_per_query(sf, _hist_path())
+        rolling = _rolling_median_baseline(sf, _hist_path())
     regressions = _flag_regressions(timings, best, calib_ratio, rolling)
     vs_prior = _prior_intersection_totals(timings, sf, _hist_path())
     if vs_prior is not None:
@@ -909,7 +922,10 @@ def _flagged(result: dict) -> bool:
 
 
 def _composite_result(
-    attempts: list[dict], hist_rows: list[dict], sf: float
+    attempts: list[dict],
+    hist_rows: list[dict],
+    sf: float,
+    baselines: tuple[dict, dict] | None = None,
 ) -> dict:
     """Official row when EVERY attempt flagged (VERDICT r14 #1): per-query
     MINIMA across attempts, never a single contended attempt.
@@ -1014,9 +1030,20 @@ def _composite_result(
 
     # Regression/inflation detectors re-run on the minima: a wave that
     # inflated every attempt uniformly still shows here (honest marker); a
-    # per-attempt spike that a sibling attempt escaped does not.
-    best = _best_per_query(sf, _hist_path())
-    rolling = _rolling_median_baseline(sf, _hist_path())
+    # per-attempt spike that a sibling attempt escaped does not. The
+    # baselines are the caller's PRE-SESSION snapshot (ADVICE r15 #3):
+    # by the time this runs, main() has already appended this session's
+    # attempt rows to bench_history, and _best_per_query does not filter
+    # contended rows — reading history here would compare the composite
+    # minima against the very attempts being summarized, making the
+    # uniform-inflation flag structurally unable to fire for queries
+    # whose only history is this session (new registrations: best ==
+    # composite min by construction).
+    if baselines is not None:
+        best, rolling = baselines
+    else:
+        best = _best_per_query(sf, _hist_path())
+        rolling = _rolling_median_baseline(sf, _hist_path())
     regressions = _flag_regressions(timings, best, calib_ratio, rolling)
     if regressions:
         result["regression_count"] = len(regressions)
@@ -1085,11 +1112,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     max_attempts = 1 + max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
 
+    # Baseline snapshot BEFORE the first append: every detector this
+    # session — per-attempt and composite — compares against history as
+    # it stood when the session started, never against sibling attempts
+    # appended below (ADVICE r15 #3).
+    baselines = (
+        _best_per_query(sf, _hist_path()),
+        _rolling_median_baseline(sf, _hist_path()),
+    )
     attempts: list[dict] = []
     hist_rows: list[dict] = []
     for attempt in range(max_attempts):
         result, hist_row = _run_catalog_once(
-            sf_dir, cpus, sf, is_retry=attempt > 0
+            sf_dir, cpus, sf, is_retry=attempt > 0, baselines=baselines
         )
         hist_row["attempt"] = attempt + 1
         with open(_hist_path(), "a") as f:
@@ -1119,7 +1154,7 @@ def main() -> None:
         # attempt's 2.824 flagship ratio become the official number while
         # the same session measured 1.858). Publish per-query minima
         # across attempts instead; raw attempts stay in bench_history.
-        final = _composite_result(attempts, hist_rows, sf)
+        final = _composite_result(attempts, hist_rows, sf, baselines=baselines)
         best_hist = _best_clean_history(sf, len(final.get("queries", {})))
         if best_hist is not None:
             final["best_clean_history"] = best_hist

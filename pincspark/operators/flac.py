@@ -125,6 +125,7 @@ class _BitReader:
         self._n = 0
         self._bits: np.ndarray | None = None
         self._ones: np.ndarray | None = None
+        self._nxt: dict[int, list] = {}
 
     def bit_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         """(bits, ones): the stream as an MSB-first 0/1 array (unpackbits
@@ -137,6 +138,21 @@ class _BitReader:
             )
             self._ones = np.flatnonzero(self._bits).astype(np.int64)
         return self._bits, self._ones
+
+    def nxt_table(self, param: int) -> list:
+        """Successor table for the Rice walk at ``param``: for every
+        1-bit index i, the index of the first 1-bit at least
+        ``param + 1`` bit positions later. Built ONCE per (stream,
+        param) — param is a 4/5-bit field, so at most a few dozen
+        tables ever exist — instead of one full-stream searchsorted
+        per PARTITION, which made decode O(total_ones x partitions)
+        on multi-frame files (ADVICE r15 #2)."""
+        tbl = self._nxt.get(param)
+        if tbl is None:
+            _, ones = self.bit_arrays()
+            tbl = np.searchsorted(ones, ones + 1 + param).tolist()
+            self._nxt[param] = tbl
+        return tbl
 
     def bit_pos(self) -> int:
         return self.pos * 8 - self._n
@@ -452,7 +468,7 @@ def _rice_partition_vec(rd: _BitReader, param: int, cnt: int) -> np.ndarray:
     n_ones = len(ones)
     base = int(np.searchsorted(ones, start))
     if param:
-        nxt = np.searchsorted(ones, ones + 1 + param).tolist()
+        nxt = rd.nxt_table(param)
         path = []
         i = base
         for _ in range(cnt):
@@ -628,9 +644,15 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing/invalid STREAMINFO")
 
     chans: list[list[int]] = [[] for _ in range(nch)]
+    # ONE reader for the whole stream, repositioned per frame: its lazy
+    # bits/ones arrays and per-param Rice successor tables are built once
+    # and shared by every frame — a fresh reader per frame rebuilt them
+    # each time, making decode O(frames x stream length) on multi-frame
+    # files (ADVICE r15 #2's superlinearity, root cause).
+    rd = _BitReader(data, pos)
     while pos < len(data):
         frame_start = pos
-        rd = _BitReader(data, pos)
+        rd.seek_bit(pos * 8)
         sync = rd.read(14)
         if sync != 0b11111111111110:
             raise ValueError("lost frame sync")

@@ -7085,12 +7085,25 @@ def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         apairs = stage(apairs, "q114:audio_pairs", eager=True)
         release_unreferenced_blocks(spark)
     else:
+        import contextvars
         from concurrent.futures import ThreadPoolExecutor
 
+        # Each submit runs under a COPY of the caller's contextvars context:
+        # planhooks' staged-plan sink is a ContextVar, which does not
+        # propagate to pool threads on its own, so without the copy the
+        # three tiers' pre-checkpoint plans would silently vanish from
+        # capture_staged_plans() (PLANS.md + the staged-plan lint) in the
+        # default concurrent mode — the exact audit blindness the hook
+        # exists to prevent (ADVICE r15 #1). The copies share the same
+        # sink LIST object, so appends from all threads land in one sink
+        # (list.append is atomic under the GIL).
         with ThreadPoolExecutor(max_workers=3) as ex:
-            ft = ex.submit(stage, tpairs, "q114:text_pairs", True)
-            fi = ex.submit(stage, ipairs, "q114:image_pairs", True)
-            fa = ex.submit(stage, apairs, "q114:audio_pairs", True)
+            ctx = contextvars.copy_context()
+            ft = ex.submit(ctx.run, stage, tpairs, "q114:text_pairs", True)
+            ctx = contextvars.copy_context()
+            fi = ex.submit(ctx.run, stage, ipairs, "q114:image_pairs", True)
+            ctx = contextvars.copy_context()
+            fa = ex.submit(ctx.run, stage, apairs, "q114:audio_pairs", True)
             tpairs, ipairs, apairs = ft.result(), fi.result(), fa.result()
         release_unreferenced_blocks(spark)
     pairs = tpairs.unionByName(ipairs).unionByName(apairs)

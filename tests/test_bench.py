@@ -392,6 +392,38 @@ def test_composite_minima_never_publishes_contended_attempt(tmp_path, monkeypatc
     assert final["untimed_correctness_queries"] == ["q87"]
 
 
+def test_composite_baselines_are_pre_session_snapshot(tmp_path, monkeypatch):
+    """ADVICE r15 #3: by the time _composite_result runs, main() has
+    already appended this session's attempt rows to bench_history — and
+    _best_per_query does not filter contended rows — so recomputing the
+    baselines there compares the composite minima against the very
+    attempts being summarized (for newly registered queries best ==
+    composite min by construction, and the inflation flag can never
+    fire). The fix: main() snapshots the baselines BEFORE the attempt
+    loop and passes them through; _composite_result must use the
+    snapshot and never re-read history."""
+    monkeypatch.setattr(bench, "_hist_path", lambda: str(tmp_path / "h.jsonl"))
+
+    def _boom(*a, **k):
+        raise AssertionError("baseline recomputed from post-append history")
+
+    monkeypatch.setattr(bench, "_best_per_query", _boom)
+    monkeypatch.setattr(bench, "_rolling_median_baseline", _boom)
+
+    # 24 queries, all uniformly 1.5x their pre-session best of 1.0s: a
+    # classic whole-catalog wave. With the snapshot the inflation flag
+    # fires; with post-append history the session's own rows would BE the
+    # bests (ratio 1.0) and it structurally could not.
+    names = [f"q{i:02d}_x" for i in range(1, 25)]
+    timings = {n: 1.5 for n in names}
+    a = {"value": 36.0, "queries": dict(timings), "contended": True}
+    h = {"queries": dict(timings), "contended": True, "loadavg_1min": 5.0}
+    pre_best = {n: 1.0 for n in names}
+    final = bench._composite_result([a], [h], 0.1, baselines=(pre_best, {}))
+    assert final["suspect_uniform_inflation"] == 1.5
+    assert final["composite_minima"] is True
+
+
 def test_composite_replay_of_r14_all_flagged_session():
     """Replay the ACTUAL r14 bench session (the last three attempt rows in
     committed bench_history.jsonl, all flagged at drift 1.35): the old

@@ -260,6 +260,27 @@ def test_q114_cross_modal_transitive_closure(spark):
     assert any(v[1] for v in rows.values())  # and somebody IS kept
 
 
+def test_q114_concurrent_staging_records_tier_plans(spark, monkeypatch):
+    """ADVICE r15 #1: planhooks' staged-plan sink is a ContextVar, which
+    does not reach ThreadPoolExecutor workers on its own — q114's default
+    CONCURRENT tier staging must copy the caller's context into each
+    submit, or the three tiers' pre-checkpoint plans silently vanish from
+    capture_staged_plans() (and with them the staged-plan lint's view of
+    exactly the hot tier plans). Pin that all three tier labels land in
+    the sink in the default (concurrent) mode."""
+    import pincspark.plans.queries as q
+    from pincspark.planhooks import capture_staged_plans
+
+    monkeypatch.delenv("PINCSPARK_Q114_SEQUENTIAL", raising=False)
+    with capture_staged_plans() as sink:
+        q.q114_multimodal_keeplist(spark, "/root/testdata/sf0.001")
+    labels = {label for label, _ in sink}
+    assert {"q114:text_pairs", "q114:image_pairs", "q114:audio_pairs"} <= labels
+    # and the captured plans are real physical plans, not placeholders
+    tier_plans = [p for label, p in sink if label.startswith("q114:")]
+    assert all("Exchange" in p or "Scan" in p for p in tier_plans)
+
+
 def test_q114_eager_and_lazy_staging_agree(spark, monkeypatch):
     """VERDICT r14 #3 done-criterion: q114's eager tier barriers (and the
     GC pulses between them) are a MATERIALIZATION strategy, not
