@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pincspark.functions.text import normalize_text, ws_tokens
+from pincspark.operators.commits import commit_sidecar, read_sidecar
 from pincspark.planhooks import record_staged_plan
 
 _BUCKET_SALT = "txtidx"
@@ -103,18 +104,24 @@ def _write_sidecars_from_postings(
     divided ONCE — deterministic and fold-exact, so an incremental
     update's stats are bit-identical to a full rebuild's."""
     record_staged_plan(postings, "text_index:dfreq-source")
-    postings.filter(F.col("term").isNotNull()).groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    ).write.mode("overwrite").parquet(f"{path}/dfreq")
+    commit_sidecar(
+        postings.filter(F.col("term").isNotNull()).groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        ),
+        f"{path}/dfreq",
+    )
     per_doc = postings.groupBy(id_col).agg(F.min("dl").alias("dl"))
     record_staged_plan(per_doc, "text_index:stats-source")
-    per_doc.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
-        F.count("dl").cast("bigint").alias("n_dl"),
-    ).withColumn(
-        "avgdl", F.col("sum_dl").cast("double") / F.col("n_dl")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    commit_sidecar(
+        per_doc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+            F.count("dl").cast("bigint").alias("n_dl"),
+        ).withColumn(
+            "avgdl", F.col("sum_dl").cast("double") / F.col("n_dl")
+        ),
+        f"{path}/stats",
+    )
 
 
 def build_text_index(
@@ -157,9 +164,10 @@ def update_text_index(
     untouched — proven by files-on-disk in tests/test_text_index.py),
     dfreq folds via a full-outer term join of the old sidecar with the
     batch's term counts, and stats folds the exact BIGINT sums. Both
-    sidecars swap crash-safely (tmp -> aside -> rename, the J5
-    discipline), never overwriting a parquet directory that is still
-    being read.
+    sidecars commit via the manifest-pointer protocol
+    (`operators.commits` — atomic on POSIX and on object stores;
+    VERDICT r15 #3), never overwriting a parquet directory that is
+    still being read.
 
     Precondition (documented, like dedup_snapshot's): batch doc ids must
     be NEW — append-only corpus growth; screen re-crawls upstream with
@@ -168,9 +176,6 @@ def update_text_index(
     tests/test_text_index.py), because groupBy(id, term) over the union
     is the union of the per-batch groupBys when ids are disjoint, and the
     sidecar folds are exact integer arithmetic."""
-    import os
-    import shutil
-
     from pincspark.staging import stage
 
     spark = new_docs.sparkSession
@@ -183,24 +188,12 @@ def update_text_index(
         f"{path}/postings"
     )
 
-    def _swap(frame: DataFrame, sub: str) -> None:
-        live = f"{path}/{sub}"
-        tmp, old = live + ".__tmp__", live + ".__old__"
-        if os.path.exists(old) and not os.path.exists(live):
-            os.rename(old, live)  # recover a crash between the renames
-        frame.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(live, old)
-        os.rename(tmp, live)
-        shutil.rmtree(old)
-
     batch_dfreq = (
         batch.filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("bdf"))
     )
-    old_dfreq = spark.read.parquet(f"{path}/dfreq")
+    old_dfreq = read_sidecar(spark, f"{path}/dfreq")
     folded_dfreq = (
         old_dfreq.join(batch_dfreq, "term", "full_outer")
         .select(
@@ -213,7 +206,7 @@ def update_text_index(
             .alias("df"),
         )
     )
-    _swap(folded_dfreq, "dfreq")
+    commit_sidecar(folded_dfreq, f"{path}/dfreq")
 
     batch_per_doc = batch.groupBy(id_col).agg(F.min("dl").alias("dl"))
     batch_stats = batch_per_doc.agg(
@@ -221,14 +214,14 @@ def update_text_index(
         F.sum("dl").cast("bigint").alias("sum_dl"),
         F.count("dl").cast("bigint").alias("n_dl"),
     ).collect()[0]
-    old_stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    old_stats = read_sidecar(spark, f"{path}/stats").collect()[0]
     n_docs = old_stats["n_docs"] + batch_stats["n_docs"]
     sum_dl = (old_stats["sum_dl"] or 0) + (batch_stats["sum_dl"] or 0)
     n_dl = old_stats["n_dl"] + batch_stats["n_dl"]
     folded = spark.createDataFrame(
         [(n_docs, sum_dl, n_dl)], "n_docs bigint, sum_dl bigint, n_dl bigint"
     ).withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_dl"))
-    _swap(folded, "stats")
+    commit_sidecar(folded, f"{path}/stats")
 
 
 def search_text_index(
@@ -250,10 +243,10 @@ def search_text_index(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(list(terms)))
     )
-    dfreq = spark.read.parquet(f"{path}/dfreq").filter(
+    dfreq = read_sidecar(spark, f"{path}/dfreq").filter(
         F.col("term").isin(list(terms))
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = read_sidecar(spark, f"{path}/stats")
     scored = (
         postings.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))

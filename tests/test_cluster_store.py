@@ -13,6 +13,7 @@ import re
 
 from pyspark.sql import functions as F
 
+from pincspark.operators.commits import read_sidecar
 from pincspark.operators.cluster_store import (
     build_cluster_store,
     read_cluster_store,
@@ -104,7 +105,7 @@ def test_redirects_stay_depth_one_across_folds(spark, tmp_path):
     )
     red = {
         (r["old_root"], r["new_root"])
-        for r in spark.read.parquet(f"{path}/redirects").collect()
+        for r in read_sidecar(spark, f"{path}/redirects").collect()
     }
     targets = {t for _, t in red}
     olds = {o for o, _ in red}
@@ -175,3 +176,97 @@ def test_q116_merge_plant_bridges_two_history_clusters(spark):
     assert rows[38][0] == 18 and rows[38][1] is False
     assert rows[45][0] == 18 and rows[45][1] is False
     assert len(rows) == 500
+
+
+def test_rebase_folds_overlay_and_preserves_labels(spark, tmp_path):
+    """VERDICT r15 #2 done-criteria: rebase is row-identical to
+    read_cluster_store before/after, the overlay truncates to zero rows,
+    and label buckets containing NO redirected root stay
+    path+mtime-untouched."""
+    from pincspark.operators.cluster_store import rebase_cluster_store
+
+    path = str(tmp_path / "cs")
+    hist_pairs, hist_nodes = _seed(spark, path)
+    # two folds that each create redirects (a bridge merge, then a
+    # smaller-id re-root of the merged cluster)
+    update_cluster_store(
+        spark, _pairs(spark, [(2, 21), (10, 21)]), _nodes(spark, [21]), path
+    )
+    update_cluster_store(
+        spark, _pairs(spark, [(1, 4)]), _nodes(spark, [1]), path
+    )
+    assert read_sidecar(spark, f"{path}/redirects").count() > 0
+    before_labels = _labels(spark, path)
+    before_files = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/labels/**/*.parquet", recursive=True)
+    }
+    # which buckets actually contain a redirected root's members?
+    red = {
+        r["old_root"]
+        for r in read_sidecar(spark, f"{path}/redirects").collect()
+    }
+    raw = spark.read.parquet(f"{path}/labels")
+    dirty = {
+        r["nb"]
+        for r in raw.filter(F.col("cluster_id").isin(list(red)))
+        .select("nb")
+        .distinct()
+        .collect()
+    }
+    n = rebase_cluster_store(spark, path)
+    assert n == len(dirty) > 0
+    # row-identical reads; overlay truncated
+    assert _labels(spark, path) == before_labels
+    assert read_sidecar(spark, f"{path}/redirects").count() == 0
+    # clean buckets untouched on disk
+    after_files = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/labels/**/*.parquet", recursive=True)
+    }
+    for f, m in before_files.items():
+        nb = int(re.search(r"nb=(\d+)", f).group(1))
+        if nb not in dirty:
+            assert f in after_files and after_files[f] == m, (
+                f"clean bucket rewritten: {f}"
+            )
+    # base table alone (no overlay) now carries the final labels
+    flat = {
+        r["node"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{path}/labels").collect()
+    }
+    assert flat == before_labels
+
+
+def test_rebase_is_idempotent_and_folds_keep_working(spark, tmp_path):
+    """A second rebase is a no-op (0 buckets rewritten, files untouched),
+    and a post-rebase fold — including a fresh merge — still matches the
+    from-scratch recompute over every pair ever seen."""
+    from pincspark.operators.cluster_store import rebase_cluster_store
+
+    path = str(tmp_path / "cs")
+    hist_pairs, hist_nodes = _seed(spark, path)
+    update_cluster_store(
+        spark, _pairs(spark, [(2, 21), (10, 21)]), _nodes(spark, [21]), path
+    )
+    rebase_cluster_store(spark, path)
+    files = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/labels/**/*.parquet", recursive=True)
+    }
+    assert rebase_cluster_store(spark, path) == 0
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/labels/**/*.parquet", recursive=True)
+    }
+    assert after == files  # no-op on disk
+    # post-rebase fold with a new bridge merge (23 links 8 and root 2)
+    update_cluster_store(
+        spark, _pairs(spark, [(8, 23), (2, 23)]), _nodes(spark, [23]), path
+    )
+    want = _recompute(
+        spark,
+        hist_pairs + [(2, 21), (10, 21), (8, 23), (2, 23)],
+        hist_nodes + [21, 23],
+    )
+    assert _labels(spark, path) == want

@@ -9,6 +9,7 @@ import glob
 from pyspark.sql import functions as F
 
 from pincspark.operators.search import bm25_scores
+from pincspark.operators.commits import read_sidecar
 from pincspark.operators.text_index import (
     build_text_index,
     search_text_index,
@@ -74,7 +75,7 @@ def test_dfreq_matches_recount(spark, tmp_path_factory):
     path, _ = _index(spark, tmp_path_factory)
     dfreq = {
         r["term"]: r["df"]
-        for r in spark.read.parquet(f"{path}/dfreq")
+        for r in read_sidecar(spark, f"{path}/dfreq")
         .filter(F.col("term").isin(list(TERMS)))
         .collect()
     }
@@ -122,7 +123,7 @@ def test_zero_token_docs_counted_in_stats(spark, tmp_path):
     )
     path = str(tmp_path / "idx")
     build_text_index(docs, path, n_buckets=8)
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    st = read_sidecar(spark, f"{path}/stats").collect()[0]
     assert st["n_docs"] == 4
     # doc2 tokenizes to zero tokens (dl=0, included); doc3 NULL (excluded)
     assert st["n_dl"] == 3 and st["sum_dl"] == 3
@@ -173,8 +174,8 @@ def test_update_equals_rebuild_and_touches_only_batch_files(
 
     # sidecars fold exactly: dfreq and stats bit-identical to the rebuild
     assert sorted(
-        map(tuple, spark.read.parquet(f"{inc_path}/dfreq").collect())
-    ) == sorted(map(tuple, spark.read.parquet(f"{full_path}/dfreq").collect()))
-    assert spark.read.parquet(f"{inc_path}/stats").collect() == spark.read.parquet(
-        f"{full_path}/stats"
+        map(tuple, read_sidecar(spark, f"{inc_path}/dfreq").collect())
+    ) == sorted(map(tuple, read_sidecar(spark, f"{full_path}/dfreq").collect()))
+    assert read_sidecar(spark, f"{inc_path}/stats").collect() == read_sidecar(
+        spark, f"{full_path}/stats"
     ).collect()
