@@ -164,13 +164,36 @@ def fingerprint_pairs_for_batch(
 
     # coalesce: tiny per-bucket files each get their own scan task
     # otherwise (openCostInBytes >= maxSplitBytes disables packing for
-    # KB-scale files — measured 251 single-file tasks per serve);
-    # narrow merge down to the core count, no shuffle.
+    # KB-scale files — measured 251 single-file tasks per serve). Sized
+    # by the PRUNED bytes, not blindly to the core count (VERDICT r15
+    # #2): a fixed coalesce(defaultParallelism) merged a 64x-scale
+    # pruned scan below its natural parallelism and the serve got
+    # slower than pre-small-files-fix. Target = enough partitions that
+    # each holds ~16 MB, floored at the core count so the downstream
+    # hamming join (which inherits the checkpoint's partitioning) stays
+    # parallel; when the files already split naturally (big store),
+    # the coalesce is skipped outright. Bucket dirs are listed
+    # driver-side — bounded by the <=256 probed buckets (an object
+    # store would answer the same question with one LIST per bucket).
+    import os as _os
+
+    nbytes = nfiles = 0
+    for _pb in pbs:
+        try:
+            with _os.scandir(f"{path}/bands/pb={_pb}") as it:
+                for ent in it:
+                    if ent.name.endswith(".parquet"):
+                        nbytes += ent.stat().st_size
+                        nfiles += 1
+        except OSError:
+            pass
     par = spark.sparkContext.defaultParallelism
+    target = max(par, -(-nbytes // (16 << 20)))  # ceil(bytes / 16 MB)
+    scan = spark.read.parquet(f"{path}/bands").filter(F.col("pb").isin(pbs))
+    if nfiles > target:
+        scan = scan.coalesce(target)
     idx = _stage(
-        spark.read.parquet(f"{path}/bands")
-        .filter(F.col("pb").isin(pbs))
-        .coalesce(par),
+        scan,
         "fp_index:probe-idx",
         eager=True,
     )

@@ -19,6 +19,7 @@ before hashing).
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -6968,6 +6969,29 @@ WHERE bit_count(xor(a.ah, b2.ah)) <= 3
 ORACLE_Q113 = _q113_oracle()
 
 
+def _driver_heap_bytes(spark: SparkSession) -> int:
+    """Best estimate of the configured driver heap, for memory-mode
+    decisions (VERDICT r15 #4): ``spark.driver.memory`` when set, else
+    the live JVM's ``Runtime.maxMemory()`` scaled back up by the ~6%
+    survivor-space discount the JVM applies to -Xmx."""
+    try:
+        v = spark.conf.get("spark.driver.memory", None)
+    except Exception:
+        v = None
+    if v:
+        m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", v.strip().lower())
+        if m:
+            n, unit = int(m.group(1)), m.group(2)
+            shift = {"": 20, "k": 10, "m": 20, "g": 30, "t": 40}[unit]
+            return n << shift  # suffix-less spark.driver.memory is MiB
+    try:
+        return int(
+            spark.sparkContext._jvm.Runtime.getRuntime().maxMemory() / 0.94
+        )
+    except Exception:
+        return 1 << 30  # mock sessions in tests: assume the small heap
+
+
 def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-MODAL near-dup keep-list — the r14 capstone composition: a
     multimodal curation run must drop a document when ANY of its
@@ -7074,10 +7098,17 @@ def q114_multimodal_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and slope 9.8x -> 8.0x at the 64x probe, which passes on the
     # default 8 g heap now that the r15 aperiodic mint keeps pair volume
     # linear (the r14 OOM under concurrency was the quadratic-pair
-    # corpus, not the concurrency). PINCSPARK_Q114_SEQUENTIAL=1 restores
-    # one-tier-at-a-time staging (peak memory = max-of-tiers) for
-    # heap-constrained single-JVM deployments.
-    if os.environ.get("PINCSPARK_Q114_SEQUENTIAL") == "1":
+    # corpus, not the concurrency). The default is HEAP-AWARE (VERDICT
+    # r15 #4): below 8 g of spark.driver.memory, tiers stage one at a
+    # time (peak memory = max-of-tiers instead of sum-of-tiers) with no
+    # operator knowledge required of the deployment.
+    # PINCSPARK_Q114_SEQUENTIAL=1/0 still force either mode explicitly.
+    forced = os.environ.get("PINCSPARK_Q114_SEQUENTIAL")
+    if forced is not None:
+        sequential = forced == "1"
+    else:
+        sequential = _driver_heap_bytes(spark) < 8 << 30
+    if sequential:
         tpairs = stage(tpairs, "q114:text_pairs", eager=True)
         release_unreferenced_blocks(spark)
         ipairs = stage(ipairs, "q114:image_pairs", eager=True)

@@ -260,6 +260,57 @@ def test_q114_cross_modal_transitive_closure(spark):
     assert any(v[1] for v in rows.values())  # and somebody IS kept
 
 
+def test_q114_heap_aware_default_mode(spark, monkeypatch):
+    """VERDICT r15 #4: the staging mode defaults from the DRIVER HEAP,
+    not a manual env var — below 8 g, tiers stage sequentially
+    (max-of-tiers peak memory); the env var still forces either mode.
+    On a small reported heap the ThreadPoolExecutor must never be
+    touched, and the keep-list is identical either way."""
+    import concurrent.futures
+
+    import pincspark.plans.queries as q
+
+    monkeypatch.delenv("PINCSPARK_Q114_SEQUENTIAL", raising=False)
+    sf = "/root/testdata/sf0.001"
+    default_rows = {tuple(r) for r in q.q114_multimodal_keeplist(spark, sf).collect()}
+
+    class _Forbidden:
+        def __init__(self, *a, **k):
+            raise AssertionError("concurrent staging on a small heap")
+
+    monkeypatch.setattr(q, "_driver_heap_bytes", lambda s: 4 << 30)
+    monkeypatch.setattr(concurrent.futures, "ThreadPoolExecutor", _Forbidden)
+    small_rows = {tuple(r) for r in q.q114_multimodal_keeplist(spark, sf).collect()}
+    assert small_rows == default_rows
+    # explicit override beats the heap heuristic in both directions
+    monkeypatch.setenv("PINCSPARK_Q114_SEQUENTIAL", "1")
+    monkeypatch.setattr(q, "_driver_heap_bytes", lambda s: 64 << 30)
+    forced_rows = {tuple(r) for r in q.q114_multimodal_keeplist(spark, sf).collect()}
+    assert forced_rows == default_rows
+
+
+def test_driver_heap_bytes_parses_conf_units(spark):
+    import pincspark.plans.queries as q
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v
+
+    class _S:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert q._driver_heap_bytes(_S("8g")) == 8 << 30
+    assert q._driver_heap_bytes(_S("512m")) == 512 << 20
+    assert q._driver_heap_bytes(_S("9216")) == 9216 << 20  # bare = MiB
+    assert q._driver_heap_bytes(_S("2G")) == 2 << 30
+    # the live session reports its real configured heap (8 g in tests)
+    assert q._driver_heap_bytes(spark) >= 7 << 30
+
+
 def test_q114_concurrent_staging_records_tier_plans(spark, monkeypatch):
     """ADVICE r15 #1: planhooks' staged-plan sink is a ContextVar, which
     does not reach ThreadPoolExecutor workers on its own — q114's default
