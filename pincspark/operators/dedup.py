@@ -1717,6 +1717,7 @@ def set_similarity_join(
     text_col: str,
     tau100: int = 60,
     n: int = 1,
+    _stage_counts: dict | None = None,
 ) -> DataFrame:
     """EXACT set-Jaccard self-join at threshold ``tau100``/100 via
     prefix filtering (the AllPairs/PPJoin family: Bayardo et al. WWW'07,
@@ -1876,8 +1877,62 @@ def set_similarity_join(
                 f"div {100 + int(tau100)}"
             )
         )
+        .select("id_a", "id_b", "__za", "__zb")
+    )
+    if _stage_counts is not None:  # probe hook (scripts/setsim_adversarial_probe)
+        _stage_counts["candidates_positional"] = cand.count()
+    # PARTITION-HISTOGRAM bound — the PPJoin+ suffix-filter role
+    # (Xiao et al. WWW'08), re-expressed for a declarative engine
+    # (VERDICT r15 #5): PPJoin+'s recursive middle-token suffix probe is
+    # a per-pair divide-and-conquer — a poor fit for vectorized SQL — but
+    # its job (bound the intersection from cheap per-doc digests before
+    # fetching full element arrays) is exactly met by a FIXED partition
+    # of the element space: bucket every element by xxhash64 mod K and
+    # carry the K per-doc bucket counts. Intersection elements land in
+    # the same bucket on both sides, so
+    #     inter <= sum_k min(h_a[k], h_b[k])
+    # EXACTLY (zero false negatives, oracle untouched); a candidate dies
+    # when that bound misses the equivalent-overlap threshold alpha. The
+    # digests are K ints per doc — the prune happens before the verify
+    # joins ship full token arrays for the pair.
+    _K = 64
+    # Bucketing: n>=2 elements are already uniform md5-derived 60-bit
+    # hashes, so a plain pmod partitions them — no per-pass rehash
+    # (xxhash64 inside the K filter lambdas re-evaluates per bucket,
+    # measured ~1s of pure hashing at bench scale); string tokens
+    # (n<=1) still need the hash.
+    _bk = f"pmod(t, {_K})" if n >= 2 else f"pmod(xxhash64(t), {_K})"
+    hists = arrs.select(
+        "id",
+        F.expr(
+            f"transform(sequence(0, {_K - 1}), "
+            f"k -> size(filter(__arr, t -> {_bk} = k)))"
+        ).alias("__h"),
+    )
+    hb_bound = F.expr(
+        "aggregate(zip_with(__ha, __hb, (x, y) -> least(x, y)), 0, "
+        "(acc, x) -> acc + x)"
+    )
+    cand = (
+        cand.join(
+            hists.select(F.col("id").alias("id_a"), F.col("__h").alias("__ha")),
+            "id_a",
+        )
+        .join(
+            hists.select(F.col("id").alias("id_b"), F.col("__h").alias("__hb")),
+            "id_b",
+        )
+        .filter(
+            hb_bound
+            >= F.expr(
+                f"(({int(tau100)}) * (__za + __zb) + {100 + int(tau100)} - 1) "
+                f"div {100 + int(tau100)}"
+            )
+        )
         .select("id_a", "id_b")
     )
+    if _stage_counts is not None:
+        _stage_counts["candidates_histogram"] = cand.count()
     # pure projection over the staged arrays — the verify sides need no
     # groupBy at all (the kernel already emits each doc's distinct set)
     sets = arrs.select(

@@ -17,12 +17,22 @@ Measured r14 (n=500/2k/8k docs, tau=0.5, 3-gram shingles, local[32]):
                                                       inter <= 1 + min(sz_a-i*, sz_b-j*))
   true answers            51        -> 702           (the corpus IS near-dup-dense)
 
-Conclusions recorded in COVERAGE.md: both filters are EXACT (answers
-unchanged, q106's brute-force oracle untouched), bound 2 cuts the verify
-stage 3x on this corpus, and the residual cost is the posting join
-itself — on boilerplate-heavy corpora the 100-TB defense is the q54
-pipeline order (exact-dedup + LSH ahead of the exact join), not more
-candidate filtering.
+Measured r16 (the partition-histogram bound, K=64, in the PPJoin+
+suffix-filter role — VERDICT r15 #5):
+
+  candidates after positional  198k @ 2k -> 3.17M @ 8k
+  + histogram bound (K=64)     31.5k     -> 491k     (6.5x further cut)
+  true answers                 51        -> 702      (unchanged: exact)
+  wall clock @ 8k              28.0s     -> 25.3s
+  (K=128 cuts candidates to 22.6k but the 2x digest shuffle costs more
+   than the verify it saves: 33.5s — K=64 is the measured optimum;
+   n>=2 elements bucket by plain pmod, already-uniform md5 hashes)
+
+Conclusions recorded in COVERAGE.md: all three filters are EXACT
+(answers unchanged, q106's brute-force oracle untouched), and the
+residual cost is the posting join itself — on boilerplate-heavy corpora
+the 100-TB defense is the q54 pipeline order (exact-dedup + LSH ahead
+of the exact join), not more candidate filtering.
 
 Usage: python scripts/setsim_adversarial_probe.py [--sizes 500,2000,8000]
 """
@@ -66,8 +76,11 @@ def main() -> int:
         df = corpus(spark, n)
         df.count()  # materialize input before the clock
         t0 = time.time()
-        answers = set_similarity_join(df, "doc_id", "text", tau100=50, n=3).count()
-        out.append({"n": n, "answers": answers, "sec": round(time.time() - t0, 2)})
+        counts: dict = {}
+        answers = set_similarity_join(
+            df, "doc_id", "text", tau100=50, n=3, _stage_counts=counts
+        ).count()
+        out.append({"n": n, "answers": answers, "sec": round(time.time() - t0, 2), **counts})
         print(out[-1], file=sys.stderr)
     print(json.dumps({"probe": "setsim_adversarial", "rows": out}))
     return 0
