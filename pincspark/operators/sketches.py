@@ -63,15 +63,38 @@ def kmv_sketch(
     what :func:`kmv_join_size` needs for join-cardinality estimates."""
     # NULL values carry no cardinality; dropping them also sidesteps the
     # engines' opposite NULL-ordering defaults in the rank window.
-    hashed = df.select(
-        *group_cols, _value_hash(F.col(value_col)).alias("h")
-    ).filter(F.col("h").isNotNull())
+    #
+    # Hash AFTER value-level dedup/aggregation (r16, guide §2.3/§1.2):
+    # md5 is the build's dominant per-row CPU, and hashing every
+    # OCCURRENCE repeats it corpus-proportionally — dedup/count the raw
+    # value first (map-side partial aggregation collapses occurrences
+    # before the exchange), then hash each distinct value once. Costs one
+    # extra exchange whose rows are bounded by the distinct-value count;
+    # saves occurrences/distinct md5 evals at every scale. The 60-bit
+    # collision contract (the oracle ranks DISTINCT h) is preserved by
+    # re-deduping/re-summing on h after hashing.
     if with_counts:
-        hashed = hashed.groupBy(*group_cols, "h").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        per_val = (
+            df.select(
+                *group_cols, F.col(value_col).cast("string").alias("__v")
+            )
+            .filter(F.col("__v").isNotNull())
+            .groupBy(*group_cols, "__v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        hashed = (
+            per_val.select(*group_cols, _value_hash(F.col("__v")).alias("h"), "cnt")
+            .groupBy(*group_cols, "h")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
     else:
-        hashed = hashed.distinct()
+        hashed = (
+            df.select(*group_cols, F.col(value_col).cast("string").alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .distinct()
+            .select(*group_cols, _value_hash(F.col("__v")).alias("h"))
+            .distinct()
+        )
     if not group_cols:
         # Global sketch: a partition-less rank window would funnel EVERY
         # distinct hash through one task (the data-sized single-partition
@@ -499,12 +522,23 @@ def cms_sketch(
     """Build the sketch: (j int, bucket bigint, cnt bigint), one row per
     non-empty cell (absent cell == 0). Persist this table; it is the whole
     summary."""
+    # Hash AFTER value-level aggregation (r16, guide §2.3/§1.2): count
+    # occurrences per distinct value first (map-side combine collapses
+    # the stream before the exchange), then explode each DISTINCT value
+    # into its depth cells — depth x distinct-values md5 evals instead of
+    # depth x occurrences. Cell counts are the sum of the value counts,
+    # so the sketch is bit-identical; the second aggregation's input is
+    # distinct-values x depth rows, combine-collapsed to <= depth*width
+    # cells per task.
     pairs = _cms_pairs(F.col(value_col), width, depth, salt)
+    counts = df.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
     return (
-        df.select(F.explode(pairs).alias("p"))
-        .select("p.j", "p.bucket")
+        counts.select(F.explode(pairs).alias("p"), F.col("__cnt"))
+        .select("p.j", "p.bucket", "__cnt")
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__cnt").cast("bigint").alias("cnt"))
     )
 
 
