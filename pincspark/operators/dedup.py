@@ -1139,6 +1139,10 @@ def duplicate_span_stats(
     sp = _spread(df, id_col).select(
         F.col(id_col), F.explode(shingle_hash_array_py(text_col, n, 15)).alias("h")
     )
+    # r16 note: an A/B against a groupBy(h)+collect_list aggregate form
+    # (see remove_duplicate_spans) measured NEUTRAL here (1.34 vs 1.36 s
+    # at sf0.1) — the count-only window carries no per-group state, so the
+    # simpler form stays.
     w = Window.partitionBy("h")
     flagged = sp.select(
         F.col(id_col), (F.count(F.lit(1)).over(w) > 1).cast("int").alias("dup")
@@ -1434,27 +1438,27 @@ def remove_duplicate_spans(
         .cast("bigint")
         .alias("h"),
     )
-    # keeper = min (doc_id, p) struct per hash: an UNORDERED window
-    # aggregate, so count and keeper share one window spec — one exchange,
-    # one partition-key-only sort, ONE Window operator (the row_number
-    # form needed a second full (h, id, p) sort; 3.4 -> measured faster
-    # at sf0.1 with identical semantics since (doc_id, p) is unique)
-    wc = Window.partitionBy("h")
+    # keeper = min (doc_id, p) struct per hash, via one hash AGGREGATE
+    # per span hash (r16, guide §2.4/§1.2) instead of the former
+    # count+min window: the exchange is identical, but WindowExec first
+    # SORTS the whole span stream by h, while the aggregate builds
+    # per-hash member lists hash-wise and unique spans (the vast
+    # majority) die at the size filter; only genuinely duplicated spans
+    # reach the non-keeper explode. Interleaved A/B at sf0.1: 2.94 ->
+    # 2.65 s median. (duplicate_span_stats keeps its count-only window —
+    # the same A/B measured neutral there, no per-group state to carry.)
     removing = (
-        occ.select(
-            F.col(id_col),
-            "p",
-            F.count(F.lit(1)).over(wc).alias("c"),
-            F.min(F.struct(F.col(id_col).alias("kid"), F.col("p").alias("kp")))
-            .over(wc)
-            .alias("keep"),
+        occ.groupBy("h")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("kid"), F.col("p").alias("kp"))
+            ).alias("mem")
         )
-        .filter(
-            (F.col("c") > 1)
-            & ~((F.col("keep.kid") == F.col(id_col)) & (F.col("keep.kp") == F.col("p")))
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("p").alias("rem_starts"))
+        .filter(F.size("mem") > 1)
+        .select(F.array_min("mem").alias("keep"), F.explode("mem").alias("m"))
+        .filter(F.col("m") != F.col("keep"))
+        .groupBy(F.col("m.kid").alias(id_col))
+        .agg(F.collect_set("m.kp").alias("rem_starts"))
     )
     cov = F.array_distinct(
         F.flatten(

@@ -21,7 +21,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pincspark.functions.text import ws_tokens
-from pincspark.operators.dedup import ngram_array
 
 
 def run_length_stats(sorted_arr: Column) -> Column:
@@ -96,26 +95,83 @@ def repetition_stats(
     """
     toks = ws_tokens(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col), toks.alias("__toks"))
-    arrs = base.select(
-        id_col,
-        F.size("__toks").alias("n_tokens"),
-        F.size(F.array_distinct("__toks")).alias("__n_distinct"),
-        ngram_array(F.col("__toks"), top_n).alias("__gt"),
-        ngram_array(F.col("__toks"), dup_n).alias("__gd"),
-    )
-    stats = arrs.select(
-        id_col,
-        "n_tokens",
-        "__n_distinct",
-        F.size("__gt").alias("__nt"),
-        run_length_stats(F.array_sort("__gt")).alias("__st"),
-        F.size("__gd").alias("__nd"),
-        run_length_stats(F.array_sort("__gd")).alias("__sd"),
+    # Gram counting runs in an Arrow batch kernel (r16, guide §4.2):
+    # the previous ngram_array + array_sort + run_length_stats chain is
+    # built from higher-order-function lambdas, which Catalyst evaluates
+    # INTERPRETED per array element (no codegen) — measured ~0.8 s of the
+    # 1.25 s stage at sf0.1, and per-token interpreted cost at any scale.
+    # A dict-count per document in a mapInPandas batch does the same work
+    # at native speed. Drift containment: tokenization (lower + split)
+    # stays JVM-side and the kernel emits ONLY integer counters and the
+    # winning gram (ties to the lexicographically larger gram, compared
+    # as UTF-8 bytes — UTF8String's binary order); every fraction and its
+    # rounding stays in exactly the JVM expressions below, so the float
+    # semantics the oracle pins are untouched. Still a narrow map stage:
+    # scan -> kernel -> project, zero shuffles.
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def _grams(tl: list, n: int) -> list:
+        if len(tl) >= n:
+            return [" ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)]
+        return [" ".join(tl)]
+
+    def _kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, tl in zip(pdf[id_col], pdf["__toks"]):
+                if tl is None:
+                    n_tok = n_dis = None
+                    tl = []
+                else:
+                    tl = list(tl)
+                    n_tok = len(tl)
+                    n_dis = len(set(tl))
+                ct = Counter(_grams(tl, top_n))
+                best_g, best_c = max(
+                    ct.items(), key=lambda kv: (kv[1], kv[0].encode("utf-8"))
+                )
+                cd = Counter(_grams(tl, dup_n))
+                rows.append(
+                    (
+                        doc_id,
+                        n_tok,
+                        n_dis,
+                        sum(ct.values()),
+                        best_c,
+                        best_g,
+                        sum(cd.values()),
+                        sum(c for c in cd.values() if c > 1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "n_tokens",
+                    "__n_distinct",
+                    "__nt",
+                    "__best_c",
+                    "__best_g",
+                    "__nd",
+                    "__dup",
+                ],
+                dtype=object,
+            )
+
+    counted = base.mapInPandas(
+        _kernel,
+        f"{id_col} {id_type}, n_tokens int, __n_distinct int, __nt int, "
+        "__best_c long, __best_g string, __nd int, __dup long",
     )
     frac = lambda num, den: F.round(  # noqa: E731
         num.cast("double") / den.cast("double"), 6
     )
-    return stats.select(
+    return counted.select(
         id_col,
         "n_tokens",
         F.when(
@@ -126,9 +182,9 @@ def repetition_stats(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_word_frac"),
-        F.col("__st")["best_g"].alias("top_ngram"),
-        frac(F.col("__st")["best_c"], F.col("__nt")).alias("top_ngram_frac"),
-        frac(F.col("__sd")["dup"], F.col("__nd")).alias("dup_ngram_frac"),
+        F.col("__best_g").alias("top_ngram"),
+        frac(F.col("__best_c"), F.col("__nt")).alias("top_ngram_frac"),
+        frac(F.col("__dup"), F.col("__nd")).alias("dup_ngram_frac"),
     )
 
 

@@ -74,3 +74,79 @@ def test_repetition_stats_zero_shuffle_plan(spark):
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode path
+
+
+def test_repetition_stats_kernel_matches_hof_twin(spark):
+    """r16: gram counting moved from the interpreted HOF chain into an
+    Arrow kernel — pin the kernel against the original ngram_array +
+    array_sort + run_length_stats construction on adversarial docs:
+    multi-space runs, empty/whitespace-only text, null text, sub-n docs,
+    unicode grams around the tie-break (UTF8String binary order), and
+    exact count ties."""
+    from pincspark.operators.dedup import ngram_array
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),
+            (2, "x x x x"),
+            (3, "solo"),
+            (4, ""),
+            (5, "   "),
+            (6, None),
+            (7, "b a b a b a"),           # 2-gram tie 'a b' vs 'b a'
+            (8, "é a é a É a"),           # unicode + case already lowered
+            (9, "ab cd ab cd ef"),
+            (10, "zé zé zé"),  # NFC vs NFD grams
+        ],
+        "doc_id INT, text STRING",
+    )
+
+    def hof_twin(df):
+        from pincspark.functions.text import ws_tokens
+        from pincspark.operators.quality import run_length_stats
+
+        toks = ws_tokens(F.lower(F.col("text")))
+        base = df.select(F.col("doc_id"), toks.alias("__toks"))
+        arrs = base.select(
+            "doc_id",
+            F.size("__toks").alias("n_tokens"),
+            F.size(F.array_distinct("__toks")).alias("__n_distinct"),
+            ngram_array(F.col("__toks"), 2).alias("__gt"),
+            ngram_array(F.col("__toks"), 3).alias("__gd"),
+        )
+        stats = arrs.select(
+            "doc_id",
+            "n_tokens",
+            "__n_distinct",
+            F.size("__gt").alias("__nt"),
+            run_length_stats(F.array_sort("__gt")).alias("__st"),
+            F.size("__gd").alias("__nd"),
+            run_length_stats(F.array_sort("__gd")).alias("__sd"),
+        )
+        frac = lambda num, den: F.round(  # noqa: E731
+            num.cast("double") / den.cast("double"), 6
+        )
+        return stats.select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    1.0
+                    - F.col("__n_distinct").cast("double") / F.col("n_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_word_frac"),
+            F.col("__st")["best_g"].alias("top_ngram"),
+            frac(F.col("__st")["best_c"], F.col("__nt")).alias("top_ngram_frac"),
+            frac(F.col("__sd")["dup"], F.col("__nd")).alias("dup_ngram_frac"),
+        )
+
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in repetition_stats(docs, "doc_id", "text", 2, 3).collect()
+    }
+    want = {r["doc_id"]: tuple(r) for r in hof_twin(docs).collect()}
+    assert got == want
