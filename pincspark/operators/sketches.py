@@ -531,6 +531,20 @@ def cms_sketch(
     # distinct-values x depth rows, combine-collapsed to <= depth*width
     # cells per task.
     pairs = _cms_pairs(F.col(value_col), width, depth, salt)
+    if df.isStreaming:
+        # The streaming (complete-mode) build keeps the direct
+        # one-aggregate form: chaining the value dedup in front would be
+        # two stateful operators (blocked by Spark's global-watermark
+        # correctness check), and the dedup saves nothing there anyway —
+        # the incremental aggregation state IS the sketch, so each row is
+        # hashed once as it arrives. Stream == batch cell-for-cell is
+        # pinned in tests/test_streaming.py.
+        return (
+            df.select(F.explode(pairs).alias("p"))
+            .select("p.j", "p.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     counts = df.groupBy(value_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
     )
