@@ -1407,14 +1407,17 @@ def remove_duplicate_spans(
       character-offset surgery on the raw text.
 
     Scale shape: the text is tokenized in place and NEVER fans out — only
-    (id, start, hash60) span rows ride the one big shuffle (the span-hash
-    window; count + row_number share its partitioning). Removing span
-    STARTS fold back to one tiny int-array per affected document
-    (collect_set keyed on id), and the rewrite itself is a per-row
-    indexed-HOF filter over the original token array — no position
-    explode, no anti-join, no rebuild aggregate, no union branch (short
-    documents simply produce no spans and pass through the left join
-    unchanged). Everything is JVM-side; nothing crosses into Python."""
+    (id, start, hash60) span rows ride the big shuffles. Per span hash a
+    count + min(struct(doc, pos)) AGGREGATE (constant per-group state,
+    both partially aggregable map-side) finds the keeper; duplicated
+    hashes (count > 1, typically a tiny fraction) join back to the span
+    stream to emit non-keeper occurrences. Removing span STARTS fold back
+    to one tiny int-array per affected document (collect_set keyed on id),
+    and the rewrite itself is a per-row indexed-HOF filter over the
+    original token array — no position explode, no anti-join, no rebuild
+    aggregate, no union branch (short documents simply produce no spans
+    and pass through the left join unchanged). Everything is JVM-side;
+    nothing crosses into Python."""
     norm = normalize_text(F.col(text_col))
     toks_df = df.select(
         F.col(id_col),
@@ -1438,28 +1441,64 @@ def remove_duplicate_spans(
         .cast("bigint")
         .alias("h"),
     )
-    # keeper = min (doc_id, p) struct per hash, via one hash AGGREGATE
-    # per span hash (r16, guide §2.4/§1.2) instead of the former
-    # count+min window: the exchange is identical, but WindowExec first
-    # SORTS the whole span stream by h, while the aggregate builds
-    # per-hash member lists hash-wise and unique spans (the vast
-    # majority) die at the size filter; only genuinely duplicated spans
-    # reach the non-keeper explode. Interleaved A/B at sf0.1: 2.94 ->
-    # 2.65 s median. (duplicate_span_stats keeps its count-only window —
-    # the same A/B measured neutral there, no per-group state to carry.)
-    removing = (
-        occ.groupBy("h")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("kid"), F.col("p").alias("kp"))
-            ).alias("mem")
+    # keeper = min (doc_id, p) per hash, via one AGGREGATE per span hash
+    # (r16, guide §2.4/§1.2) instead of the former count+min window
+    # (WindowExec SORTS the whole span stream by h).
+    # r17 (guide §2.5/§5): the r16 form collect_list'ed EVERY occurrence
+    # of a hash into one non-spillable aggregation buffer — a corpus-wide
+    # boilerplate span (license header repeated across millions of docs)
+    # is a guaranteed hot key -> executor OOM at scale. Now the per-group
+    # state is CONSTANT: count(1) + min are both partially aggregable
+    # map-side, the count>1 filter kills unique spans (the vast
+    # majority), and only genuinely duplicated hashes join back to the
+    # span stream to emit non-keeper occurrences.
+    # For integral ids the (kid, p) keeper is packed into one
+    # decimal(38,0) as kid * 2**32 + p — positions are non-negative ints
+    # < 2**32, so the packing is strictly monotonic in the (kid, p)
+    # lexicographic order and min(packed) IS the min struct — because a
+    # decimal buffer is UnsafeRow-mutable and keeps the aggregate a
+    # HashAggregate; min over a STRUCT buffer falls back to
+    # SortAggregate, which would re-buy the full span-stream sort the
+    # r16 rewrite removed. Non-integral ids keep the struct form.
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        pk = (
+            F.col(id_col).cast("decimal(38,0)") * F.lit(1 << 32) + F.col("p")
+        ).alias("__pk")
+        occp = occ.select("h", F.col(id_col), "p", pk)
+        dup_keepers = (
+            occp.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__c"), F.min("__pk").alias("__kpk"))
+            .filter(F.col("__c") > 1)
+            .select("h", "__kpk")
         )
-        .filter(F.size("mem") > 1)
-        .select(F.array_min("mem").alias("keep"), F.explode("mem").alias("m"))
-        .filter(F.col("m") != F.col("keep"))
-        .groupBy(F.col("m.kid").alias(id_col))
-        .agg(F.collect_set("m.kp").alias("rem_starts"))
-    )
+        removing = (
+            occp.join(dup_keepers, "h")
+            .filter(F.col("__pk") != F.col("__kpk"))
+            .groupBy(F.col(id_col))
+            .agg(F.collect_set("p").alias("rem_starts"))
+        )
+    else:
+        dup_keepers = (
+            occ.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min(
+                    F.struct(F.col(id_col).alias("kid"), F.col("p").alias("kp"))
+                ).alias("keep"),
+            )
+            .filter(F.col("__c") > 1)
+            .select("h", "keep")
+        )
+        removing = (
+            occ.join(dup_keepers, "h")
+            .filter(
+                (F.col(id_col) != F.col("keep.kid"))
+                | (F.col("p") != F.col("keep.kp"))
+            )
+            .groupBy(F.col(id_col))
+            .agg(F.collect_set("p").alias("rem_starts"))
+        )
     cov = F.array_distinct(
         F.flatten(
             F.transform(

@@ -180,3 +180,45 @@ def test_remove_duplicate_spans_within_doc_overlap(spark):
     )
     r = remove_duplicate_spans(df, "doc_id", "text", n=8).collect()[0]
     assert (r["clean_text"], r["n_tokens"], r["n_removed"]) == ("a", 12, 11)
+
+
+def test_remove_duplicate_spans_hot_hash_constant_state(spark):
+    """Skew safety (r17): one boilerplate 8-token span repeated across
+    1e5 documents must NOT buffer all its occurrences in a single
+    aggregation group. Checks (a) the keeper aggregate carries only
+    constant per-group state — no collect_list over the raw span stream
+    in the plan (collect_set over per-DOC removal starts is bounded by
+    doc length and fine) — and (b) semantics at 1e5 occurrences of one
+    hash: doc 0 keeps everything, every other doc loses the 8 boiler
+    tokens and keeps only its unique suffix token."""
+    from pincspark.operators.dedup import remove_duplicate_spans
+
+    n_docs = 100_000
+    boiler = "k0 k1 k2 k3 k4 k5 k6 k7"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " u"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    out = remove_duplicate_spans(docs, "doc_id", "text", n=8)
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_removed").alias("removed"),
+        F.sum("n_tokens").alias("tokens"),
+    ).collect()[0]
+    assert agg["docs"] == n_docs
+    assert agg["tokens"] == 9 * n_docs
+    # every doc but the keeper loses the 8 boiler tokens
+    assert agg["removed"] == 8 * (n_docs - 1)
+    keeper = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert keeper["clean_text"] == boiler + " u0"
+    loser = out.filter(F.col("doc_id") == 12345).collect()[0]
+    assert (loser["clean_text"], loser["n_removed"]) == ("u12345", 8)
