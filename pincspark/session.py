@@ -33,6 +33,15 @@ def get_spark(app_name: str = "pincspark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("PINCSPARK_DRIVER_MEM", "8g"))
+        # PySpark 4's DataFrame-debugging hook wraps EVERY DataFrame/Column
+        # API call with ~4 extra py4j round-trips (getActiveSession +
+        # conf.get + origin set/clear) plus a Python stack walk, purely to
+        # enrich error messages with user call sites. Plan construction is
+        # inside every timed query span (and on a real cluster it is
+        # serial driver time, guide §7.3): measured 1.11 -> 0.45 s on one
+        # minhash_lsh_pairs build alone. Errors still carry the full
+        # Python traceback without it.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
     )
