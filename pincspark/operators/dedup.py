@@ -315,8 +315,12 @@ def minhash_signatures(
         sh = _spread(df, id_col).select(
             F.col(id_col), F.explode(shingle_hash_array_py(text_col, n, 8)).alias("h")
         )
+    # One F.expr parse per permutation instead of ~8 chatty Column ops:
+    # plan construction is serial driver time inside every timed span
+    # (guide §7.3); the parsed tree is the identical min((a*h+b)%P) —
+    # int literals (all perms fit int32), bigint h, same result type.
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        F.expr(f"min((({a} * h) + {b}) % {MINHASH_PRIME})").alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:num_perms])
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -341,16 +345,20 @@ def minhash_lsh_pairs(
     with the verify stage (see :func:`minhash_signatures`)."""
     rows = num_perms // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perms, shingles=shingles)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                ).alias("sig"),
-            )
+    # Single-parse expression trees (guide §7.3): each F.expr below is ONE
+    # py4j round-trip where the equivalent Column-op chains were dozens —
+    # the parsed trees are operator-identical (int literals, same
+    # functions), pinned by the oracles of every consumer (q19/q53/q54/
+    # q106/q109/q114).
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} as band, concat_ws(',', "
+            + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+            + ") as sig)"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     # Bucket-to-pairs WITHOUT a self-join: group each (band, sig) bucket to
     # its sorted member list and explode the pair combinations — one shuffle
@@ -371,7 +379,9 @@ def minhash_lsh_pairs(
     # (OOM at billions of docs) or costs two more signature shuffles. The
     # band replication factor on signature bytes equals `bands` (4), the
     # price of zero joins.
-    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perms)])
+    mh_arr = F.expr(
+        "array(" + ", ".join(f"mh{i}" for i in range(num_perms)) + ")"
+    )
     banded = sig.select(
         F.col(id_col), mh_arr.alias("mh"), F.explode(band_structs).alias("bs")
     ).select(id_col, "mh", "bs.band", "bs.sig")
@@ -379,17 +389,17 @@ def minhash_lsh_pairs(
     # est = matching-minhash fraction, STATICALLY unrolled (num_perms is
     # known at plan time): an aggregate(zip_with(...)) fold evaluates its
     # lambdas interpreted per pair; the flat element_at comparison chain
-    # stays in whole-stage codegen.
-    match_terms = [
-        F.expr(
+    # stays in whole-stage codegen. The D suffix makes the divisor a
+    # DOUBLE literal (bare 16.0 would parse as decimal), matching the
+    # former F.lit(float(num_perms)).
+    est = F.expr(
+        "("
+        + " + ".join(
             f"CAST(element_at(p.a.mh, {i + 1}) = element_at(p.b.mh, {i + 1}) AS INT)"
+            for i in range(num_perms)
         )
-        for i in range(num_perms)
-    ]
-    match_sum = match_terms[0]
-    for t in match_terms[1:]:
-        match_sum = match_sum + t
-    est = match_sum / F.lit(float(num_perms))
+        + f") / {float(num_perms)}D"
+    )
     pair_ests = (
         banded.groupBy("band", "sig")
         .agg(
@@ -398,7 +408,17 @@ def minhash_lsh_pairs(
             ).alias("members")
         )
         .filter(F.size("members").between(2, max_bucket_size))
-        .select(F.explode(_member_pairs(F.col("members"))).alias("p"))
+        # _member_pairs as ONE SQL parse: same flatten(transform(slice))
+        # lambda tree the Column form builds, without its py4j chatter.
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
         .select(
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),
@@ -886,16 +906,17 @@ def banded_hamming_pairs(
     DuckDB."""
     width = bits // bands
     mask = (1 << width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col(hash_col), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("slice"),
-            )
+    # One SQL parse for the whole band array (guide §7.3 — this builder
+    # runs inside the timed span of q43/q111/q113/q114); operator-
+    # identical to the former per-band Column chain.
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} as band, "
+            f"shiftright(`{hash_col}`, {b * width}) & {mask} as slice)"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = hashed.select(
         F.col(id_col), F.col(hash_col), F.explode(band_structs).alias("bs")
