@@ -1824,6 +1824,12 @@ def set_similarity_join(
     Returns (id_a, id_b, inter, uni) — all BIGINT, oracle-gateable
     against a brute-force SQL twin.
     """
+    # Conditional spread (r17, the r14 q91 lesson): the shingle kernel and
+    # the K-bucket histogram transform below are this operator's heaviest
+    # per-row compute and sit BELOW the first exchange — a single-split
+    # documents table would run them on one core. No-op when the corpus
+    # arrives well-split.
+    df = _spread(df, id_col)
     if n <= 1:
         arrs = df.select(
             F.col(id_col).alias("id"),
@@ -1855,18 +1861,34 @@ def set_similarity_join(
     toks = arrs.select("id", F.explode("__arr").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     ranked = toks.join(freq, "tok")
-    w_rank = Window.partitionBy("id").orderBy("tf", "tok")
-    w_sz = Window.partitionBy("id")
-    # staged: both candidate-join sides read the prefix frame — the two
-    # window functions would otherwise execute twice
+    # Per-doc (frequency ASC, token ASC) ranking as ONE hash aggregate +
+    # per-doc array sort instead of the former row_number + count window
+    # pair (r17, guide §2.4): the windows sorted the whole token stream by
+    # id inside WindowExec and emitted a ranked row per token only to
+    # filter most of them; the aggregate sorts each doc's (tf, tok) array
+    # locally and re-explodes ONLY the prefix. Per-group state is bounded
+    # by the doc's distinct-shingle count (doc-sized, not corpus-sized).
+    # Rows byte-identical to the window form ((tf, tok) pairs are unique
+    # within a doc, so sort position == row_number); interleaved A/B at
+    # sf0.1: prefix stage 1.66 -> 0.73 s.
+    # staged: both candidate-join sides read the prefix frame — the
+    # ranking aggregate would otherwise execute twice
     pref = stage(
-        ranked.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
-        .filter(
-            F.col("rn")
-            <= F.col("sz") - F.expr(f"(({int(tau100)} * sz + 99) div 100)") + F.lit(1)
+        ranked.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("tf", "tok"))).alias("__r"))
+        .select(
+            "id",
+            F.expr("size(__r)").alias("sz"),
+            F.posexplode(
+                F.expr(
+                    f"slice(__r, 1, size(__r) - "
+                    f"(({int(tau100)} * size(__r) + 99) div 100) + 1)"
+                )
+            ),
         )
-        .select("tok", "id", "sz", "rn"),
+        .select(
+            F.col("col.tok").alias("tok"), "id", "sz", (F.col("pos") + 1).alias("rn")
+        ),
         "setsim:prefix",
         eager=False,
     )
