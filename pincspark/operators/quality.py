@@ -113,7 +113,9 @@ def repetition_stats(
 
     import pandas as pd
 
-    id_type = dict(df.dtypes)[id_col]
+    # schema-derived DDL (not dict(df.dtypes)) + backticked identifier so
+    # id columns with spaces/special characters parse (ADVICE r16)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def _grams(tl: list, n: int) -> list:
         if len(tl) >= n:
@@ -165,7 +167,7 @@ def repetition_stats(
 
     counted = base.mapInPandas(
         _kernel,
-        f"{id_col} {id_type}, n_tokens int, __n_distinct int, __nt int, "
+        f"`{id_col}` {id_type}, n_tokens int, __n_distinct int, __nt int, "
         "__best_c long, __best_g string, __nd int, __dup long",
     )
     frac = lambda num, den: F.round(  # noqa: E731

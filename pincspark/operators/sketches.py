@@ -88,6 +88,14 @@ def kmv_sketch(
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
     else:
+        # Tradeoff (ADVICE r16): this shuffles distinct RAW values through
+        # the first exchange, so shuffle bytes scale with value WIDTH, not
+        # just row count — for very wide value columns (URLs, long text)
+        # the old hash-first single-distinct form shuffles 8-byte hashes
+        # instead and can win despite re-hashing every occurrence. The
+        # engine's sketched columns are short keys (mmsi, zone, token), so
+        # the occurrence-collapse form is kept; revisit per-column if a
+        # wide-value sketch ever lands here.
         hashed = (
             df.select(*group_cols, F.col(value_col).cast("string").alias("__v"))
             .filter(F.col("__v").isNotNull())
