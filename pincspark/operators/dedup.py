@@ -1619,15 +1619,29 @@ def incremental_dedup(
     """
     if prior_is_snapshot:
         snap = prior
+        prior_fps = snap.select(F.col("fingerprint").alias("__pfp")).distinct()
+        prior_sig = snap
     else:
-        snap = dedup_snapshot(prior, id_col, text_col, n, num_perms)
+        # r17 (guide §1.2 "don't compute things you throw away"): building
+        # the full snapshot inline fed BOTH branches through the fp-join-
+        # sig frame, so the prior text was tokenized and min-hashed twice
+        # (once under each branch's projection) and the fingerprint branch
+        # paid for signatures it never reads. Each branch now derives
+        # straight from the prior corpus: one fingerprint projection, one
+        # signature build. Prior docs with zero shingles drop out of the
+        # banded side instead of riding as null-signature rows — their
+        # band sig was concat_ws('')'s empty string, which only ever
+        # bucket-matched other null-signature docs at NULL estimated
+        # Jaccard, so flags and best_est are unchanged (A/B'd row-equal).
+        prior_fps = prior.select(
+            fingerprint(F.col(text_col)).alias("__pfp")
+        ).distinct()
+        prior_sig = minhash_signatures(prior, id_col, text_col, n, num_perms)
     new_snap = dedup_snapshot(new_df, id_col, text_col, n, num_perms)
     # Staged once: the exact-match branch and the banded LSH branch below
     # both consume it, and each pushes different projections under the
     # signature aggregate (same policy as semantic_dedup's assignment).
     new_snap = stage(new_snap, "incdedup:new_snap", eager=False)
-
-    prior_fps = snap.select(F.col("fingerprint").alias("__pfp")).distinct()
     exact = new_snap.join(
         prior_fps, F.col("fingerprint") == F.col("__pfp"), "left"
     ).select(
@@ -1638,17 +1652,19 @@ def incremental_dedup(
     )
 
     rows = num_perms // bands
-    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perms)])
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                ).alias("sig"),
-            )
+    # single-parse expression trees (the minhash_lsh_pairs r17 idiom)
+    mh_arr = F.expr(
+        "array(" + ", ".join(f"mh{i}" for i in range(num_perms)) + ")"
+    )
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} as band, concat_ws(',', "
+            + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+            + ") as sig)"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
 
     def banded(sdf: DataFrame, idname: str, mhname: str) -> DataFrame:
@@ -1659,7 +1675,7 @@ def incremental_dedup(
         ).select(idname, mhname, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
     new_banded = banded(new_snap, "__nid", "__nmh")
-    prior_banded = banded(snap, "__pid", "__pmh")
+    prior_banded = banded(prior_sig, "__pid", "__pmh")
     bucket_ok = (
         prior_banded.groupBy("band", "sig")
         .agg(F.count(F.lit(1)).alias("__bn"))
@@ -1671,16 +1687,14 @@ def incremental_dedup(
     # est = matching-minhash fraction, statically unrolled so the
     # comparison chain stays in whole-stage codegen (minhash_lsh_pairs'
     # idiom).
-    match_terms = [
-        F.expr(
+    est = F.expr(
+        "("
+        + " + ".join(
             f"CAST(element_at(__nmh, {i + 1}) = element_at(__pmh, {i + 1}) AS INT)"
+            for i in range(num_perms)
         )
-        for i in range(num_perms)
-    ]
-    match_sum = match_terms[0]
-    for t in match_terms[1:]:
-        match_sum = match_sum + t
-    est = match_sum / F.lit(float(num_perms))
+        + f") / {float(num_perms)}D"
+    )
 
     near = (
         new_banded.join(prior_ok, ["band", "sig"])

@@ -66,16 +66,17 @@ def banded_fingerprints(
     it touches."""
     width = bits // bands
     mask = (1 << width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col(hash_col), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("slice"),
-            )
+    # one SQL parse instead of per-band Column chains (the r17
+    # banded_hamming_pairs idiom — plan construction is serial driver
+    # time inside every serve span); parsed tree operator-identical
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} as band, "
+            f"shiftright(`{hash_col}`, {b * width}) & {mask} as slice)"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return (
         hashed.select(
